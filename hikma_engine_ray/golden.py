@@ -1,0 +1,603 @@
+"""Golden oracle: slow, obviously-correct triple extraction.
+
+A straightforward per-file, multi-pass Python implementation of the
+extraction SPEC (below). The distributed engine (stages/parser.py +
+stages/linking.py) implements the same spec with vectorized batch code
+and a Ray groupby shuffle; the P/R ≥ 0.95 gate (BASELINE.json) scores
+the engine's (subj, pred, obj) set against this oracle's.
+
+=========================== EXTRACTION SPEC ===========================
+Derived from the reference's rules (file:line cites into /root/reference):
+
+Per corpus row (repo, path, commit, lang, content):
+  F0. if len(content_bytes) > 1 MiB → skip row entirely
+      (src/config/index.ts:128, file-scanner.ts:78-83).
+  F1. File node: id = file_id(repo, commit, path); content_sha256 =
+      sha256(content) (file-scanner.ts:195); triples
+      CONTAINS(repo_id → file_id) and MODIFIED_IN(file_id → commit:{sha}).
+  F2. Repository node per repo (id = repo_id), Commit node per
+      (repo, commit) (id = commit:{sha}, git-analyzer.ts:139-141),
+      HAS_COMMIT(repo_id → commit_id).
+  F3. Entities are extracted only when detect_language(path) ∈
+      {typescript, javascript} (ast-parser.ts:72-79).
+
+Entity extraction (1-based lines, 0-based cols = indentation width):
+  E1. function declaration  ^(indent)(export )?(default )?(async )?function NAME(
+      → Function node — or TestCase when is_test_path(path)
+      (ast-parser.ts:167-172). signature = decl-line text from start_col
+      to before the first '{' (ast-parser.ts:197), rstripped.
+      end_line by brace matching (naive char count, depth clamped ≥ 0).
+  E2. arrow function  ^(indent)(export )?(const|let|var) NAME = (async )?(args) =>
+      → ArrowFunction node named from its declaration
+      (enhanced-ast-parser.ts:167-177). signature = text before '=>'.
+      end_line: brace-matched when body opens '{', else the decl line.
+  E3. module-scope variable  (brace-depth 0, not an arrow) → Variable
+      node, props kind=const|let|var, value_snippet = value[:100]
+      (enhanced-ast-parser.ts:342-394 truncates to 100).
+  E4. class  ^(indent)(export )?(default )?(abstract )?class NAME
+      [extends X] [implements I1, I2] → Class node
+      (enhanced-ast-parser.ts:284-340); EXTENDS / IMPLEMENTS resolved
+      same-file first, else mention for cross-file linking, else dangling.
+  E5. interface → Interface node (ast-parser.ts:235-265).
+  E6. method: inside a class body at class-depth+1, ^(indent)
+      (public|private|protected|static|async|get|set)* NAME(args) {
+      with NAME not a control keyword → Method node;
+      CONTAINS(class → method).
+  E7. imports  ^import [clause from] 'spec'
+      → Import node per statement (name = spec); named/default/namespace
+      locals recorded (enhanced-ast-parser.ts:396-468); IMPORTS triple:
+      internal spec (starts with '.') resolved via resolve_module against
+      the repo's path set → IMPORTS(file → target_file_id) where the
+      target file version is the one with the lexicographically greatest
+      commit sha (deterministic "latest"); external →
+      IMPORTS(file → "module:{spec}").
+  E8. exports: `export { a, b };` → one Export node per statement (name =
+      comma-joined list) + EXPORTS(file → same-file entity) per resolved
+      name; `export default NAME;` → Export node named 'default' +
+      EXPORTS when NAME resolves; inline `export function/class/const`
+      marks the entity exported (EXPORTS triple, no separate node)
+      (enhanced-ast-parser.ts:470-546).
+  E9. every non-File entity → DEFINED_IN(entity → file)
+      (ast-parser.ts:354-368).
+
+Call extraction (ast-parser.ts:374-396 — same-file, by name):
+  C1. each line is attributed to the INNERMOST function-like entity
+      (Function/ArrowFunction/Method/TestCase) whose [start,end] covers
+      it; unattributed lines emit no calls.
+  C2. call sites: NAME( not preceded by [letter, digit, _, $, .]
+      (dotted calls excluded — callee text 'x.y' can never equal a
+      same-file function name in the reference either), NAME not in the
+      control-keyword set; a match of the entity's own name on its own
+      declaration line is the definition, not a call.
+  C3. resolution: same-file function-like with that name (first by
+      start_line) → CALLS(caller → callee); else a local name imported
+      from an internal module → mention(kind='call') for the linking
+      shuffle; else dangling.
+
+Cross-file linking (the latent J4 stage — enhanced-ast-parser.ts:588-604
+leaves keys '{fileId}#{name}#unknown'; we resolve them):
+  L1. definitions: per (repo, module_path, symbol) exported from the
+      max-commit version of that path → entity_id. A symbol='' row maps
+      the module path itself to its file_id (for IMPORTS).
+  L2. mention kind='call' + function-like definition → CALLS(src →
+      def); if the caller is a TestCase also TESTED_BY(def → caller).
+  L3. kind='extends' → EXTENDS(src → def); kind='implements' →
+      IMPLEMENTS(src → def).
+  L4. unresolved mentions → dangling report (dropped from triples).
+=======================================================================
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from .ids import commit_id, entity_id, file_id, repo_id, sha256_hex
+from .functions.rules import (
+    MAX_FILE_BYTES,
+    PARSED_LANGS,
+    detect_language,
+    is_test_path,
+    resolve_module,
+)
+
+NAME = r"[^\W\d][\w$]*"
+FUNC_RE = re.compile(
+    rf"^(\s*)(?:export\s+)?(?:default\s+)?(?:async\s+)?function\s+({NAME})\s*\(", re.U
+)
+ARROW_RE = re.compile(
+    rf"^(\s*)(?:export\s+)?(?:const|let|var)\s+({NAME})\s*=\s*(?:async\s*)?\([^)]*\)\s*(:[^=]+)?=>",
+    re.U,
+)
+VAR_RE = re.compile(
+    rf"^(\s*)(?:export\s+)?(const|let|var)\s+({NAME})\s*=\s*(.+)$", re.U
+)
+CLASS_RE = re.compile(
+    rf"^(\s*)(?:export\s+)?(?:default\s+)?(?:abstract\s+)?class\s+({NAME})"
+    rf"(?:\s+extends\s+([\w$.]+))?(?:\s+implements\s+([\w$,\s]+?))?\s*\{{",
+    re.U,
+)
+IFACE_RE = re.compile(rf"^(\s*)(?:export\s+)?interface\s+({NAME})", re.U)
+METHOD_RE = re.compile(
+    rf"^(\s*)(?:(?:public|private|protected|static|async|get|set)\s+)*({NAME})\s*\([^)]*\)\s*\{{",
+    re.U,
+)
+IMPORT_RE = re.compile(r"^(\s*)import\s+(?:(.+?)\s+from\s+)?['\"]([^'\"]+)['\"]", re.U)
+EXPORT_LIST_RE = re.compile(r"^(\s*)export\s+\{([^}]*)\}", re.U)
+EXPORT_DEFAULT_RE = re.compile(rf"^(\s*)export\s+default\s+({NAME})\s*;?\s*$", re.U)
+CALL_RE = re.compile(rf"(?<![\w$.])({NAME})\s*\(", re.U)
+
+CALL_KEYWORDS = frozenset(
+    "if for while switch catch function return new typeof await else do "
+    "import export async const let var super this constructor".split()
+)
+METHOD_NOT = frozenset("if for while switch catch function return constructor_ok".split()) - {"constructor_ok"}
+FUNCTION_LIKE = frozenset(["Function", "ArrowFunction", "Method", "TestCase"])
+
+
+@dataclass
+class Entity:
+    kind: str
+    name: str
+    start_line: int
+    start_col: int
+    end_line: int
+    signature: str
+    eid: str = ""
+    exported: bool = False
+    props: dict = field(default_factory=dict)
+
+
+def _brace_end(lines: list[str], start_idx: int) -> int:
+    """Line index (0-based) of the closing brace matching the first '{'
+    at/after lines[start_idx]. Naive char counting, depth clamped ≥ 0."""
+    depth = 0
+    opened = False
+    for i in range(start_idx, len(lines)):
+        for ch in lines[i]:
+            if ch == "{":
+                depth += 1
+                opened = True
+            elif ch == "}":
+                depth = max(0, depth - 1)
+                if opened and depth == 0:
+                    return i
+    return len(lines) - 1
+
+
+def parse_file(repo: str, path: str, commit: str, content: str):
+    """Parse one file → (entities, local_triples, mentions, import_map).
+
+    local_triples: (subj, pred, obj, line, col); mentions:
+    dicts with keys repo/module/symbol/kind/src_id/src_kind/src_file/line/col.
+    """
+    fid = file_id(repo, commit, path)
+    lines = content.split("\n")
+    test_file = is_test_path(path)
+    entities: list[Entity] = []
+    mentions: list[dict] = []
+    triples: list[tuple] = []
+    import_map: dict[str, str] = {}  # local name -> spec
+    import_specs: list[tuple[str, int, int]] = []  # (spec, line, col)
+    export_names: list[tuple[str, int, int, bool]] = []  # (name, line, col, is_default)
+    inline_exported: set[str] = set()
+
+    # ---- pass 1: line scan with module-scope depth tracking
+    depth = 0
+    for idx, line in enumerate(lines):
+        lineno = idx + 1
+        m = IMPORT_RE.match(line)
+        if m:
+            indent, clause, spec = m.group(1), m.group(2), m.group(3)
+            col = len(indent)
+            e = Entity("Import", spec, lineno, col, lineno, line.strip().rstrip(";"))
+            e.eid = entity_id(fid, "Import", spec, lineno, col)
+            entities.append(e)
+            import_specs.append((spec, lineno, col))
+            if clause:
+                for part in _import_locals(clause):
+                    import_map[part] = spec
+            depth = _depth_after(depth, line)
+            continue
+        m = EXPORT_LIST_RE.match(line)
+        if m:
+            names = [n.strip().split(" as ")[-1].strip() for n in m.group(2).split(",") if n.strip()]
+            col = len(m.group(1))
+            joined = ",".join(names)
+            e = Entity("Export", joined, lineno, col, lineno, line.strip().rstrip(";"))
+            e.eid = entity_id(fid, "Export", joined, lineno, col)
+            entities.append(e)
+            for n in names:
+                export_names.append((n, lineno, col, False))
+            depth = _depth_after(depth, line)
+            continue
+        m = EXPORT_DEFAULT_RE.match(line)
+        if m:
+            col = len(m.group(1))
+            e = Entity("Export", "default", lineno, col, lineno, line.strip().rstrip(";"))
+            e.eid = entity_id(fid, "Export", "default", lineno, col)
+            entities.append(e)
+            export_names.append((m.group(2), lineno, col, True))
+            depth = _depth_after(depth, line)
+            continue
+        m = FUNC_RE.match(line)
+        if m:
+            name = m.group(2)
+            col = len(m.group(1))
+            kind = "TestCase" if test_file else "Function"
+            end = _brace_end(lines, idx) + 1
+            sig = _sig_before(line, col, "{")
+            e = Entity(kind, name, lineno, col, end, sig)
+            e.eid = entity_id(fid, kind, name, lineno, col)
+            e.exported = "export" in line[:col] or line[col:].startswith("export")
+            entities.append(e)
+            if e.exported:
+                inline_exported.add(name)
+            depth = _depth_after(depth, line)
+            continue
+        m = ARROW_RE.match(line)
+        if m:
+            name = m.group(2)
+            col = len(m.group(1))
+            if "{" in line.split("=>", 1)[1]:
+                end = _brace_end(lines, idx) + 1
+            else:
+                end = lineno
+            sig = _sig_before(line, col, "=>").rstrip()
+            e = Entity("ArrowFunction", name, lineno, col, end, sig)
+            e.eid = entity_id(fid, "ArrowFunction", name, lineno, col)
+            e.exported = line[col:].startswith("export")
+            entities.append(e)
+            if e.exported:
+                inline_exported.add(name)
+            depth = _depth_after(depth, line)
+            continue
+        m = CLASS_RE.match(line)
+        if m:
+            indent, name, ext, impl = m.group(1), m.group(2), m.group(3), m.group(4)
+            col = len(indent)
+            end = _brace_end(lines, idx) + 1
+            sig = _sig_before(line, col, "{")
+            e = Entity("Class", name, lineno, col, end, sig)
+            e.eid = entity_id(fid, "Class", name, lineno, col)
+            e.exported = line[col:].startswith("export")
+            e.props = {"extends": ext or "", "implements": impl or ""}
+            entities.append(e)
+            if e.exported:
+                inline_exported.add(name)
+            depth = _depth_after(depth, line)
+            continue
+        m = IFACE_RE.match(line)
+        if m:
+            name = m.group(2)
+            col = len(m.group(1))
+            end = _brace_end(lines, idx) + 1
+            e = Entity("Interface", name, lineno, col, end, _sig_before(line, col, "{"))
+            e.eid = entity_id(fid, "Interface", name, lineno, col)
+            e.exported = line[col:].startswith("export")
+            entities.append(e)
+            if e.exported:
+                inline_exported.add(name)
+            depth = _depth_after(depth, line)
+            continue
+        m = VAR_RE.match(line)
+        if m and depth == 0:
+            indent, vkind, name, value = m.groups()
+            col = len(indent)
+            e = Entity(
+                "Variable", name, lineno, col, lineno, line.strip().rstrip(";")
+            )
+            e.eid = entity_id(fid, "Variable", name, lineno, col)
+            e.exported = line[col:].startswith("export")
+            e.props = {"kind": vkind, "value_snippet": value.rstrip(";").strip()[:100]}
+            entities.append(e)
+            if e.exported:
+                inline_exported.add(name)
+            depth = _depth_after(depth, line)
+            continue
+        depth = _depth_after(depth, line)
+
+    # ---- pass 2: methods inside classes
+    classes = [e for e in entities if e.kind == "Class"]
+    for cls in classes:
+        for idx in range(cls.start_line, cls.end_line - 1):  # body lines after decl
+            line = lines[idx]
+            m = METHOD_RE.match(line)
+            if not m:
+                continue
+            name = m.group(2)
+            if name in ("if", "for", "while", "switch", "catch", "function", "return"):
+                continue
+            indent = len(m.group(1))
+            if indent <= cls.start_col:
+                continue
+            # directly inside the class (not nested in a method body)
+            if any(
+                e.kind == "Method"
+                and e.start_line <= idx + 1 <= e.end_line
+                and e.start_line < idx + 1
+                for e in entities
+            ):
+                continue
+            lineno = idx + 1
+            end = _brace_end(lines, idx) + 1
+            e = Entity("Method", name, lineno, indent, end, _sig_before(line, indent, "{"))
+            e.eid = entity_id(fid, "Method", name, lineno, indent)
+            entities.append(e)
+            triples.append((cls.eid, "CONTAINS", e.eid, lineno, indent))
+
+    # ---- DEFINED_IN for every entity
+    for e in entities:
+        triples.append((e.eid, "DEFINED_IN", fid, e.start_line, e.start_col))
+
+    # ---- EXTENDS / IMPLEMENTS
+    by_name: dict[str, Entity] = {}
+    for e in sorted(entities, key=lambda x: x.start_line):
+        by_name.setdefault((e.kind, e.name), e)
+    def _resolve_type(name: str):
+        for kind in ("Class", "Interface"):
+            e = by_name.get((kind, name))
+            if e:
+                return e
+        return None
+
+    for cls in classes:
+        ext = cls.props.get("extends", "")
+        if ext:
+            tgt = _resolve_type(ext)
+            if tgt is not None:
+                triples.append((cls.eid, "EXTENDS", tgt.eid, cls.start_line, cls.start_col))
+            elif ext in import_map:
+                mentions.append(_mention(repo, import_map[ext], ext, "extends", cls, path))
+        impl = cls.props.get("implements", "")
+        if impl:
+            for nm in [x.strip() for x in impl.split(",") if x.strip()]:
+                tgt = _resolve_type(nm)
+                if tgt is not None:
+                    triples.append((cls.eid, "IMPLEMENTS", tgt.eid, cls.start_line, cls.start_col))
+                elif nm in import_map:
+                    mentions.append(_mention(repo, import_map[nm], nm, "implements", cls, path))
+
+    # ---- EXPORTS triples
+    def _resolve_any(name: str):
+        for kind in ("Function", "TestCase", "ArrowFunction", "Class", "Interface", "Variable", "Method"):
+            e = by_name.get((kind, name))
+            if e:
+                return e
+        return None
+
+    exported_syms: dict[str, Entity] = {}
+    for name, lineno, col, _is_default in export_names:
+        tgt = _resolve_any(name)
+        if tgt is not None:
+            triples.append((fid, "EXPORTS", tgt.eid, lineno, col))
+            exported_syms[name] = tgt
+    for name in inline_exported:
+        tgt = _resolve_any(name)
+        if tgt is not None:
+            triples.append((fid, "EXPORTS", tgt.eid, tgt.start_line, tgt.start_col))
+            exported_syms[name] = tgt
+
+    # ---- calls: innermost function-like attribution per line
+    funclike = sorted(
+        (e for e in entities if e.kind in FUNCTION_LIKE), key=lambda e: e.start_line
+    )
+    fl_by_name: dict[str, Entity] = {}
+    for e in funclike:
+        fl_by_name.setdefault(e.name, e)
+    for idx, line in enumerate(lines):
+        lineno = idx + 1
+        owner = None
+        for e in funclike:
+            if e.start_line <= lineno <= e.end_line:
+                if owner is None or e.start_line >= owner.start_line:
+                    owner = e
+        if owner is None:
+            continue
+        for m in CALL_RE.finditer(line):
+            callee = m.group(1)
+            if callee in CALL_KEYWORDS:
+                continue
+            if lineno == owner.start_line and callee == owner.name:
+                continue  # own definition, not a call
+            tgt = fl_by_name.get(callee)
+            if tgt is not None:
+                triples.append((owner.eid, "CALLS", tgt.eid, lineno, m.start(1)))
+            elif callee in import_map:
+                spec = import_map[callee]
+                if spec.startswith("."):
+                    mentions.append(
+                        _mention(repo, spec, callee, "call", owner, path, lineno, m.start(1))
+                    )
+                # external (bare) specifiers: dangling, no triple
+            # unresolved: dangling
+
+    # ---- IMPORTS mentions (resolved to file targets in linking)
+    for spec, lineno, col in import_specs:
+        if spec.startswith("."):
+            mentions.append(
+                {
+                    "repo": repo,
+                    "module": spec,  # raw; resolved against repo path set later
+                    "symbol": "",
+                    "kind": "import",
+                    "src_id": fid,
+                    "src_kind": "File",
+                    "src_file": path,
+                    "line": lineno,
+                    "col": col,
+                }
+            )
+        else:
+            triples.append((fid, "IMPORTS", f"module:{spec}", lineno, col))
+
+    return entities, triples, mentions, exported_syms
+
+
+def _mention(repo, spec, symbol, kind, src: Entity, src_file, line=None, col=None):
+    return {
+        "repo": repo,
+        "module": spec,
+        "symbol": symbol,
+        "kind": kind,
+        "src_id": src.eid,
+        "src_kind": src.kind,
+        "src_file": src_file,
+        "line": line if line is not None else src.start_line,
+        "col": col if col is not None else src.start_col,
+    }
+
+
+def _import_locals(clause: str) -> list[str]:
+    out = []
+    clause = clause.strip()
+    m = re.search(r"\{([^}]*)\}", clause)
+    rest = clause
+    if m:
+        for part in m.group(1).split(","):
+            part = part.strip()
+            if part:
+                out.append(part.split(" as ")[-1].strip())
+        rest = (clause[: m.start()] + clause[m.end():]).strip().strip(",").strip()
+    if rest.startswith("* as "):
+        out.append(rest[5:].strip())
+    elif rest:
+        out.append(rest.split(",")[0].strip())
+    return [x for x in out if x]
+
+
+def _depth_after(depth: int, line: str) -> int:
+    for ch in line:
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth = max(0, depth - 1)
+    return depth
+
+
+def _sig_before(line: str, col: int, stop: str) -> str:
+    seg = line[col:]
+    i = seg.find(stop)
+    return (seg[:i] if i >= 0 else seg).rstrip()
+
+
+# ------------------------------------------------------------------ corpus-level
+
+def golden_extract(corpus: pa.Table):
+    """Run the full oracle over a corpus table → (nodes, triples) where
+    nodes is a list of dicts and triples a set of (subj, pred, obj)."""
+    rows = corpus.to_pylist()
+    nodes: list[dict] = []
+    triples: set[tuple] = set()
+    mentions: list[dict] = []
+    # repo → path set; (repo, path) → max commit
+    repo_paths: dict[str, set[str]] = {}
+    latest: dict[tuple[str, str], str] = {}
+    for r in rows:
+        if len(r["content"].encode("utf-8", "surrogatepass")) > MAX_FILE_BYTES:
+            continue
+        repo_paths.setdefault(r["repo"], set()).add(r["path"])
+        key = (r["repo"], r["path"])
+        if key not in latest or r["commit"] > latest[key]:
+            latest[key] = r["commit"]
+
+    seen_repos: set[str] = set()
+    seen_commits: set[tuple[str, str]] = set()
+    definitions: dict[tuple[str, str, str], tuple[str, str]] = {}  # (repo,module,symbol) -> (eid, kind)
+
+    for r in rows:
+        repo, path, commit, content = r["repo"], r["path"], r["commit"], r["content"]
+        if len(content.encode("utf-8", "surrogatepass")) > MAX_FILE_BYTES:
+            continue
+        rid = repo_id(repo)
+        fid = file_id(repo, commit, path)
+        if repo not in seen_repos:
+            seen_repos.add(repo)
+            nodes.append({"node_id": rid, "node_type": "Repository", "name": repo})
+        if (repo, commit) not in seen_commits:
+            seen_commits.add((repo, commit))
+            cid = commit_id(commit)
+            nodes.append({"node_id": cid, "node_type": "Commit", "name": commit})
+            triples.add((rid, "HAS_COMMIT", cid))
+        nodes.append(
+            {
+                "node_id": fid,
+                "node_type": "File",
+                "name": path,
+                "content_sha256": sha256_hex(content),
+            }
+        )
+        triples.add((rid, "CONTAINS", fid))
+        triples.add((fid, "MODIFIED_IN", commit_id(commit)))
+        if detect_language(path) not in PARSED_LANGS:
+            continue
+        entities, local_triples, file_mentions, exported = parse_file(
+            repo, path, commit, content
+        )
+        for e in entities:
+            nodes.append(
+                {
+                    "node_id": e.eid,
+                    "node_type": e.kind,
+                    "name": e.name,
+                    "start_line": e.start_line,
+                    "end_line": e.end_line,
+                }
+            )
+        for t in local_triples:
+            triples.add((t[0], t[1], t[2]))
+        mentions.extend(file_mentions)
+        # definitions from the latest version of each path only
+        if commit == latest[(repo, path)]:
+            definitions[(repo, path, "")] = (fid, "File")
+            for name, ent in exported.items():
+                definitions[(repo, path, name)] = (ent.eid, ent.kind)
+
+    # ---- linking
+    dangling = []
+    for m in mentions:
+        target = resolve_module(m["src_file"], m["module"], repo_paths.get(m["repo"], set()))
+        if not target:
+            dangling.append(m)
+            continue
+        d = definitions.get((m["repo"], target, m["symbol"]))
+        if d is None:
+            dangling.append(m)
+            continue
+        eid, kind = d
+        if m["kind"] == "import":
+            triples.add((m["src_id"], "IMPORTS", eid))
+        elif m["kind"] == "call":
+            if kind in FUNCTION_LIKE:
+                triples.add((m["src_id"], "CALLS", eid))
+                if m["src_kind"] == "TestCase":
+                    triples.add((eid, "TESTED_BY", m["src_id"]))
+            else:
+                dangling.append(m)
+        elif m["kind"] == "extends":
+            triples.add((m["src_id"], "EXTENDS", eid))
+        elif m["kind"] == "implements":
+            triples.add((m["src_id"], "IMPLEMENTS", eid))
+    return nodes, triples, dangling
+
+
+def precision_recall(engine: set[tuple], gold: set[tuple]) -> dict:
+    """P/R overall and per predicate over (subj, pred, obj) sets."""
+    tp = len(engine & gold)
+    p = tp / len(engine) if engine else 1.0
+    r = tp / len(gold) if gold else 1.0
+    preds = sorted({t[1] for t in gold | engine})
+    per = {}
+    for pred in preds:
+        e = {t for t in engine if t[1] == pred}
+        g = {t for t in gold if t[1] == pred}
+        tpp = len(e & g)
+        per[pred] = {
+            "precision": round(tpp / len(e), 4) if e else 1.0,
+            "recall": round(tpp / len(g), 4) if g else 1.0,
+            "engine": len(e),
+            "gold": len(g),
+        }
+    return {"precision": round(p, 4), "recall": round(r, 4), "engine": len(engine), "gold": len(gold), "per_predicate": per}
