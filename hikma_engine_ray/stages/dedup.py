@@ -1,0 +1,91 @@
+"""Exact dedup + generic bucketed group processing.
+
+Exact dedup = hash-partition + per-group first (the north rule's
+pattern; the reference gets it implicitly from INSERT OR REPLACE by
+primary key — data-loader.ts:412-444).
+
+Instead of ``groupby(key).map_groups(head(1))`` — which pays Python
+per-GROUP overhead for millions of tiny groups — we bucket rows by a
+deterministic crc32 of the key into ``nbuckets`` coarse partitions and
+run a **vectorized** pandas ``drop_duplicates`` per bucket. Same
+all-to-all shuffle volume, constant number of groups.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+BUCKET_COL = "__bucket"
+
+
+def add_bucket_column(key_cols: list[str], nbuckets: int):
+    """map_batches fn: append crc32(key_cols)%nbuckets as __bucket."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = [batch[c].to_pylist() for c in key_cols]
+        n = batch.num_rows
+        buckets = np.empty(n, dtype=np.int32)
+        for i in range(n):
+            key = "\x1f".join("" if c[i] is None else str(c[i]) for c in cols)
+            buckets[i] = zlib.crc32(key.encode("utf-8", "surrogatepass")) % nbuckets
+        return batch.append_column(BUCKET_COL, pa.array(buckets, pa.int32()))
+
+    return fn
+
+
+def dedup_exact(ds, key_cols: list[str], nbuckets: int = 64, sort_cols: list[str] | None = None):
+    """Distributed exact dedup on key_cols; keeps a deterministic first
+    row per key (rows sorted by ``sort_cols`` or all columns)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        order = sort_cols or [c for c in g.columns if c != BUCKET_COL]
+        g = g.sort_values(order, kind="stable")
+        g = g.drop_duplicates(subset=key_cols, keep="first")
+        return g.drop(columns=[BUCKET_COL])
+
+    return (
+        ds.map_batches(add_bucket_column(key_cols, nbuckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def bucketed_map_groups(ds, key_cols: list[str], per_key_fn, nbuckets: int = 64,
+                        batch_format: str = "pandas"):
+    """groupby(key).map_groups(per_key_fn) with bucket-level parallelism:
+    one coarse shuffle into nbuckets groups, then a pandas groupby inside
+    each bucket. ``per_key_fn(group_df) -> DataFrame | pa.Table``."""
+
+    def per_bucket(g: pd.DataFrame):
+        outs = []
+        for _, sub in g.groupby(key_cols, sort=True):
+            r = per_key_fn(sub)
+            if r is None:
+                continue
+            if isinstance(r, pa.Table):
+                r = r.to_pandas()
+            outs.append(r)
+        if not outs:
+            return None
+        out = pd.concat(outs, ignore_index=True)
+        if BUCKET_COL in out.columns:
+            out = out.drop(columns=[BUCKET_COL])
+        return out
+
+    def per_bucket_wrap(g: pd.DataFrame):
+        r = per_bucket(g)
+        if r is None:
+            # emit an empty frame with the input's non-bucket columns;
+            # callers relying on schema should handle empties
+            return g.iloc[0:0].drop(columns=[BUCKET_COL])
+        return r
+
+    return (
+        ds.map_batches(add_bucket_column(key_cols, nbuckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket_wrap, batch_format=batch_format)
+    )

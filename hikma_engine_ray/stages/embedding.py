@@ -1,0 +1,75 @@
+"""Embedding stage (SURVEY.md §2.2 M10/M12 — the canonical actor pool).
+
+The reference loads an embedding model once per process (a persistent
+Python subprocess, embed_server.py:22-43) and batches 32 nodes at a time
+(embedding-service.ts:615-644). Here the provider is an actor-pool
+``map_batches`` class: state (provider setup) in ``__init__``, batched
+encode in ``__call__``.
+
+Default provider is the reference's deterministic **hash embedding**
+fallback (embedding-service.ts:259-273): seed a PRNG from the node's
+source text, draw a fixed-dim vector, L2-normalize — oracle-checkable
+and model-free. A real model (transformers etc.) would subclass and
+override ``_encode`` only; nothing else in the pipeline changes.
+
+Per-type source-text projection mirrors getTextForNode
+(embedding-service.ts:134-217): name + signature for functions, path +
+name for files, etc.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..schemas import EMBEDDING_DIM
+
+
+def node_text(node_type, name, path, signature):
+    """Per-type embedding source text (embedding-service.ts:134-217)."""
+    if node_type in ("Function", "ArrowFunction", "Method", "TestCase"):
+        return f"{name} {signature or ''}".strip()
+    if node_type == "File":
+        return f"{path or ''} {name or ''}".strip()
+    if node_type in ("Class", "Interface"):
+        return f"{node_type.lower()} {name} {signature or ''}".strip()
+    if node_type == "Commit":
+        return f"commit {name}"
+    return f"{node_type}:{name or ''}"
+
+
+class HashEmbedder:
+    """Actor-pool stage: nodes table in → same table + ``embedding``
+    (fixed-size list<float32>) + ``source_text`` columns out."""
+
+    def __init__(self, dim: int = EMBEDDING_DIM):
+        self.dim = dim  # per-actor state; a real model would load here
+
+    def _encode(self, texts: list[str]) -> np.ndarray:
+        out = np.empty((len(texts), self.dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            seed = zlib.crc32(t.encode("utf-8", "surrogatepass"))
+            rng = np.random.RandomState(seed)
+            out[i] = rng.standard_normal(self.dim)
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        np.maximum(norms, 1e-12, out=norms)
+        out /= norms
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        types = batch["node_type"].to_pylist()
+        names = batch["name"].to_pylist()
+        paths = batch["path"].to_pylist()
+        sigs = batch["signature"].to_pylist()
+        texts = [
+            node_text(types[i], names[i], paths[i], sigs[i])
+            for i in range(batch.num_rows)
+        ]
+        vecs = self._encode(texts)
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.ravel(), pa.float32()), self.dim
+        )
+        batch = batch.append_column("source_text", pa.array(texts, pa.string()))
+        return batch.append_column("embedding", emb)

@@ -1,0 +1,286 @@
+"""Cross-file entity-linking shuffle (SURVEY.md §2.4 J4 — the latent stage).
+
+The reference emits unresolved callee keys ``{fileId}#{name}#unknown``
+(enhanced-ast-parser.ts:588-604) and raw import specifiers
+(enhanced-ast-parser.ts:452-467); this stage resolves them distributedly.
+
+Design (one all-to-all shuffle, mentions NOT multiplied):
+
+  1. Mention side: each mention's relative specifier is normalized to its
+     candidate BASE path (``normpath(dirname(src)/spec)``). Key =
+     ``(repo, base, salt)``.
+  2. Definition side (small): each definition row for module path P is
+     replicated to every base that COULD resolve to P — P itself
+     (priority 0 = exact), P minus '.ts'/'.tsx'/'.js'/'.jsx'
+     (priorities 1-4), P minus '/index.ts' / '/index.js' (5-6). The
+     node-style resolution order "first existing candidate wins"
+     becomes: min priority among file-existence rows in the group.
+  3. ``groupby(link_key).map_groups``: the group holds one copy of each
+     mention and all definition-variants for that base. File-existence
+     rows (symbol='') pick the resolved module (min priority, then
+     lexicographically max commit = deterministic "latest version");
+     symbol rows of that module resolve calls / extends / implements.
+     Misses become rows of the dangling report (J7).
+
+Skew: popular modules (the hot ``src/lib/utils.ts``, stdlib-ish shared
+code) concentrate most mentions on a few keys. A cheap pre-count
+(groupby-count over mention keys) finds keys with count > hot_threshold;
+those mentions are SALTED (deterministic crc32 % nsalt — never Python
+``hash()``, which varies per process) and only the hot keys' definition
+variants are replicated across salts. Cold keys pay no replication.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..ids import SEP
+
+_STRIP_SUFFIXES = [(".ts", 1), (".tsx", 2), (".js", 3), (".jsx", 4)]
+_INDEX_SUFFIXES = [("/index.ts", 5), ("/index.js", 6)]
+FUNCTION_LIKE = frozenset(["Function", "ArrowFunction", "Method", "TestCase"])
+
+LINKED_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),  # triple | dangling
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("repo", pa.string()),
+        ("line", pa.int32()),
+        ("col", pa.int32()),
+        # dangling payload
+        ("module", pa.string()),
+        ("symbol", pa.string()),
+        ("mkind", pa.string()),
+        ("src_id", pa.string()),
+        ("reason", pa.string()),
+    ]
+)
+
+
+def mention_base(src_path: str, spec: str) -> str:
+    return posixpath.normpath(posixpath.join(posixpath.dirname(src_path), spec))
+
+
+def _crc(s: str) -> int:
+    return zlib.crc32(s.encode("utf-8", "surrogatepass"))
+
+
+def explode_mentions(hot_keys: set[str], nsalt: int):
+    """Returns a map_batches fn: mention rows → link-keyed rows."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        repo = batch["repo"].to_pylist()
+        path = batch["path"].to_pylist()
+        module = batch["module"].to_pylist()
+        symbol = batch["symbol"].to_pylist()
+        mkind = batch["mkind"].to_pylist()
+        src_id = batch["src_id"].to_pylist()
+        src_kind = batch["src_kind"].to_pylist()
+        line = batch["line"].to_pylist()
+        col = batch["col"].to_pylist()
+        n = len(repo)
+        link_key = [""] * n
+        for i in range(n):
+            base = mention_base(path[i], module[i])
+            rb = f"{repo[i]}{SEP}{base}"
+            salt = 0
+            if rb in hot_keys and nsalt > 1:
+                salt = _crc(f"{src_id[i]}{mkind[i]}{symbol[i]}{line[i]}{col[i]}") % nsalt
+            link_key[i] = f"{rb}{SEP}{salt}"
+        return pa.table(
+            {
+                "link_key": pa.array(link_key, pa.string()),
+                "side": pa.array(["m"] * n, pa.string()),
+                "cand_priority": pa.array([0] * n, pa.int32()),
+                "repo": pa.array(repo, pa.string()),
+                "module": pa.array(module, pa.string()),
+                "symbol": pa.array(symbol, pa.string()),
+                "mkind": pa.array(mkind, pa.string()),
+                "src_id": pa.array(src_id, pa.string()),
+                "src_kind": pa.array(src_kind, pa.string()),
+                "def_kind": pa.array([""] * n, pa.string()),
+                "commit": pa.array([""] * n, pa.string()),
+                "obj": pa.array([""] * n, pa.string()),
+                "line": pa.array(line, pa.int32()),
+                "col": pa.array(col, pa.int32()),
+            }
+        )
+
+    return fn
+
+
+def explode_definitions(hot_keys: set[str], nsalt: int):
+    """Returns a map_batches fn: definition rows → link-keyed variant rows.
+
+    Definitions are the small side; only hot bases replicate across salts.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        repo = batch["repo"].to_pylist()
+        module = batch["module"].to_pylist()
+        symbol = batch["symbol"].to_pylist()
+        obj = batch["obj"].to_pylist()
+        def_kind = batch["def_kind"].to_pylist()
+        commit = batch["commit"].to_pylist()
+        out = {k: [] for k in (
+            "link_key", "side", "cand_priority", "repo", "module", "symbol",
+            "mkind", "src_id", "src_kind", "def_kind", "commit", "obj",
+            "line", "col")}
+        for i in range(len(repo)):
+            p = module[i]
+            variants = [(p, 0)]
+            for suf, pri in _STRIP_SUFFIXES:
+                if p.endswith(suf):
+                    variants.append((p[: -len(suf)], pri))
+            for suf, pri in _INDEX_SUFFIXES:
+                if p.endswith(suf):
+                    variants.append((p[: -len(suf)], pri))
+            for base, pri in variants:
+                rb = f"{repo[i]}{SEP}{base}"
+                salts = range(nsalt) if (rb in hot_keys and nsalt > 1) else (0,)
+                for salt in salts:
+                    out["link_key"].append(f"{rb}{SEP}{salt}")
+                    out["side"].append("d")
+                    out["cand_priority"].append(pri)
+                    out["repo"].append(repo[i])
+                    out["module"].append(p)
+                    out["symbol"].append(symbol[i])
+                    out["mkind"].append("")
+                    out["src_id"].append("")
+                    out["src_kind"].append("")
+                    out["def_kind"].append(def_kind[i])
+                    out["commit"].append(commit[i])
+                    out["obj"].append(obj[i])
+                    out["line"].append(0)
+                    out["col"].append(0)
+        return pa.table(
+            {
+                "link_key": pa.array(out["link_key"], pa.string()),
+                "side": pa.array(out["side"], pa.string()),
+                "cand_priority": pa.array(out["cand_priority"], pa.int32()),
+                "repo": pa.array(out["repo"], pa.string()),
+                "module": pa.array(out["module"], pa.string()),
+                "symbol": pa.array(out["symbol"], pa.string()),
+                "mkind": pa.array(out["mkind"], pa.string()),
+                "src_id": pa.array(out["src_id"], pa.string()),
+                "src_kind": pa.array(out["src_kind"], pa.string()),
+                "def_kind": pa.array(out["def_kind"], pa.string()),
+                "commit": pa.array(out["commit"], pa.string()),
+                "obj": pa.array(out["obj"], pa.string()),
+                "line": pa.array(out["line"], pa.int32()),
+                "col": pa.array(out["col"], pa.int32()),
+            }
+        )
+
+    return fn
+
+
+def link_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Resolve all mentions of one (repo, base, salt) group."""
+    is_def = g["side"].to_numpy() == "d"
+    defs = g[is_def]
+    ments = g[~is_def]
+    rows: list[dict] = []
+    if len(ments) == 0:
+        return _linked_df(rows)
+
+    file_defs = defs[defs["symbol"] == ""]
+    if len(file_defs) == 0:
+        for m in ments.itertuples(index=False):
+            rows.append(_dangle(m, "no-such-module"))
+        return _linked_df(rows)
+
+    # resolved module: min candidate priority, then max commit (latest)
+    best_pri = int(file_defs["cand_priority"].min())
+    cand = file_defs[file_defs["cand_priority"] == best_pri]
+    cand = cand.sort_values("commit", kind="stable")
+    target_module = cand["module"].iloc[-1]
+    target_fid = cand["obj"].iloc[-1]
+    target_commit = cand["commit"].iloc[-1]
+
+    # symbols come ONLY from the resolved (latest) version of the module —
+    # a symbol dropped in a later version must dangle, not resolve stale.
+    sym_defs = defs[
+        (defs["module"] == target_module)
+        & (defs["commit"] == target_commit)
+        & (defs["symbol"] != "")
+    ]
+    symtab: dict[str, tuple[str, str]] = {}
+    for d in sym_defs.itertuples(index=False):
+        symtab[d.symbol] = (d.obj, d.def_kind)
+
+    for m in ments.itertuples(index=False):
+        if m.mkind == "import":
+            rows.append(_triple(m, "IMPORTS", m.src_id, target_fid))
+            continue
+        hit = symtab.get(m.symbol)
+        if hit is None:
+            rows.append(_dangle(m, "no-such-symbol"))
+            continue
+        eid, dkind = hit
+        if m.mkind == "call":
+            if dkind in FUNCTION_LIKE:
+                rows.append(_triple(m, "CALLS", m.src_id, eid))
+                if m.src_kind == "TestCase":
+                    rows.append(_triple(m, "TESTED_BY", eid, m.src_id))
+            else:
+                rows.append(_dangle(m, "not-callable"))
+        elif m.mkind == "extends":
+            rows.append(_triple(m, "EXTENDS", m.src_id, eid))
+        elif m.mkind == "implements":
+            rows.append(_triple(m, "IMPLEMENTS", m.src_id, eid))
+        else:
+            rows.append(_dangle(m, "unknown-mention-kind"))
+    return _linked_df(rows)
+
+
+def _triple(m, pred: str, subj: str, obj: str) -> dict:
+    return {
+        "kind": "triple", "subj": subj, "pred": pred, "obj": obj,
+        "repo": m.repo, "line": int(m.line), "col": int(m.col),
+        "module": "", "symbol": "", "mkind": "", "src_id": "", "reason": "",
+    }
+
+
+def _dangle(m, reason: str) -> dict:
+    return {
+        "kind": "dangling", "subj": "", "pred": "", "obj": "",
+        "repo": m.repo, "line": int(m.line), "col": int(m.col),
+        "module": m.module, "symbol": m.symbol, "mkind": m.mkind,
+        "src_id": m.src_id, "reason": reason,
+    }
+
+
+def _linked_df(rows: list[dict]) -> pa.Table:
+    # return Arrow with the pinned schema so every group's block unifies
+    return pa.Table.from_pylist(rows, schema=LINKED_SCHEMA)
+
+
+def find_hot_keys(mentions_ds, hot_threshold: int) -> set[str]:
+    """Cheap pre-count: mention (repo, base) keys with count > threshold.
+
+    The aggregate output is tiny (distinct modules); collecting it on the
+    driver is safe. Only keys over threshold are salted.
+    """
+    import pyarrow.compute as pc
+
+    def keys(batch: pa.Table) -> pa.Table:
+        path = batch["path"].to_pylist()
+        module = batch["module"].to_pylist()
+        repo = batch["repo"].to_pylist()
+        rb = [f"{repo[i]}{SEP}{mention_base(path[i], module[i])}" for i in range(len(repo))]
+        return pa.table({"rb": pa.array(rb, pa.string())})
+
+    counts = mentions_ds.map_batches(keys, batch_format="pyarrow").groupby("rb").count()
+    hot = counts.filter(lambda r: r["count()"] > hot_threshold)
+    return {r["rb"] for r in hot.take_all()}
+
+
+_np = np  # referenced for doc purposes

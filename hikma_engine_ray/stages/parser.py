@@ -1,0 +1,537 @@
+"""Structure-extraction parser stage (SURVEY.md §2 M5/M6 — the flagship).
+
+A **stateful actor-pool** ``map_batches`` stage: regexes are compiled
+once per actor in ``__init__`` (the reference loads its TS-compiler
+parser once per process — ast-parser.ts module scope; tree-sitter slots
+in behind the same interface when available, see ``_try_treesitter``),
+and ``__call__`` parses a whole Arrow batch of files, emitting one
+tagged-union Arrow table of node / triple / mention / definition records.
+
+Parsing is inherently per-record work (like tokenization); the batch
+loop amortizes actor state and emits columnar output — no Python-object
+rows cross the stage boundary.
+
+Implements the extraction SPEC documented in ``hikma_engine_ray.golden``
+(E1-E9, C1-C3), which encodes the reference's rules:
+  functions/signature-before-'{'      ast-parser.ts:145-233, :197
+  arrow-fn naming from declaration    enhanced-ast-parser.ts:167-177
+  classes/extends/implements/methods  enhanced-ast-parser.ts:284-340
+  imports/exports                     enhanced-ast-parser.ts:396-546
+  same-file call resolution           ast-parser.ts:374-396
+  TestCase in test paths              ast-parser.ts:167-172
+  1-based lines                       ast-parser.ts:188-189
+Cross-file references leave as ``mention`` records for the entity-linking
+shuffle (the latent J4 stage, enhanced-ast-parser.ts:588-604).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pyarrow as pa
+
+from ..ids import commit_id, entity_id, repo_id
+from ..functions.rules import PARSED_LANGS
+
+TAGGED_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),  # node | triple | mention | definition
+        # node fields
+        ("node_id", pa.string()),
+        ("node_type", pa.string()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("name", pa.string()),
+        ("start_line", pa.int32()),
+        ("end_line", pa.int32()),
+        ("start_col", pa.int32()),
+        ("signature", pa.string()),
+        ("file_type", pa.string()),
+        ("size_kb", pa.float32()),
+        ("content_sha256", pa.string()),
+        ("props_json", pa.string()),
+        # triple fields
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("line", pa.int32()),
+        ("col", pa.int32()),
+        # mention / definition fields
+        ("module", pa.string()),
+        ("symbol", pa.string()),
+        ("mkind", pa.string()),
+        ("src_id", pa.string()),
+        ("src_kind", pa.string()),
+        ("def_kind", pa.string()),
+    ]
+)
+
+_COLS = [f.name for f in TAGGED_SCHEMA]
+_FUNCTION_LIKE = frozenset(["Function", "ArrowFunction", "Method", "TestCase"])
+_DISPATCH = frozenset(
+    ["import", "export", "function", "async", "const", "let", "var", "class",
+     "interface", "abstract", "default"]
+)
+
+
+def _try_treesitter():
+    """tree-sitter grammars are not shipped in this container; the regex
+    scanner below is the real implementation. If tree_sitter + grammars
+    are importable, a TS/JS Language could be swapped in here behind the
+    same per-file interface."""
+    try:  # pragma: no cover - not available in this environment
+        import tree_sitter  # noqa: F401
+
+        return None  # no grammar wheels present; fall through to regex
+    except ImportError:
+        return None
+
+
+class _Out:
+    """Columnar builders for the tagged-union output table."""
+
+    __slots__ = ("cols",)
+
+    def __init__(self):
+        self.cols = {c: [] for c in _COLS}
+
+    def row(self, kind: str, **kw):
+        c = self.cols
+        c["kind"].append(kind)
+        for k in _COLS[1:]:
+            c[k].append(kw.get(k))
+
+    def table(self) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array(self.cols[f.name], f.type) for f in TAGGED_SCHEMA],
+            schema=TAGGED_SCHEMA,
+        )
+
+
+class ParseFiles:
+    """Callable class for ``ds.map_batches(ParseFiles, concurrency=N,
+    batch_format="pyarrow")``. Expects the file_meta columns to be
+    present (file_id, content_sha256, size_kb, lang_detected, file_type,
+    is_test)."""
+
+    def __init__(self):
+        n = r"[^\W\d][\w$]*"
+        U = re.UNICODE
+        self.re_func = re.compile(
+            rf"^(\s*)(?:export\s+)?(?:default\s+)?(?:async\s+)?function\s+({n})\s*\(", U
+        )
+        self.re_arrow = re.compile(
+            rf"^(\s*)(?:export\s+)?(?:const|let|var)\s+({n})\s*=\s*(?:async\s*)?\([^)]*\)\s*(?::[^=]+)?=>",
+            U,
+        )
+        self.re_var = re.compile(
+            rf"^(\s*)(?:export\s+)?(const|let|var)\s+({n})\s*=\s*(.+)$", U
+        )
+        self.re_class = re.compile(
+            rf"^(\s*)(?:export\s+)?(?:default\s+)?(?:abstract\s+)?class\s+({n})"
+            rf"(?:\s+extends\s+([\w$.]+))?(?:\s+implements\s+([\w$,\s]+?))?\s*\{{",
+            U,
+        )
+        self.re_iface = re.compile(rf"^(\s*)(?:export\s+)?interface\s+({n})", U)
+        self.re_method = re.compile(
+            rf"^(\s*)(?:(?:public|private|protected|static|async|get|set)\s+)*({n})\s*\([^)]*\)\s*\{{",
+            U,
+        )
+        self.re_import = re.compile(
+            r"^(\s*)import\s+(?:(.+?)\s+from\s+)?['\"]([^'\"]+)['\"]", U
+        )
+        self.re_export_list = re.compile(r"^(\s*)export\s+\{([^}]*)\}", U)
+        self.re_export_default = re.compile(
+            rf"^(\s*)export\s+default\s+({n})\s*;?\s*$", U
+        )
+        self.re_call = re.compile(rf"(?<![\w$.])({n})\s*\(", U)
+        self.call_keywords = frozenset(
+            "if for while switch catch function return new typeof await else do "
+            "import export async const let var super this constructor".split()
+        )
+        self.method_not = frozenset(
+            "if for while switch catch function return".split()
+        )
+        self._ts = _try_treesitter()
+
+    # ------------------------------------------------------------------ batch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = _Out()
+        cols = {
+            name: batch[name].to_pylist()
+            for name in (
+                "repo", "path", "commit", "lang", "content", "file_id",
+                "content_sha256", "size_kb", "lang_detected", "file_type",
+                "is_test",
+            )
+        }
+        seen_repo: set[str] = set()
+        seen_commit: set[tuple[str, str]] = set()
+        for i in range(batch.num_rows):
+            self._emit_file_level(out, cols, i, seen_repo, seen_commit)
+            if cols["lang_detected"][i] in PARSED_LANGS:
+                try:
+                    self._parse_one(out, cols, i)
+                except Exception:
+                    # skip-with-warning semantics (ast-parser.ts:80-82):
+                    # a malformed file must never kill the stage.
+                    pass
+        return out.table()
+
+    # ------------------------------------------------------- file-level rows
+
+    def _emit_file_level(self, out, cols, i, seen_repo, seen_commit):
+        repo, path, commit = cols["repo"][i], cols["path"][i], cols["commit"][i]
+        fid = cols["file_id"][i]
+        rid = repo_id(repo)
+        cid = commit_id(commit)
+        if repo not in seen_repo:  # batch-local dedup; global dedup downstream
+            seen_repo.add(repo)
+            out.row("node", node_id=rid, node_type="Repository", repo=repo, name=repo)
+        if (repo, commit) not in seen_commit:
+            seen_commit.add((repo, commit))
+            out.row("node", node_id=cid, node_type="Commit", repo=repo,
+                    commit=commit, name=commit)
+            out.row("triple", subj=rid, pred="HAS_COMMIT", obj=cid, repo=repo)
+        out.row(
+            "node", node_id=fid, node_type="File", repo=repo, path=path,
+            commit=commit, lang=cols["lang"][i], name=path,
+            content_sha256=cols["content_sha256"][i], size_kb=cols["size_kb"][i],
+            file_type=cols["file_type"][i],
+            props_json=json.dumps({"lang_detected": cols["lang_detected"][i]}),
+        )
+        out.row("triple", subj=rid, pred="CONTAINS", obj=fid, repo=repo)
+        out.row("triple", subj=fid, pred="MODIFIED_IN", obj=cid, repo=repo)
+        # file-existence definition: resolves `import ... from './x'` targets
+        out.row("definition", repo=repo, module=path, symbol="", obj=fid,
+                def_kind="File", commit=commit)
+
+    # ------------------------------------------------------------- one file
+
+    def _parse_one(self, out, cols, i):
+        repo, path, commit = cols["repo"][i], cols["path"][i], cols["commit"][i]
+        fid = cols["file_id"][i]
+        content: str = cols["content"][i]
+        is_test = bool(cols["is_test"][i])
+        lines = content.split("\n")
+        nlines = len(lines)
+
+        # (kind, name, line1, col, end1, sig, exported)
+        ents: list[list] = []
+        imports: dict[str, str] = {}
+        import_stmts: list[tuple[str, int, int]] = []
+        export_lists: list[tuple[list[str], int, int]] = []
+        export_defaults: list[tuple[str, int, int]] = []
+        inline_exported: set[str] = set()
+        class_idx: list[int] = []
+
+        depth = 0
+        for idx in range(nlines):
+            line = lines[idx]
+            s = line.lstrip()
+            tok = s.split(" ", 1)[0].split("(", 1)[0] if s else ""
+            if tok in _DISPATCH:
+                handled = self._dispatch(
+                    out, lines, idx, line, depth, is_test, ents, imports,
+                    import_stmts, export_lists, export_defaults,
+                    inline_exported, class_idx,
+                )
+            else:
+                handled = False
+            del handled
+            for ch in line:
+                if ch == "{":
+                    depth += 1
+                elif ch == "}":
+                    depth = max(0, depth - 1)
+
+        # ---- methods within class ranges
+        for ci in class_idx:
+            ckind, cname, cline, ccol, cend, _csig, _cexp = ents[ci][:7]
+            skip_until = 0
+            for idx in range(cline, cend - 1):
+                if idx + 1 <= skip_until:
+                    continue
+                m = self.re_method.match(lines[idx])
+                if not m or m.group(2) in self.method_not:
+                    continue
+                indent = len(m.group(1))
+                if indent <= ccol:
+                    continue
+                end = self._brace_end(lines, idx) + 1
+                sig = self._sig(lines[idx], indent, "{")
+                ents.append(["Method", m.group(2), idx + 1, indent, end, sig, False])
+                skip_until = end
+                eid = entity_id(fid, "Method", m.group(2), idx + 1, indent)
+                cls_eid = entity_id(fid, ckind, cname, cline, ccol)
+                out.row("triple", subj=cls_eid, pred="CONTAINS", obj=eid,
+                        repo=repo, line=idx + 1, col=indent)
+
+        # ---- ids + node rows + DEFINED_IN
+        eids: list[str] = []
+        for e in ents:
+            kind, name, line1, col, end1, sig, exported = e[:7]
+            eid = entity_id(fid, kind, name, line1, col)
+            eids.append(eid)
+            props = {"exported": bool(exported)}
+            if len(e) > 7:
+                props.update(e[7])
+            out.row(
+                "node", node_id=eid, node_type=kind, repo=repo, path=path,
+                commit=commit, lang=cols["lang_detected"][i], name=name,
+                start_line=line1, end_line=end1, start_col=col, signature=sig,
+                props_json=json.dumps(props, sort_keys=True),
+            )
+            out.row("triple", subj=eid, pred="DEFINED_IN", obj=fid, repo=repo,
+                    line=line1, col=col)
+
+        # ---- name-resolution tables (first by start_line)
+        by_kind_name: dict[tuple[str, str], int] = {}
+        order = sorted(range(len(ents)), key=lambda k: ents[k][2])
+        for k in order:
+            by_kind_name.setdefault((ents[k][0], ents[k][1]), k)
+
+        def resolve(name: str, kinds: tuple) -> int | None:
+            for kd in kinds:
+                j = by_kind_name.get((kd, name))
+                if j is not None:
+                    return j
+            return None
+
+        TYPE_KINDS = ("Class", "Interface")
+        ANY_KINDS = ("Function", "TestCase", "ArrowFunction", "Class",
+                     "Interface", "Variable", "Method")
+
+        # ---- EXTENDS / IMPLEMENTS
+        for ci in class_idx:
+            e = ents[ci]
+            extra = e[7] if len(e) > 7 else {}
+            cls_eid = eids[ci]
+            ext = extra.get("extends", "")
+            if ext:
+                j = resolve(ext, TYPE_KINDS)
+                if j is not None:
+                    out.row("triple", subj=cls_eid, pred="EXTENDS", obj=eids[j],
+                            repo=repo, line=e[2], col=e[3])
+                elif ext in imports and imports[ext].startswith("."):
+                    out.row("mention", repo=repo, path=path, module=imports[ext],
+                            symbol=ext, mkind="extends", src_id=cls_eid,
+                            src_kind="Class", line=e[2], col=e[3])
+            for nm in [x.strip() for x in extra.get("implements", "").split(",") if x.strip()]:
+                j = resolve(nm, TYPE_KINDS)
+                if j is not None:
+                    out.row("triple", subj=cls_eid, pred="IMPLEMENTS", obj=eids[j],
+                            repo=repo, line=e[2], col=e[3])
+                elif nm in imports and imports[nm].startswith("."):
+                    out.row("mention", repo=repo, path=path, module=imports[nm],
+                            symbol=nm, mkind="implements", src_id=cls_eid,
+                            src_kind="Class", line=e[2], col=e[3])
+
+        # ---- EXPORTS + definitions
+        def _export(name: str, line1: int, col: int):
+            j = resolve(name, ANY_KINDS)
+            if j is None:
+                return
+            out.row("triple", subj=fid, pred="EXPORTS", obj=eids[j], repo=repo,
+                    line=line1, col=col)
+            out.row("definition", repo=repo, module=path, symbol=name,
+                    obj=eids[j], def_kind=ents[j][0], commit=commit)
+
+        for names, line1, col in export_lists:
+            for nm in names:
+                _export(nm, line1, col)
+        for nm, line1, col in export_defaults:
+            _export(nm, line1, col)
+        for nm in inline_exported:
+            j = resolve(nm, ANY_KINDS)
+            if j is not None:
+                _export(nm, ents[j][2], ents[j][3])
+
+        # ---- calls: stack-based innermost attribution (C1-C3)
+        funclike = sorted(
+            (k for k in range(len(ents)) if ents[k][0] in _FUNCTION_LIKE),
+            key=lambda k: (ents[k][2], -ents[k][4]),
+        )
+        fl_by_name: dict[str, int] = {}
+        for k in funclike:
+            fl_by_name.setdefault(ents[k][1], k)
+        seen_triples: set[tuple] = set()
+        stack: list[int] = []
+        fi = 0
+        for idx in range(nlines):
+            line1 = idx + 1
+            while stack and ents[stack[-1]][4] < line1:
+                stack.pop()
+            while fi < len(funclike) and ents[funclike[fi]][2] == line1:
+                stack.append(funclike[fi])
+                fi += 1
+            if not stack:
+                continue
+            # innermost = max start_line among active entities
+            owner = max(stack, key=lambda k: ents[k][2])
+            oent = ents[owner]
+            line = lines[idx]
+            for m in self.re_call.finditer(line):
+                callee = m.group(1)
+                if callee in self.call_keywords:
+                    continue
+                if line1 == oent[2] and callee == oent[1]:
+                    continue  # own definition
+                j = fl_by_name.get(callee)
+                if j is not None:
+                    t = (eids[owner], "CALLS", eids[j])
+                    if t not in seen_triples:
+                        seen_triples.add(t)
+                        out.row("triple", subj=t[0], pred=t[1], obj=t[2],
+                                repo=repo, line=line1, col=m.start(1))
+                elif callee in imports and imports[callee].startswith("."):
+                    out.row("mention", repo=repo, path=path,
+                            module=imports[callee], symbol=callee, mkind="call",
+                            src_id=eids[owner], src_kind=oent[0],
+                            line=line1, col=m.start(1))
+
+        # ---- IMPORTS: internal → mention; external → triple
+        for spec, line1, col in import_stmts:
+            if spec.startswith("."):
+                out.row("mention", repo=repo, path=path, module=spec, symbol="",
+                        mkind="import", src_id=fid, src_kind="File",
+                        line=line1, col=col)
+            else:
+                out.row("triple", subj=fid, pred="IMPORTS", obj=f"module:{spec}",
+                        repo=repo, line=line1, col=col)
+
+    # ------------------------------------------------------------- dispatch
+
+    def _dispatch(self, out, lines, idx, line, depth, is_test, ents, imports,
+                  import_stmts, export_lists, export_defaults, inline_exported,
+                  class_idx) -> bool:
+        line1 = idx + 1
+        m = self.re_import.match(line)
+        if m:
+            indent, clause, spec = m.groups()
+            col = len(indent)
+            ents.append(["Import", spec, line1, col, line1,
+                         line.strip().rstrip(";"), False])
+            import_stmts.append((spec, line1, col))
+            if clause:
+                for local in self._import_locals(clause):
+                    imports[local] = spec
+            return True
+        m = self.re_export_list.match(line)
+        if m:
+            names = [x.strip().split(" as ")[-1].strip()
+                     for x in m.group(2).split(",") if x.strip()]
+            col = len(m.group(1))
+            ents.append(["Export", ",".join(names), line1, col, line1,
+                         line.strip().rstrip(";"), False])
+            export_lists.append((names, line1, col))
+            return True
+        m = self.re_export_default.match(line)
+        if m:
+            col = len(m.group(1))
+            ents.append(["Export", "default", line1, col, line1,
+                         line.strip().rstrip(";"), False])
+            export_defaults.append((m.group(2), line1, col))
+            return True
+        m = self.re_func.match(line)
+        if m:
+            col = len(m.group(1))
+            kind = "TestCase" if is_test else "Function"
+            end = self._brace_end(lines, idx) + 1
+            exported = line[col:].startswith("export")
+            ents.append([kind, m.group(2), line1, col, end,
+                         self._sig(line, col, "{"), exported])
+            if exported:
+                inline_exported.add(m.group(2))
+            return True
+        m = self.re_arrow.match(line)
+        if m:
+            col = len(m.group(1))
+            after = line.split("=>", 1)[1]
+            end = self._brace_end(lines, idx) + 1 if "{" in after else line1
+            exported = line[col:].startswith("export")
+            ents.append(["ArrowFunction", m.group(2), line1, col, end,
+                         self._sig(line, col, "=>"), exported])
+            if exported:
+                inline_exported.add(m.group(2))
+            return True
+        m = self.re_class.match(line)
+        if m:
+            indent, name, ext, impl = m.groups()
+            col = len(indent)
+            end = self._brace_end(lines, idx) + 1
+            exported = line[col:].startswith("export")
+            ents.append(["Class", name, line1, col, end, self._sig(line, col, "{"),
+                         exported, {"extends": ext or "", "implements": impl or ""}])
+            class_idx.append(len(ents) - 1)
+            if exported:
+                inline_exported.add(name)
+            return True
+        m = self.re_iface.match(line)
+        if m:
+            col = len(m.group(1))
+            end = self._brace_end(lines, idx) + 1
+            exported = line[col:].startswith("export")
+            ents.append(["Interface", m.group(2), line1, col, end,
+                         self._sig(line, col, "{"), exported])
+            if exported:
+                inline_exported.add(m.group(2))
+            return True
+        m = self.re_var.match(line)
+        if m and depth == 0:
+            indent, vkind, name, value = m.groups()
+            col = len(indent)
+            exported = line[col:].startswith("export")
+            ents.append(["Variable", name, line1, col, line1,
+                         line.strip().rstrip(";"), exported,
+                         {"kind": vkind,
+                          "value_snippet": value.rstrip(";").strip()[:100]}])
+            if exported:
+                inline_exported.add(name)
+            return True
+        return False
+
+    # -------------------------------------------------------------- helpers
+
+    @staticmethod
+    def _brace_end(lines: list[str], start_idx: int) -> int:
+        depth = 0
+        opened = False
+        for i in range(start_idx, len(lines)):
+            for ch in lines[i]:
+                if ch == "{":
+                    depth += 1
+                    opened = True
+                elif ch == "}":
+                    depth = max(0, depth - 1)
+                    if opened and depth == 0:
+                        return i
+        return len(lines) - 1
+
+    @staticmethod
+    def _sig(line: str, col: int, stop: str) -> str:
+        seg = line[col:]
+        i = seg.find(stop)
+        return (seg[:i] if i >= 0 else seg).rstrip()
+
+    @staticmethod
+    def _import_locals(clause: str) -> list[str]:
+        out = []
+        clause = clause.strip()
+        m = re.search(r"\{([^}]*)\}", clause)
+        rest = clause
+        if m:
+            for part in m.group(1).split(","):
+                part = part.strip()
+                if part:
+                    out.append(part.split(" as ")[-1].strip())
+            rest = (clause[: m.start()] + clause[m.end():]).strip().strip(",").strip()
+        if rest.startswith("* as "):
+            out.append(rest[5:].strip())
+        elif rest:
+            out.append(rest.split(",")[0].strip())
+        return [x for x in out if x]
