@@ -1,0 +1,97 @@
+from hikma_engine_ray.golden import golden_extract, parse_file, precision_recall
+from hikma_engine_ray.ids import entity_id, file_id
+from hikma_engine_ray.sources.corpus import generate_corpus
+
+
+def test_corpus_deterministic():
+    a = generate_corpus(200)
+    b = generate_corpus(200)
+    assert a.equals(b)
+    assert a.schema.names == ["repo", "path", "commit", "lang", "content"]
+
+
+def test_corpus_has_adversarial_rows():
+    t = generate_corpus(200).to_pylist()
+    paths = {r["path"] for r in t}
+    assert "src/pkg0/empty.ts" in paths
+    assert "src/pkg0/big.ts" in paths
+    big = next(r for r in t if r["path"] == "src/pkg0/big.ts")
+    assert len(big["content"]) > 1 << 20
+
+
+def test_parse_file_spot_checks():
+    src = "\n".join(
+        [
+            "import { helper } from './lib';",
+            "",
+            "function foo(a, b) {",
+            "  return bar(a) + helper(b);",
+            "}",
+            "",
+            "async function bar(x) {",
+            "  return x;",
+            "}",
+            "",
+            "const baz = (x) => foo(x, 1);",
+            "",
+            "class A {",
+            "  run(x) {",
+            "    return bar(x);",
+            "  }",
+            "}",
+            "",
+            "class B extends A {",
+            "}",
+            "",
+            "export { foo, baz };",
+        ]
+    )
+    ents, triples, mentions, exported = parse_file("r/r", "src/m.ts", "c1", src)
+    by = {(e.kind, e.name): e for e in ents}
+    foo = by[("Function", "foo")]
+    assert (foo.start_line, foo.end_line, foo.start_col) == (3, 5, 0)
+    assert foo.signature == "function foo(a, b)"
+    bar = by[("Function", "bar")]
+    assert bar.signature == "async function bar(x)"
+    baz = by[("ArrowFunction", "baz")]
+    assert baz.start_line == baz.end_line == 11
+    assert baz.signature == "const baz = (x)"
+    assert ("Method", "run") in by
+    a, b = by[("Class", "A")], by[("Class", "B")]
+    spo = {(t[0], t[1], t[2]) for t in triples}
+    fid = file_id("r/r", "c1", "src/m.ts")
+    assert (foo.eid, "CALLS", bar.eid) in spo
+    assert (baz.eid, "CALLS", foo.eid) in spo
+    assert (by[("Method", "run")].eid, "CALLS", bar.eid) in spo
+    assert (b.eid, "EXTENDS", a.eid) in spo
+    assert (a.eid, "CONTAINS", by[("Method", "run")].eid) in spo
+    assert (fid, "EXPORTS", foo.eid) in spo
+    assert set(exported) == {"foo", "baz"}
+    # cross-file mention for helper()
+    assert any(m["symbol"] == "helper" and m["kind"] == "call" for m in mentions)
+
+
+def test_test_file_yields_testcase():
+    ents, _, _, _ = parse_file(
+        "r/r", "src/__tests__/a.test.ts", "c1", "function test_x() {\n  return 1;\n}\n"
+    )
+    assert [e.kind for e in ents] == ["TestCase"]
+
+
+def test_golden_extract_counts():
+    corpus = generate_corpus(200)
+    nodes, triples, dangling = golden_extract(corpus)
+    types = {n["node_type"] for n in nodes}
+    assert {"Repository", "Commit", "File", "Function", "ArrowFunction", "Class",
+            "Interface", "Method", "Import", "Export", "Variable", "TestCase"} <= types
+    preds = {t[1] for t in triples}
+    assert {"CONTAINS", "DEFINED_IN", "CALLS", "IMPORTS", "EXPORTS", "EXTENDS",
+            "IMPLEMENTS", "MODIFIED_IN", "HAS_COMMIT", "TESTED_BY"} <= preds
+    assert dangling == []
+
+
+def test_precision_recall_math():
+    g = {("a", "P", "b"), ("c", "P", "d")}
+    e = {("a", "P", "b"), ("x", "P", "y")}
+    pr = precision_recall(e, g)
+    assert pr["precision"] == 0.5 and pr["recall"] == 0.5
