@@ -104,6 +104,32 @@ def build_graph(
     # don't re-parse. At cluster scale this is the natural checkpoint
     # boundary (see state.checkpoint for the Parquet-backed variant).
     tagged = tagged.materialize()
+    return build_graph_from_tagged(
+        tagged,
+        nsalt=nsalt,
+        hot_threshold=hot_threshold,
+        nbuckets=nbuckets,
+        embed_concurrency=embed_concurrency,
+        embed=embed,
+        adjacency=adjacency,
+    )
+
+
+def build_graph_from_tagged(
+    tagged: "ray.data.Dataset",
+    *,
+    nsalt: int = 8,
+    hot_threshold: int = 2000,
+    nbuckets: int = 32,
+    embed_concurrency=None,
+    embed: bool = True,
+    adjacency: bool = True,
+) -> dict:
+    """Linking + dedup + embedding + adjacency over the parser's tagged
+    output (in-memory materialized or read back from a parsed-shard
+    checkpoint)."""
+    if embed_concurrency is None:
+        embed_concurrency = default_parse_concurrency()
 
     nodes_raw = tagged.map_batches(_kind_filter("node", NODE_COLS), batch_format="pyarrow")
     triples_local = tagged.map_batches(_kind_filter("triple", TRIPLE_COLS), batch_format="pyarrow")
