@@ -141,9 +141,13 @@ def _kg_resume(sf_dir: str):
 # ------------------------------------------------- relational conformance
 
 def _q1_pricing(sf_dir: str):
+    """TPC-H-Q1-style pricing summary with partial pre-aggregation: one
+    combiner row per key per block, tiny final shuffle (the 100 TB
+    pattern — never shuffle raw rows into an aggregate)."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Mean, Sum
+
+    from hikma_engine_ray.stages.agg import grouped_agg
 
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
@@ -152,15 +156,15 @@ def _q1_pricing(sf_dir: str):
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
         return t.append_column("revenue", rev)
 
-    out = (
-        ds.map_batches(revenue, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("revenue", alias_name="sum_revenue"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="n"),
-        )
+    out = grouped_agg(
+        ds.map_batches(revenue, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        spec={
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_revenue": ("revenue", "sum"),
+            "sum_disc": ("l_discount", "sum"),
+            "n": ("l_quantity", "count"),
+        },
     )
 
     def rounded(t: pa.Table) -> pa.Table:
@@ -170,7 +174,7 @@ def _q1_pricing(sf_dir: str):
                 "l_linestatus": t["l_linestatus"],
                 "sum_qty": _r4(t["sum_qty"]),
                 "sum_revenue": _r4(t["sum_revenue"]),
-                "avg_disc": _r4(t["avg_disc"]),
+                "avg_disc": _r4(pc.divide(t["sum_disc"], pc.cast(t["n"], pa.float64()))),
                 "n": t["n"],
             }
         )
@@ -180,8 +184,6 @@ def _q1_pricing(sf_dir: str):
 
 def _q_orders_by_segment(sf_dir: str):
     import pyarrow as pa
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
 
     from hikma_engine_ray.stages.joins import broadcast_join
 
@@ -190,8 +192,13 @@ def _q_orders_by_segment(sf_dir: str):
         lambda t: t.rename_columns(["c_custkey", "o_totalprice"]), batch_format="pyarrow"
     )
     joined = broadcast_join(orders, cust, on="c_custkey")
-    out = joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
+    from hikma_engine_ray.stages.agg import grouped_agg
+
+    out = grouped_agg(
+        joined,
+        keys=["c_mktsegment"],
+        spec={"n_orders": ("o_totalprice", "count"),
+              "total": ("o_totalprice", "sum")},
     )
     return out.map_batches(
         lambda t: pa.table(
@@ -235,7 +242,6 @@ def _q_events_window(sf_dir: str):
     expressed as groupby over the event-time bucket)."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
@@ -248,10 +254,12 @@ def _q_events_window(sf_dir: str):
             }
         )
 
-    out = (
-        ds.map_batches(day, batch_format="pyarrow")
-        .groupby(["day", "event_type"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    from hikma_engine_ray.stages.agg import grouped_agg
+
+    out = grouped_agg(
+        ds.map_batches(day, batch_format="pyarrow"),
+        keys=["day", "event_type"],
+        spec={"n": ("value", "count"), "sum_value": ("value", "sum")},
     )
     return out.map_batches(
         lambda t: pa.table(
@@ -303,21 +311,27 @@ def _q_part_filter(sf_dir: str):
 def _q_doc_stats(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Max, Mean, Min
+
+    from hikma_engine_ray.stages.agg import grouped_agg
 
     ds = _read(sf_dir, "documents", ["lang", "n_chars", "doc_id"])
-    out = ds.groupby("lang").aggregate(
-        Count(alias_name="n"),
-        Mean("n_chars", alias_name="avg_chars"),
-        Min("doc_id", alias_name="min_doc"),
-        Max("doc_id", alias_name="max_doc"),
+    out = grouped_agg(
+        ds,
+        keys=["lang"],
+        spec={
+            "n": ("n_chars", "count"),
+            "sum_chars": ("n_chars", "sum"),
+            "min_doc": ("doc_id", "min"),
+            "max_doc": ("doc_id", "max"),
+        },
     )
     return out.map_batches(
         lambda t: pa.table(
             {
                 "lang": t["lang"],
                 "n": t["n"],
-                "avg_chars": _r4(t["avg_chars"]),
+                "avg_chars": _r4(pc.divide(pc.cast(t["sum_chars"], pa.float64()),
+                                           pc.cast(t["n"], pa.float64()))),
                 "min_doc": t["min_doc"],
                 "max_doc": t["max_doc"],
             }

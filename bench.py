@@ -1,0 +1,141 @@
+"""Benchmark harness (driver contract).
+
+Headline: the flagship KG-construction pipeline over the deterministic
+synthetic corpus at the tier matching $GRAFT_SF_DIR, measured as wall
+seconds and triples/sec. Also times representative operator queries over
+the driver's parquet tables.
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "triples_per_sec": ...}
+
+``--scaling``: runs the same job in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the same input and reports both throughputs
+plus scaling efficiency (the in-sandbox evidence for the N→4N cluster
+criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_CACHE = "/tmp/hikma_bench_corpus"
+
+
+def _corpus_path(n_files: int) -> str:
+    import pyarrow.parquet as pq
+
+    os.makedirs(CORPUS_CACHE, exist_ok=True)
+    path = os.path.join(CORPUS_CACHE, f"corpus_{n_files}.parquet")
+    if not os.path.exists(path):
+        from hikma_engine_ray.sources.corpus import generate_corpus
+
+        pq.write_table(generate_corpus(n_files), path)
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from hikma_engine_ray.pipelines.index_pipeline import build_graph
+    from hikma_engine_ray.sources.corpus import corpus_files_for_sf
+
+    n_files = corpus_files_for_sf(SF_DIR)
+    corpus_path = _corpus_path(n_files)
+
+    # warm the page cache (untimed) so we measure compute + shuffle
+    rd.read_parquet(corpus_path).count()
+
+    t0 = time.monotonic()
+    graph = build_graph(rd.read_parquet(corpus_path))
+    n_triples = graph["triples"].count()
+    n_nodes = graph["nodes"].count()  # consumes the embedding stage
+    n_adj = graph["adjacency"].count()
+    headline = time.monotonic() - t0
+
+    queries = {}
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in (
+        "q1_pricing", "orders_by_segment", "events_window", "doc_sha256",
+        "token_count", "exact_dedup", "ann_topk", "minhash_pairs",
+        "simhash_pairs", "embed_neardup",
+    ):
+        tq = time.monotonic()
+        res = qs[name](SF_DIR)
+        if isinstance(res, rd.Dataset):
+            res.count()  # consume the lazy pipeline
+        queries[name] = round(time.monotonic() - tq, 3)
+
+    result = {
+        "metric": "kg_build_wall_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "corpus_files": n_files,
+        "n_triples": n_triples,
+        "n_nodes": n_nodes,
+        "n_adjacency": n_adj,
+        "triples_per_sec": round(n_triples / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus 8 then 32 (N vs 4N)."""
+    times = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        times[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = times[8]["value"], times[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "sec_8": t8,
+        "sec_32": t32,
+        "triples_per_sec_8": times[8]["triples_per_sec"],
+        "triples_per_sec_32": times[32]["triples_per_sec"],
+        "speedup": round(t8 / t32, 3),
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

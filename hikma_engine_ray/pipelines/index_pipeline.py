@@ -35,7 +35,7 @@ from ..stages.linking import (
     explode_definitions,
     explode_mentions,
     find_hot_keys,
-    link_group,
+    link_bucket,
 )
 from ..stages.parser import ParseFiles
 
@@ -136,22 +136,20 @@ def build_graph_from_tagged(
     mentions = tagged.map_batches(_kind_filter("mention", MENTION_COLS), batch_format="pyarrow")
     defs = tagged.map_batches(_kind_filter("definition", DEF_COLS), batch_format="pyarrow")
 
-    # ---- entity linking (J4): one salted shuffle
+    # ---- entity linking (J4): one salted shuffle into bounded buckets
     hot = find_hot_keys(mentions, hot_threshold)
-    m_keyed = mentions.map_batches(explode_mentions(hot, nsalt), batch_format="pyarrow")
-    d_keyed = defs.map_batches(explode_definitions(hot, nsalt), batch_format="pyarrow")
-
-    def per_link_group(g):
-        import pandas as pd
-
-        outs = [link_group(sub) for _, sub in g.groupby("link_key", sort=True)]
-        outs = [t for t in outs if t.num_rows] or [LINKED_SCHEMA.empty_table()]
-        return pa.concat_tables(outs)
+    link_buckets = max(nbuckets, 64)
+    m_keyed = mentions.map_batches(
+        explode_mentions(hot, nsalt, link_buckets), batch_format="pyarrow"
+    )
+    d_keyed = defs.map_batches(
+        explode_definitions(hot, nsalt, link_buckets), batch_format="pyarrow"
+    )
 
     linked = (
         m_keyed.union(d_keyed)
-        .groupby("link_key")
-        .map_groups(per_link_group, batch_format="pandas")
+        .groupby("link_bucket")
+        .map_groups(link_bucket, batch_format="pandas")
     )
     linked = linked.materialize()  # small; consumed twice (triples + dangling)
 

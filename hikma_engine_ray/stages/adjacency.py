@@ -54,30 +54,23 @@ def _emit_both_directions(nbuckets: int):
 
 def build_adjacency(triples_ds, nbuckets: int = 64):
     def per_bucket(g: pd.DataFrame) -> pa.Table:
-        rows_id: list[str] = []
-        rows_out: list[list] = []
-        rows_in: list[list] = []
-        for node, sub in g.groupby("node_id", sort=True):
-            is_out = sub["dir"].to_numpy() == "o"
-            out_list = [
-                {"pred": p, "obj": o}
-                for p, o in sorted(zip(sub["pred"][is_out], sub["other"][is_out]))
-            ]
-            in_list = [
-                {"pred": p, "subj": s}
-                for p, s in sorted(zip(sub["pred"][~is_out], sub["other"][~is_out]))
-            ]
-            rows_id.append(node)
-            rows_out.append(out_list)
-            rows_in.append(in_list)
-        return pa.Table.from_arrays(
-            [
-                pa.array(rows_id, pa.string()),
-                pa.array(rows_out, ADJ_SCHEMA.field("out").type),
-                pa.array(rows_in, ADJ_SCHEMA.field("in").type),
-            ],
-            schema=ADJ_SCHEMA,
-        )
+        # fully vectorized list assembly: sort once, then build Arrow
+        # list<struct> columns from offsets — no per-node Python loop
+        g = g.sort_values(["node_id", "pred", "other"], kind="stable")
+        nodes = np.unique(g["node_id"].to_numpy())
+        cols = [pa.array(nodes, pa.string())]
+        for direction, child in (("o", "obj"), ("i", "subj")):
+            d = g[g["dir"].to_numpy() == direction]
+            idx = np.searchsorted(nodes, d["node_id"].to_numpy())
+            counts = np.bincount(idx, minlength=len(nodes))
+            offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+            struct = pa.StructArray.from_arrays(
+                [pa.array(d["pred"].to_numpy(), pa.string()),
+                 pa.array(d["other"].to_numpy(), pa.string())],
+                names=["pred", child],
+            )
+            cols.append(pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct))
+        return pa.Table.from_arrays(cols, schema=ADJ_SCHEMA)
 
     return (
         triples_ds.map_batches(_emit_both_directions(nbuckets), batch_format="pyarrow")

@@ -140,27 +140,35 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
     """Documents → candidate near-dup pairs (a < b) via banded LSH.
     The groupby shuffles only (band, hash, id) rows."""
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        a, b = zip(*itertools.combinations(ids, 2))
-        return pd.DataFrame({"a": list(a), "b": list(b)})
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # only (band, band_hash) groups with a collision can yield pairs —
+        # filter them vectorized, loop only over actual collision groups
+        g = g[g.duplicated(subset=["band", "band_hash"], keep=False)]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for _, sub in g.groupby(["band", "band_hash"], sort=False):
+            ids = sorted(set(sub["doc_id"].tolist()))
+            for x, y in itertools.combinations(ids, 2):
+                out_a.append(x)
+                out_b.append(y)
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
 
-    sigs = ds.map_batches(
-        MinHashSigs,
-        fn_constructor_kwargs={
-            "num_perm": num_perm, "bands": bands, "k": k,
-            "text_col": text_col, "id_col": id_col,
-        },
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+    # stateless tasks: the only "state" (permutation coefficients _A/_B)
+    # is module-level, so warm Ray workers need no actor spin-up
+    sig = MinHashSigs(num_perm, bands, k, text_col, id_col)
+    sigs = ds.map_batches(sig.__call__, batch_format="pyarrow")
+    from .dedup import BUCKET_COL, add_bucket_column, dedup_exact
+
+    cand = (
+        sigs.map_batches(add_bucket_column(["band", "band_hash"], 32), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(
+            lambda g: pairs_bucket(g.drop(columns=[BUCKET_COL])),
+            batch_format="pandas",
+        )
     )
-    cand = sigs.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
     # distinct pairs (a pair can collide in several bands)
-    from .dedup import dedup_exact
-
     return dedup_exact(cand, key_cols=["a", "b"], sort_cols=["a", "b"])
 
 
@@ -170,26 +178,24 @@ def verify_jaccard(pairs_ds, docs_lookup_ref, threshold: float, k: int = 5):
     fetched per actor — NOT per batch)."""
     import ray
 
-    class Verify:
-        def __init__(self):
-            self.docs = ray.get(docs_lookup_ref)
-            self.cache: dict[int, set] = {}
+    def verify(batch: pa.Table) -> pa.Table:
+        docs = ray.get(docs_lookup_ref)  # zero-copy plasma fetch
+        cache: dict[int, set] = {}
 
-        def _sh(self, did: int) -> set:
-            s = self.cache.get(did)
+        def sh(did: int) -> set:
+            s = cache.get(did)
             if s is None:
-                s = _shingles(self.docs.get(did, ""), k)
-                self.cache[did] = s
+                s = _shingles(docs.get(did, ""), k)
+                cache[did] = s
             return s
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["a"].to_pylist()
-            b = batch["b"].to_pylist()
-            sims = [jaccard(self._sh(x), self._sh(y)) for x, y in zip(a, b)]
-            t = batch.append_column("jaccard", pa.array(sims, pa.float64()))
-            return t.filter(pa.array([s >= threshold for s in sims]))
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        sims = [jaccard(sh(x), sh(y)) for x, y in zip(a, b)]
+        t = batch.append_column("jaccard", pa.array(sims, pa.float64()))
+        return t.filter(pa.array([s >= threshold for s in sims]))
 
-    return pairs_ds.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+    return pairs_ds.map_batches(verify, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------- simhash
@@ -239,27 +245,34 @@ def simhash_candidates(ds, max_hamming: int = 3, text_col: str = "text",
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(g["doc_id"], g["simhash"])))
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated(subset=["band", "band_val"], keep=False)]
         out_a, out_b, out_d = [], [], []
-        for (ida, ha), (idb, hb) in itertools.combinations(rows, 2):
-            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
-            if d <= max_hamming:
-                out_a.append(ida)
-                out_b.append(idb)
-                out_d.append(d)
+        for _, sub in g.groupby(["band", "band_val"], sort=False):
+            rows = sorted(set(zip(sub["doc_id"], sub["simhash"])))
+            for (ida, ha), (idb, hb) in itertools.combinations(rows, 2):
+                d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming:
+                    out_a.append(ida)
+                    out_b.append(idb)
+                    out_d.append(d)
         return pd.DataFrame(
             {"a": pd.Series(out_a, dtype="int64"),
              "b": pd.Series(out_b, dtype="int64"),
              "hamming": pd.Series(out_d, dtype="int64")}
         )
 
+    from .dedup import BUCKET_COL, add_bucket_column, dedup_exact
+
     cand = (
         ds.map_batches(bands, batch_format="pyarrow")
-        .groupby(["band", "band_val"])
-        .map_groups(pairs, batch_format="pandas")
+        .map_batches(add_bucket_column(["band", "band_val"], 32), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(
+            lambda g: pairs_bucket(g.drop(columns=[BUCKET_COL])),
+            batch_format="pandas",
+        )
     )
-    from .dedup import dedup_exact
 
     return dedup_exact(cand, key_cols=["a", "b"], sort_cols=["a", "b"])
 

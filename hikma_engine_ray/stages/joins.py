@@ -18,20 +18,18 @@ import pandas as pd
 import pyarrow as pa
 
 
-def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner",
-                   concurrency=(1, 4)):
+def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner"):
     import ray
 
     ref = ray.put(small_df)
 
-    class Join:
-        def __init__(self):
-            self.small = ray.get(ref)
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        # ray.get on an owned plasma object is zero-copy shared memory —
+        # effectively free after the worker's first fetch; stateless
+        # tasks reuse warm workers, so no actor-pool spin-up cost
+        return batch.merge(ray.get(ref), on=on, how=how)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
-
-    return ds.map_batches(Join, batch_format="pandas", concurrency=concurrency)
+    return ds.map_batches(join, batch_format="pandas")
 
 
 def bucketed_join(left, right, on: list[str], nbuckets: int = 32,

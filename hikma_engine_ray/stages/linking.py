@@ -72,8 +72,13 @@ def _crc(s: str) -> int:
     return zlib.crc32(s.encode("utf-8", "surrogatepass"))
 
 
-def explode_mentions(hot_keys: set[str], nsalt: int):
-    """Returns a map_batches fn: mention rows → link-keyed rows."""
+def explode_mentions(hot_keys: set[str], nsalt: int, nbuckets: int = 64):
+    """Returns a map_batches fn: mention rows → link-keyed rows.
+
+    Also emits ``link_bucket = crc32(link_key) % nbuckets`` so the
+    shuffle groups into a bounded number of coarse buckets (vectorized
+    per-bucket resolution) instead of one Python map_groups call per
+    module. Salted hot keys hash to distinct buckets."""
 
     def fn(batch: pa.Table) -> pa.Table:
         repo = batch["repo"].to_pylist()
@@ -94,8 +99,10 @@ def explode_mentions(hot_keys: set[str], nsalt: int):
             if rb in hot_keys and nsalt > 1:
                 salt = _crc(f"{src_id[i]}{mkind[i]}{symbol[i]}{line[i]}{col[i]}") % nsalt
             link_key[i] = f"{rb}{SEP}{salt}"
+        bucket = [_crc(k) % nbuckets for k in link_key]
         return pa.table(
             {
+                "link_bucket": pa.array(bucket, pa.int32()),
                 "link_key": pa.array(link_key, pa.string()),
                 "side": pa.array(["m"] * n, pa.string()),
                 "cand_priority": pa.array([0] * n, pa.int32()),
@@ -116,7 +123,7 @@ def explode_mentions(hot_keys: set[str], nsalt: int):
     return fn
 
 
-def explode_definitions(hot_keys: set[str], nsalt: int):
+def explode_definitions(hot_keys: set[str], nsalt: int, nbuckets: int = 64):
     """Returns a map_batches fn: definition rows → link-keyed variant rows.
 
     Definitions are the small side; only hot bases replicate across salts.
@@ -162,6 +169,9 @@ def explode_definitions(hot_keys: set[str], nsalt: int):
                     out["col"].append(0)
         return pa.table(
             {
+                "link_bucket": pa.array(
+                    [_crc(k) % nbuckets for k in out["link_key"]], pa.int32()
+                ),
                 "link_key": pa.array(out["link_key"], pa.string()),
                 "side": pa.array(out["side"], pa.string()),
                 "cand_priority": pa.array(out["cand_priority"], pa.int32()),
@@ -180,6 +190,95 @@ def explode_definitions(hot_keys: set[str], nsalt: int):
         )
 
     return fn
+
+
+def link_bucket(g: pd.DataFrame) -> pa.Table:
+    """Vectorized resolution of a whole bucket of link groups at once —
+    pandas merges across all link_keys, no per-module Python loop.
+    Produces exactly the same rows as mapping ``link_group`` over each
+    link_key (property-tested in tests/)."""
+    is_def = g["side"].to_numpy() == "d"
+    defs = g[is_def]
+    ments = g[~is_def]
+    if len(ments) == 0:
+        return LINKED_SCHEMA.empty_table()
+
+    # resolved file per link_key: min candidate priority, then max commit
+    fd = defs[defs["symbol"] == ""]
+    if len(fd):
+        fd = fd.sort_values(
+            ["link_key", "cand_priority", "commit"],
+            ascending=[True, True, False],
+            kind="stable",
+        ).drop_duplicates(subset=["link_key"], keep="first")
+        resolved = fd[["link_key", "module", "commit", "obj"]].rename(
+            columns={"module": "t_module", "commit": "t_commit", "obj": "t_fid"}
+        )
+    else:
+        resolved = pd.DataFrame(
+            {"link_key": [], "t_module": [], "t_commit": [], "t_fid": []}
+        )
+    m = ments.merge(resolved, on="link_key", how="left")
+
+    # symbol table: defs of the resolved (module, commit) only
+    sd = defs[defs["symbol"] != ""][["link_key", "module", "commit", "symbol", "obj", "def_kind"]]
+    sd = sd.rename(columns={"obj": "d_eid"})
+    m = m.merge(
+        sd,
+        left_on=["link_key", "t_module", "t_commit", "symbol"],
+        right_on=["link_key", "module", "commit", "symbol"],
+        how="left",
+        suffixes=("", "_d"),
+    )
+
+    has_file = m["t_fid"].notna().to_numpy()
+    has_sym = m["d_eid"].notna().to_numpy() if "d_eid" in m else np.zeros(len(m), bool)
+    mk = m["mkind"].to_numpy()
+    callable_ = (
+        m["def_kind_d"] if "def_kind_d" in m.columns else m["def_kind"]
+    ).isin(FUNCTION_LIKE).to_numpy()
+    src_kind = m["src_kind"].to_numpy()
+
+    rows: list[dict] = []
+
+    def emit_triples(mask, pred, subj_col, obj_vals):
+        sub = m[mask]
+        ovals = obj_vals[mask] if isinstance(obj_vals, np.ndarray) else sub[obj_vals]
+        for s, o, rp, ln, cl in zip(
+            sub[subj_col], ovals, sub["repo"], sub["line"], sub["col"]
+        ):
+            rows.append(
+                {"kind": "triple", "subj": s, "pred": pred, "obj": o,
+                 "repo": rp, "line": int(ln), "col": int(cl),
+                 "module": "", "symbol": "", "mkind": "", "src_id": "",
+                 "reason": ""}
+            )
+
+    def emit_dangling(mask, reason):
+        sub = m[mask]
+        for rp, md, sy, mkd, sid, ln, cl in zip(
+            sub["repo"], sub["module"], sub["symbol"], sub["mkind"],
+            sub["src_id"], sub["line"], sub["col"]
+        ):
+            rows.append(
+                {"kind": "dangling", "subj": "", "pred": "", "obj": "",
+                 "repo": rp, "line": int(ln), "col": int(cl),
+                 "module": md, "symbol": sy, "mkind": mkd, "src_id": sid,
+                 "reason": reason}
+            )
+
+    emit_dangling(~has_file, "no-such-module")
+    emit_triples((mk == "import") & has_file, "IMPORTS", "src_id", "t_fid")
+    miss_sym = has_file & (mk != "import") & ~has_sym
+    emit_dangling(miss_sym, "no-such-symbol")
+    call_ok = (mk == "call") & has_sym & callable_
+    emit_triples(call_ok, "CALLS", "src_id", "d_eid")
+    tested = call_ok & (src_kind == "TestCase")
+    emit_triples(tested, "TESTED_BY", "d_eid", "src_id")
+    emit_dangling((mk == "call") & has_sym & ~callable_, "not-callable")
+    emit_triples((mk == "extends") & has_sym, "EXTENDS", "src_id", "d_eid")
+    emit_triples((mk == "implements") & has_sym, "IMPLEMENTS", "src_id", "d_eid")
+    return pa.Table.from_pylist(rows, schema=LINKED_SCHEMA)
 
 
 def link_group(g: pd.DataFrame) -> pd.DataFrame:

@@ -1,0 +1,64 @@
+"""Property: the vectorized bucket resolver produces exactly the rows
+of per-link_key ``link_group`` — including dangling reasons — on
+randomized mention/definition mixes."""
+
+import random
+
+import pandas as pd
+import pyarrow as pa
+
+from hikma_engine_ray.stages.linking import LINKED_SCHEMA, link_bucket, link_group
+
+
+def _mk_rows(seed: int):
+    rng = random.Random(seed)
+    rows = []
+    keys = [f"r{i}\x1fsrc/m{i}\x1f0" for i in range(6)]
+    for i, key in enumerate(keys):
+        has_file = rng.random() < 0.8
+        if has_file:
+            for commit in (["c1", "c2"] if rng.random() < 0.3 else ["c1"]):
+                rows.append(
+                    dict(link_key=key, side="d", cand_priority=rng.choice([0, 1]),
+                         repo=f"r{i}", module=f"src/m{i}.ts", symbol="",
+                         mkind="", src_id="", src_kind="", def_kind="File",
+                         commit=commit, obj=f"fid{i}{commit}", line=0, col=0)
+                )
+            for s in ["foo", "bar"]:
+                if rng.random() < 0.7:
+                    rows.append(
+                        dict(link_key=key, side="d", cand_priority=1,
+                             repo=f"r{i}", module=f"src/m{i}.ts", symbol=s,
+                             mkind="", src_id="", src_kind="",
+                             def_kind=rng.choice(["Function", "Class"]),
+                             commit="c1", obj=f"eid-{i}-{s}", line=0, col=0)
+                    )
+        for j in range(rng.randrange(4)):
+            rows.append(
+                dict(link_key=key, side="m", cand_priority=0, repo=f"r{i}",
+                     module=f"./m{i}", symbol=rng.choice(["foo", "bar", "baz", ""]),
+                     mkind=rng.choice(["call", "extends", "implements", "import"]),
+                     src_id=f"src-{i}-{j}",
+                     src_kind=rng.choice(["Function", "TestCase", "Class", "File"]),
+                     def_kind="", commit="", obj="", line=j + 1, col=j)
+            )
+    return pd.DataFrame(rows)
+
+
+def _norm(t: pa.Table) -> set:
+    return {tuple(str(v) for v in row.values()) for row in t.to_pylist()}
+
+
+def test_vectorized_matches_per_group():
+    for seed in range(20):
+        df = _mk_rows(seed)
+        if df.empty:
+            continue
+        vec = link_bucket(df)
+        per = []
+        for _, sub in df.groupby("link_key", sort=True):
+            r = link_group(sub)
+            if r.num_rows:
+                per.append(r)
+        per_t = pa.concat_tables(per) if per else LINKED_SCHEMA.empty_table()
+        assert _norm(vec) == _norm(per_t), seed
