@@ -138,6 +138,52 @@ def _kg_resume(sf_dir: str):
     )
 
 
+def _kg_semantic_search(sf_dir: str):
+    from hikma_engine_ray.pipelines.search import semantic_search
+
+    return semantic_search(_kg(sf_dir)["nodes"], "utility function", k=10)
+
+
+def _kg_degree_top(sf_dir: str):
+    from hikma_engine_ray.pipelines.graph_query import degree_stats
+
+    return degree_stats(_kg(sf_dir)["adjacency"])
+
+
+def _kg_delta(sf_dir: str):
+    """Incremental-indexing analog: after marking half the commits as
+    indexed, the delta contains exactly the other half's rows."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hikma_engine_ray.sources.corpus import corpus_files_for_sf, generate_corpus
+    from hikma_engine_ray.state.delta import commits_of, corpus_delta
+
+    ds = rd.from_arrow(generate_corpus(min(400, corpus_files_for_sf(sf_dir))))
+    pairs = sorted(commits_of(ds))
+    done = set(pairs[: len(pairs) // 2])
+    n_total = ds.count()
+    n_delta = corpus_delta(ds, done).count()
+    n_empty = corpus_delta(ds, set(pairs)).count()
+    return pd.DataFrame(
+        [{"n_total": n_total, "n_delta": n_delta, "n_after_full_index": n_empty,
+          "n_commits": len(pairs), "n_done": len(done)}]
+    )
+
+
+def _kg_file_summaries(sf_dir: str):
+    """M9 summary heuristic over the corpus files (rows-only)."""
+    import ray.data as rd
+
+    from hikma_engine_ray.sources.corpus import corpus_files_for_sf, generate_corpus
+    from hikma_engine_ray.stages.summary import summarize_batch
+
+    ds = rd.from_arrow(generate_corpus(min(400, corpus_files_for_sf(sf_dir))))
+    return ds.map_batches(summarize_batch, batch_format="pyarrow").select_columns(
+        ["repo", "path", "commit", "summary"]
+    )
+
+
 # ------------------------------------------------- relational conformance
 
 def _q1_pricing(sf_dir: str):
@@ -504,6 +550,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_stats": _kg_stats,
         "kg_adjacency_degrees": _kg_adjacency_sizes,
         "kg_resume": _kg_resume,
+        "kg_semantic_search": _kg_semantic_search,
+        "kg_degree_top": _kg_degree_top,
+        "kg_delta": _kg_delta,
+        "kg_file_summaries": _kg_file_summaries,
         # relational conformance (shuffle/join/sort/window primitives)
         "q1_pricing": _q1_pricing,
         "orders_by_segment": _q_orders_by_segment,

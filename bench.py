@@ -49,6 +49,9 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # default (~43% of RAM) spills under the large scaling corpus's
+        # transient embeddings + shuffles; /dev/shm is 126 GiB here
+        object_store_memory=int(60e9),
     )
     import ray.data as rd
     from ray.data import DataContext
@@ -60,7 +63,9 @@ def run_bench() -> dict:
     from hikma_engine_ray.pipelines.index_pipeline import build_graph
     from hikma_engine_ray.sources.corpus import corpus_files_for_sf
 
-    n_files = corpus_files_for_sf(SF_DIR)
+    n_files = int(
+        os.environ.get("GRAFT_BENCH_FILES", corpus_files_for_sf(SF_DIR))
+    )
     corpus_path = _corpus_path(n_files)
 
     # warm the page cache (untimed) so we measure compute + shuffle
@@ -68,9 +73,16 @@ def run_bench() -> dict:
 
     t0 = time.monotonic()
     graph = build_graph(rd.read_parquet(corpus_path))
-    n_triples = graph["triples"].count()
-    n_nodes = graph["nodes"].count()  # consumes the embedding stage
-    n_adj = graph["adjacency"].count()
+    # the three outputs are independent subtrees (triples is already
+    # materialized; nodes/embeddings and adjacency branch from earlier
+    # barriers) — consume them concurrently so no subtree idles the node
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_t = pool.submit(graph["triples"].count)
+        f_n = pool.submit(graph["nodes"].count)
+        f_a = pool.submit(graph["adjacency"].count)
+        n_triples, n_nodes, n_adj = f_t.result(), f_n.result(), f_a.result()
     headline = time.monotonic() - t0
 
     queries = {}
@@ -107,10 +119,23 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, fresh processes, num_cpus 8 then 32 (N vs 4N)."""
+    """Same job, fresh processes, num_cpus 8 then 32 (N vs 4N).
+
+    Uses a larger corpus than the per-round bench (default 400k files,
+    override GRAFT_SCALING_FILES): the sf0.1-tier job carries only
+    ~160 core-seconds of work, so fixed orchestration (~12 s: session
+    init, actor pools, shuffle barriers) dominates and masks scaling.
+    At 400k files compute dominates and the efficiency number reflects
+    the pipeline, not the constant."""
+    n_files = int(os.environ.get("GRAFT_SCALING_FILES", "800000"))
+    _corpus_path(n_files)  # generate once, untimed, shared by both runs
     times = {}
     for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_FILES=str(n_files),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

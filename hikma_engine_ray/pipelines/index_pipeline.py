@@ -39,6 +39,16 @@ from ..stages.linking import (
 )
 from ..stages.parser import ParseFiles
 
+import os as _os
+import time as _time
+
+
+def _tick(label: str, t0: list):
+    if _os.environ.get("HIKMA_TIMING"):
+        now = _time.monotonic()
+        print(f"[timing] {label}: {now - t0[0]:.1f}s", flush=True)
+        t0[0] = now
+
 
 def _kind_filter(kind: str, columns: list[str] | None = None):
     def fn(batch: pa.Table) -> pa.Table:
@@ -60,20 +70,26 @@ DEF_COLS = ["repo", "module", "symbol", "obj", "def_kind", "commit"]
 
 
 def default_parse_concurrency() -> tuple[int, int]:
+    """Fixed-size pool (min == max): for a stage that runs tens of
+    seconds, an autoscaling pool ramping from 1 leaves most of the node
+    idle during ramp-up; spinning the full pool up-front costs ~2 s once.
+    Leave 2 CPUs for the read and downstream stages so the pool doesn't
+    starve them (pipeline would serialize otherwise)."""
     try:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return (1, max(2, cpus - 2))
+    n = max(2, cpus - 2)
+    return (n, n)
 
 
 def build_graph(
     corpus_ds: "ray.data.Dataset",
     *,
     nsalt: int = 8,
-    hot_threshold: int = 2000,
+    hot_threshold: int = 500,
     nbuckets: int = 32,
     parse_concurrency=None,
     embed_concurrency=None,
@@ -103,7 +119,9 @@ def build_graph(
     # smaller, content-free) output once so the four per-kind consumers
     # don't re-parse. At cluster scale this is the natural checkpoint
     # boundary (see state.checkpoint for the Parquet-backed variant).
+    _t = [_time.monotonic()]
     tagged = tagged.materialize()
+    _tick("parse+materialize", _t)
     return build_graph_from_tagged(
         tagged,
         nsalt=nsalt,
@@ -119,7 +137,7 @@ def build_graph_from_tagged(
     tagged: "ray.data.Dataset",
     *,
     nsalt: int = 8,
-    hot_threshold: int = 2000,
+    hot_threshold: int = 500,
     nbuckets: int = 32,
     embed_concurrency=None,
     embed: bool = True,
@@ -136,8 +154,10 @@ def build_graph_from_tagged(
     mentions = tagged.map_batches(_kind_filter("mention", MENTION_COLS), batch_format="pyarrow")
     defs = tagged.map_batches(_kind_filter("definition", DEF_COLS), batch_format="pyarrow")
 
+    _t = [_time.monotonic()]
     # ---- entity linking (J4): one salted shuffle into bounded buckets
     hot = find_hot_keys(mentions, hot_threshold)
+    _tick("find_hot_keys", _t)
     link_buckets = max(nbuckets, 64)
     m_keyed = mentions.map_batches(
         explode_mentions(hot, nsalt, link_buckets), batch_format="pyarrow"
@@ -146,12 +166,16 @@ def build_graph_from_tagged(
         explode_definitions(hot, nsalt, link_buckets), batch_format="pyarrow"
     )
 
+    # coalesce before the sort shuffle: dozens of full blocks beat
+    # hundreds of tiny ones (sort cost grows with input block count)
     linked = (
         m_keyed.union(d_keyed)
+        .repartition(nbuckets)
         .groupby("link_bucket")
         .map_groups(link_bucket, batch_format="pandas")
     )
     linked = linked.materialize()  # small; consumed twice (triples + dangling)
+    _tick("linking", _t)
 
     linked_triples = linked.map_batches(
         _kind_filter("triple", TRIPLE_COLS), batch_format="pyarrow"
@@ -161,33 +185,90 @@ def build_graph_from_tagged(
         batch_format="pyarrow",
     )
 
-    # ---- exact dedup (north rule: hash-partition + per-group first)
-    triples = dedup_exact(
-        triples_local.union(linked_triples),
+    # ---- exact dedup (north rule: hash-partition + per-group first),
+    # applied ONLY to streams that can actually contain duplicates:
+    #   * parser-local triples are duplicate-free by construction — each
+    #     file dedups in-actor, ids are content-addressed, and input rows
+    #     are unique by (repo, commit, path) — EXCEPT the per-batch
+    #     HAS_COMMIT rows (repeated across batches of the same repo)
+    #   * linked triples: two mentions at different sites can resolve to
+    #     the same (subj, pred, obj)
+    #   * Repository/Commit nodes repeat across batches; all other node
+    #     ids are unique by construction
+    # Shuffling only these small streams instead of every triple/node
+    # turns the dedup from an all-to-all of the whole graph into a
+    # kilobyte-scale one.
+    def _pred_split(want_dup: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = pc.equal(t["pred"], "HAS_COMMIT")
+            return t.filter(mask if want_dup else pc.invert(mask))
+
+        return fn
+
+    dupable = triples_local.map_batches(_pred_split(True), batch_format="pyarrow")
+    unique_local = triples_local.map_batches(_pred_split(False), batch_format="pyarrow")
+    deduped = dedup_exact(
+        dupable.union(linked_triples),
         key_cols=["subj", "pred", "obj"],
         nbuckets=nbuckets,
         sort_cols=["subj", "pred", "obj", "line", "col"],
     )
-    nodes = dedup_exact(
-        nodes_raw,
-        key_cols=["node_id"],
-        nbuckets=nbuckets,
-        sort_cols=["node_id"],
+    triples = unique_local.union(deduped)
+
+    def _node_split(want_dup: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(
+                t["node_type"], value_set=pa.array(["Repository", "Commit"])
+            )
+            return t.filter(mask if want_dup else pc.invert(mask))
+
+        return fn
+
+    # Repository/Commit stream is bounded by #repos + #commits: dedup it
+    # without a sort shuffle — per-block drop-dup, coalesce to one tiny
+    # block, final drop-dup. (A sort stage has seconds of fixed cost.)
+    def _block_dedup(t: pa.Table) -> pa.Table:
+        t = t.sort_by("node_id")
+        if t.num_rows > 1:
+            keep = pa.chunked_array(
+                [pa.array([True]),
+                 pc.invert(pc.equal(t["node_id"].slice(1), t["node_id"].slice(0, t.num_rows - 1))).combine_chunks()]
+            )
+            t = t.filter(keep)
+        return t
+
+    dup_nodes = (
+        nodes_raw.map_batches(_node_split(True), batch_format="pyarrow")
+        .map_batches(_block_dedup, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_block_dedup, batch_format="pyarrow")
     )
+    main_nodes = nodes_raw.map_batches(_node_split(False), batch_format="pyarrow")
 
     if embed:
-        nodes = nodes.map_batches(
-            HashEmbedder,
-            batch_format="pyarrow",
-            batch_size=1024,
-            concurrency=embed_concurrency,
-            num_cpus=1,
+        # hash provider is stateless → plain tasks (see hash_embed_batch);
+        # a model-backed provider would swap in the HashEmbedder-style
+        # actor pool: map_batches(ModelCls, concurrency=embed_concurrency).
+        # Embed BEFORE the union: each branch's map chain then fuses into
+        # one task pipeline (filter→split→embed) with no intermediate
+        # object-store round-trips; a map after union would not fuse.
+        from ..stages.embedding import hash_embed_batch
+
+        main_nodes = main_nodes.map_batches(
+            hash_embed_batch, batch_format="pyarrow", batch_size=2048
         )
+        dup_nodes = dup_nodes.map_batches(
+            hash_embed_batch, batch_format="pyarrow", batch_size=2048
+        )
+    nodes = main_nodes.union(dup_nodes)
 
     out = {"nodes": nodes, "triples": triples, "dangling": dangling}
     if adjacency:
-        # triples feed both the sink and the adjacency shuffle; pin once
-        triples = triples.materialize()
+        # triples feed both the sink and the adjacency shuffle; coalesce
+        # then pin once (a materialized pile of 256 tiny blocks would
+        # make the adjacency sort pay per-block overhead)
+        triples = triples.repartition(nbuckets).materialize()
+        _tick("dedup+materialize-triples", _t)
         out["triples"] = triples
         out["adjacency"] = build_adjacency(triples, nbuckets=nbuckets)
     return out

@@ -39,18 +39,32 @@ def add_bucket_column(key_cols: list[str], nbuckets: int):
 
 def dedup_exact(ds, key_cols: list[str], nbuckets: int = 64, sort_cols: list[str] | None = None):
     """Distributed exact dedup on key_cols; keeps a deterministic first
-    row per key (rows sorted by ``sort_cols`` or all columns)."""
+    row per key (rows sorted by ``sort_cols`` or all columns).
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        order = sort_cols or [c for c in g.columns if c != BUCKET_COL]
-        g = g.sort_values(order, kind="stable")
-        g = g.drop_duplicates(subset=key_cols, keep="first")
-        return g.drop(columns=[BUCKET_COL])
+    Pure-Arrow per bucket (no pandas round-trip): preserves the input
+    schema exactly, including nullable int32 columns that pandas would
+    silently degrade to float64."""
+    import pyarrow.compute as pc
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        order = sort_cols or [c for c in g.column_names if c != BUCKET_COL]
+        g = g.sort_by([(c, "ascending") for c in order])
+        n = g.num_rows
+        if n > 1:
+            combined = pc.binary_join_element_wise(
+                *[pc.cast(g[c], pa.string()) for c in key_cols], "\x1f"
+            )
+            prev_eq = pc.equal(combined.slice(1), combined.slice(0, n - 1))
+            keep = pa.chunked_array(
+                [pa.array([True]), pc.invert(prev_eq).combine_chunks()]
+            )
+            g = g.filter(keep)
+        return g.drop_columns([BUCKET_COL])
 
     return (
         ds.map_batches(add_bucket_column(key_cols, nbuckets), batch_format="pyarrow")
         .groupby(BUCKET_COL)
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 

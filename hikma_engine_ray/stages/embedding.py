@@ -48,13 +48,35 @@ class HashEmbedder:
         self.dim = dim  # per-actor state; a real model would load here
 
     def _encode(self, texts: list[str]) -> np.ndarray:
-        # counter-based Philox: ~8x cheaper per-row init than RandomState
-        # and just as deterministic (seeded by crc32 of the source text)
-        out = np.empty((len(texts), self.dim), dtype=np.float32)
-        for i, t in enumerate(texts):
-            seed = zlib.crc32(t.encode("utf-8", "surrogatepass"))
-            rng = np.random.Generator(np.random.Philox(key=seed))
-            out[i] = rng.standard_normal(self.dim)
+        # fully vectorized counter-based PRN: splitmix64 over a
+        # (seed × counter) grid + Box-Muller — no per-row RNG objects.
+        # Deterministic per source text (seeded by its crc32).
+        n, dim = len(texts), self.dim
+        seeds = np.fromiter(
+            (zlib.crc32(t.encode("utf-8", "surrogatepass")) for t in texts),
+            dtype=np.uint64,
+            count=n,
+        )
+        half = dim // 2
+        ctr = np.arange(1, half + 1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            x = seeds[:, None] * np.uint64(0x9E3779B97F4A7C15) + ctr[None, :] * np.uint64(
+                0xBF58476D1CE4E5B9
+            )
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        # two uniforms per lane (hi/lo 32 bits) → Box-Muller pair:
+        # two normals per lane, float32 transcendentals
+        hi = (((x >> np.uint64(32)).astype(np.float32)) + 1.0) / np.float32(4294967297.0)
+        lo = ((x & np.uint64(0xFFFFFFFF)).astype(np.float32)) / np.float32(4294967296.0)
+        r = np.sqrt(np.float32(-2.0) * np.log(hi))
+        theta = np.float32(2.0 * np.pi) * lo
+        out = np.empty((n, dim), dtype=np.float32)
+        out[:, 0::2] = r * np.cos(theta)
+        out[:, 1::2] = r * np.sin(theta)
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         np.maximum(norms, 1e-12, out=norms)
         out /= norms
@@ -75,3 +97,18 @@ class HashEmbedder:
         )
         batch = batch.append_column("source_text", pa.array(texts, pa.string()))
         return batch.append_column("embedding", emb)
+
+
+_CACHED: HashEmbedder | None = None
+
+
+def hash_embed_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant: the hash provider's only state is trivial
+    (no model weights), so a worker-process-cached encoder beats paying
+    actor-pool spin-up. A REAL model provider must use the HashEmbedder
+    actor-pool form instead (`map_batches(ModelEmbedder, concurrency=N)`)
+    — weights load once per actor there."""
+    global _CACHED
+    if _CACHED is None:
+        _CACHED = HashEmbedder()
+    return _CACHED(batch)

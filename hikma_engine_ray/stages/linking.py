@@ -362,23 +362,42 @@ def _linked_df(rows: list[dict]) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=LINKED_SCHEMA)
 
 
-def find_hot_keys(mentions_ds, hot_threshold: int) -> set[str]:
+def find_hot_keys(mentions_ds, hot_threshold: int, sample_mod: int = 16) -> set[str]:
     """Cheap pre-count: mention (repo, base) keys with count > threshold.
 
-    The aggregate output is tiny (distinct modules); collecting it on the
-    driver is safe. Only keys over threshold are salted.
+    Heavy hitters only, so a deterministic 1/``sample_mod`` sample
+    (crc32 of the mention's source id — never Python hash()) suffices:
+    a key over a 500-count threshold has ≥31 expected sampled rows, and
+    a false-positive hot key costs only a few replicated definition
+    rows. Per-block combiner counts keep the shuffle at key granularity;
+    the filtered aggregate (just the hot keys) is tiny on the driver.
     """
-    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
 
-    def keys(batch: pa.Table) -> pa.Table:
+    def partial_counts(batch: pa.Table) -> pa.Table:
         path = batch["path"].to_pylist()
         module = batch["module"].to_pylist()
         repo = batch["repo"].to_pylist()
-        rb = [f"{repo[i]}{SEP}{mention_base(path[i], module[i])}" for i in range(len(repo))]
-        return pa.table({"rb": pa.array(rb, pa.string())})
+        src = batch["src_id"].to_pylist()
+        counts: dict[str, int] = {}
+        for i in range(len(repo)):
+            if _crc(f"s{src[i]}{path[i]}") % sample_mod:
+                continue
+            rb = f"{repo[i]}{SEP}{mention_base(path[i], module[i])}"
+            counts[rb] = counts.get(rb, 0) + 1
+        return pa.table(
+            {
+                "rb": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
 
-    counts = mentions_ds.map_batches(keys, batch_format="pyarrow").groupby("rb").count()
-    hot = counts.filter(lambda r: r["count()"] > hot_threshold)
+    counts = (
+        mentions_ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("rb")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    hot = counts.filter(expr=f"n > {max(1, int(hot_threshold) // sample_mod)}")
     return {r["rb"] for r in hot.take_all()}
 
 

@@ -249,6 +249,19 @@ class ParseFiles:
                 elif ch == "}":
                     depth = max(0, depth - 1)
 
+        # in-file triple dedup: every triple this file emits goes through
+        # seen_triples, so the file's output is duplicate-free by
+        # construction (global dedup then only handles cross-file streams)
+        seen_triples: set[tuple] = set()
+
+        def triple(subj, pred, obj, line1, col):
+            t = (subj, pred, obj)
+            if t in seen_triples:
+                return
+            seen_triples.add(t)
+            out.row("triple", subj=subj, pred=pred, obj=obj, repo=repo,
+                    line=line1, col=col)
+
         # ---- methods within class ranges
         for ci in class_idx:
             ckind, cname, cline, ccol, cend, _csig, _cexp = ents[ci][:7]
@@ -268,8 +281,7 @@ class ParseFiles:
                 skip_until = end
                 eid = entity_id(fid, "Method", m.group(2), idx + 1, indent)
                 cls_eid = entity_id(fid, ckind, cname, cline, ccol)
-                out.row("triple", subj=cls_eid, pred="CONTAINS", obj=eid,
-                        repo=repo, line=idx + 1, col=indent)
+                triple(cls_eid, "CONTAINS", eid, idx + 1, indent)
 
         # ---- ids + node rows + DEFINED_IN
         eids: list[str] = []
@@ -286,8 +298,7 @@ class ParseFiles:
                 start_line=line1, end_line=end1, start_col=col, signature=sig,
                 props_json=json.dumps(props, sort_keys=True),
             )
-            out.row("triple", subj=eid, pred="DEFINED_IN", obj=fid, repo=repo,
-                    line=line1, col=col)
+            triple(eid, "DEFINED_IN", fid, line1, col)
 
         # ---- name-resolution tables (first by start_line)
         by_kind_name: dict[tuple[str, str], int] = {}
@@ -315,8 +326,7 @@ class ParseFiles:
             if ext:
                 j = resolve(ext, TYPE_KINDS)
                 if j is not None:
-                    out.row("triple", subj=cls_eid, pred="EXTENDS", obj=eids[j],
-                            repo=repo, line=e[2], col=e[3])
+                    triple(cls_eid, "EXTENDS", eids[j], e[2], e[3])
                 elif ext in imports and imports[ext].startswith("."):
                     out.row("mention", repo=repo, path=path, module=imports[ext],
                             symbol=ext, mkind="extends", src_id=cls_eid,
@@ -324,8 +334,7 @@ class ParseFiles:
             for nm in [x.strip() for x in extra.get("implements", "").split(",") if x.strip()]:
                 j = resolve(nm, TYPE_KINDS)
                 if j is not None:
-                    out.row("triple", subj=cls_eid, pred="IMPLEMENTS", obj=eids[j],
-                            repo=repo, line=e[2], col=e[3])
+                    triple(cls_eid, "IMPLEMENTS", eids[j], e[2], e[3])
                 elif nm in imports and imports[nm].startswith("."):
                     out.row("mention", repo=repo, path=path, module=imports[nm],
                             symbol=nm, mkind="implements", src_id=cls_eid,
@@ -336,8 +345,7 @@ class ParseFiles:
             j = resolve(name, ANY_KINDS)
             if j is None:
                 return
-            out.row("triple", subj=fid, pred="EXPORTS", obj=eids[j], repo=repo,
-                    line=line1, col=col)
+            triple(fid, "EXPORTS", eids[j], line1, col)
             out.row("definition", repo=repo, module=path, symbol=name,
                     obj=eids[j], def_kind=ents[j][0], commit=commit)
 
@@ -359,7 +367,6 @@ class ParseFiles:
         fl_by_name: dict[str, int] = {}
         for k in funclike:
             fl_by_name.setdefault(ents[k][1], k)
-        seen_triples: set[tuple] = set()
         stack: list[int] = []
         fi = 0
         for idx in range(nlines):
@@ -383,11 +390,7 @@ class ParseFiles:
                     continue  # own definition
                 j = fl_by_name.get(callee)
                 if j is not None:
-                    t = (eids[owner], "CALLS", eids[j])
-                    if t not in seen_triples:
-                        seen_triples.add(t)
-                        out.row("triple", subj=t[0], pred=t[1], obj=t[2],
-                                repo=repo, line=line1, col=m.start(1))
+                    triple(eids[owner], "CALLS", eids[j], line1, m.start(1))
                 elif callee in imports and imports[callee].startswith("."):
                     out.row("mention", repo=repo, path=path,
                             module=imports[callee], symbol=callee, mkind="call",
@@ -401,8 +404,7 @@ class ParseFiles:
                         mkind="import", src_id=fid, src_kind="File",
                         line=line1, col=col)
             else:
-                out.row("triple", subj=fid, pred="IMPORTS", obj=f"module:{spec}",
-                        repo=repo, line=line1, col=col)
+                triple(fid, "IMPORTS", f"module:{spec}", line1, col)
 
     # ------------------------------------------------------------- dispatch
 

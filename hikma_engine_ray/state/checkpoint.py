@@ -129,7 +129,7 @@ def parse_shard(corpus_ds, out_dir: str, shard: int, nshards: int,
 
 
 def build_graph_resumable(corpus_ds, out_dir: str, *, nshards: int = 4,
-                          nsalt: int = 8, hot_threshold: int = 2000,
+                          nsalt: int = 8, hot_threshold: int = 500,
                           nbuckets: int = 32, embed: bool = True,
                           adjacency: bool = True) -> dict:
     """Checkpointed variant of ``build_graph``: parse per shard with

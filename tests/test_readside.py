@@ -1,0 +1,190 @@
+"""Read-side operators: graph queries, search, fusion, delta indexing,
+multimodal plumbing, similarity kernels."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def graph_parts(built_graph):
+    nodes = built_graph["nodes"].materialize()
+    triples = built_graph["triples"].materialize()
+    return nodes, triples
+
+
+def test_functions_in_file(ray_session, graph_parts):
+    from hikma_engine_ray.pipelines.graph_query import functions_in_file
+
+    nodes, _ = graph_parts
+    rows = functions_in_file(nodes, "org0/repo0", "src/lib/utils.ts").take_all()
+    names = {r["name"] for r in rows}
+    assert {"util0", "util7"} <= names
+
+
+def test_edges_and_bfs(ray_session, graph_parts, small_corpus):
+    from hikma_engine_ray.golden import golden_extract
+    from hikma_engine_ray.pipelines.graph_query import bfs_chain, edges_of
+
+    nodes, triples = graph_parts
+    _, gold, _ = golden_extract(small_corpus)
+    calls = [t for t in gold if t[1] == "CALLS"]
+    src, _, dst = calls[0]
+    out = edges_of(triples, src, "out", "CALLS").take_all()
+    assert any(r["obj"] == dst for r in out)
+    path = bfs_chain(triples, src, dst, max_hops=3)
+    assert path is not None and path[0] == src and path[-1] == dst
+    assert bfs_chain(triples, src, "nonexistent-node", max_hops=2) is None
+
+
+def test_search_nodes_regex(ray_session, graph_parts):
+    from hikma_engine_ray.pipelines.graph_query import search_nodes
+
+    nodes, _ = graph_parts
+    hits = search_nodes(nodes, r"^util\d$", ["Function"]).take_all()
+    assert len(hits) >= 8
+
+
+def test_degree_stats(ray_session, graph_parts):
+    from hikma_engine_ray.pipelines.graph_query import degree_stats
+
+    _, triples = graph_parts
+    from hikma_engine_ray.stages.adjacency import build_adjacency
+
+    adj = build_adjacency(triples, nbuckets=8)
+    top = degree_stats(adj).take_all()
+    assert len(top) == 20
+    assert top[0]["out_degree"] >= top[-1]["out_degree"]
+
+
+def test_semantic_search(ray_session, graph_parts):
+    from hikma_engine_ray.pipelines.search import semantic_search
+
+    nodes, _ = graph_parts
+    res = semantic_search(nodes, "util0 function", k=5).take_all()
+    assert len(res) == 5
+    sims = [r["similarity"] for r in res]
+    assert sims == sorted(sims, reverse=True)
+    only_fn = semantic_search(nodes, "anything", k=5, node_types=["Function"]).take_all()
+    assert all(r["node_type"] == "Function" for r in only_fn)
+
+
+def test_filename_search(ray_session, graph_parts):
+    from hikma_engine_ray.pipelines.search import filename_search
+
+    nodes, _ = graph_parts
+    res = filename_search(nodes, "utils", k=5).take_all()
+    assert res and all("utils" in r["path"] for r in res)
+
+
+def test_fusion_dedup_keep_best():
+    from hikma_engine_ray.pipelines.search import fuse_results
+
+    fused = fuse_results(
+        {
+            "semantic": pd.DataFrame({"node_id": ["a", "b"], "score": [0.9, 0.5]}),
+            "text": pd.DataFrame({"node_id": ["a", "c"], "score": [1.0, 1.0]}),
+        },
+        k=10,
+    )
+    # b: 0.5*0.4 = 0.2 ties c: 1.0*0.2 = 0.2 → node_id tie-break
+    assert list(fused["node_id"]) == ["a", "b", "c"]
+    # 'a' keeps its best weighted score (semantic 0.9*0.4 > text 1.0*0.2)
+    assert abs(fused.iloc[0]["fused"] - 0.36) < 1e-9
+
+
+def test_delta_indexing(ray_session, small_corpus, tmp_path):
+    import ray.data as rd
+
+    from hikma_engine_ray.state.delta import (
+        commits_of,
+        corpus_delta,
+        load_watermarks,
+        save_watermarks,
+    )
+
+    ds = rd.from_arrow(small_corpus)
+    all_pairs = commits_of(ds)
+    assert len(all_pairs) == 6  # 2 repos x 3 commits
+    done = {p for p in all_pairs if p[1].startswith(tuple("0123456789abc"))} or set(
+        list(all_pairs)[:3]
+    )
+    delta = corpus_delta(ds, done)
+    remaining_pairs = commits_of(delta)
+    assert remaining_pairs == all_pairs - done
+    state = str(tmp_path / "state.json")
+    save_watermarks(state, done)
+    assert load_watermarks(state) == done
+    # fully indexed → empty delta
+    assert corpus_delta(ds, all_pairs).count() == 0
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.multimodal import (
+        DecodeStub,
+        extract_features,
+        synthesize_media_table,
+    )
+
+    t = synthesize_media_table(32)
+    feats = extract_features(rd.from_arrow(t)).take_all()
+    assert len(feats) == 32
+    assert "payload" not in feats[0]  # bytes dropped at the stage boundary
+    v = np.asarray(feats[0]["feature"], dtype=np.float32)
+    assert v.shape == (32,) and abs(np.linalg.norm(v) - 1.0) < 1e-3
+    # deterministic per payload
+    feats2 = extract_features(rd.from_arrow(t)).take_all()
+    assert np.array_equal(np.asarray(feats[0]["feature"]), np.asarray(feats2[0]["feature"]))
+    with pytest.raises(NotImplementedError):
+        DecodeStub(strict=True)._decode(b"xx", "image")
+
+
+def test_ivf_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.similarity import IVFIndex, brute_force_topk
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = ds.take(1)[0]["embedding"]
+    bf = brute_force_topk(ds, q, k=10).take_all()
+    idx = IVFIndex(ncentroids=8).fit(ds)
+    assigned = idx.assign(ds).materialize()
+    ivf_all = idx.search(assigned, q, k=10, nprobe=8).take_all()
+    # nprobe == ncentroids → exhaustive → identical to brute force
+    assert [r["vec_id"] for r in ivf_all] == [r["vec_id"] for r in bf]
+    ivf_2 = idx.search(assigned, q, k=10, nprobe=2).take_all()
+    overlap = {r["vec_id"] for r in ivf_2} & {r["vec_id"] for r in bf}
+    assert len(overlap) >= 3  # partial probe: approximate recall
+
+
+def test_dedup_kernels():
+    from hikma_engine_ray.stages.dedup_suite import (
+        _shingles,
+        jaccard,
+        simhash64,
+    )
+
+    a = _shingles("the quick brown fox jumps over the lazy dog", k=3)
+    b = _shingles("the quick brown fox jumps over the lazy cat", k=3)
+    assert 0.5 < jaccard(a, b) < 1.0
+    assert jaccard(a, a) == 1.0
+    h1 = simhash64("the quick brown fox")
+    h2 = simhash64("the quick brown fox")
+    h3 = simhash64("utterly different words entirely")
+    assert h1 == h2
+    assert bin(h1 ^ h3).count("1") > 4
+
+
+def test_summary_generator(ray_session, small_corpus):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.summary import summarize_batch
+
+    ds = rd.from_arrow(small_corpus.slice(0, 20)).map_batches(
+        summarize_batch, batch_format="pyarrow"
+    )
+    rows = ds.take_all()
+    s = next(r for r in rows if r["path"] == "src/lib/utils.ts")["summary"]
+    assert "lines" in s and "defines functions" in s
