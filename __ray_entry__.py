@@ -171,6 +171,19 @@ def _kg_delta(sf_dir: str):
     )
 
 
+def _kg_repo_stats(sf_dir: str):
+    """A7 repo stats over the git-metadata side table (S4 analog)."""
+    from hikma_engine_ray.pipelines.index_pipeline import repo_stats
+    from hikma_engine_ray.sources.corpus import (
+        corpus_files_for_sf,
+        generate_commits_table,
+        generate_corpus,
+    )
+
+    corpus = generate_corpus(min(2000, corpus_files_for_sf(sf_dir)))
+    return repo_stats(generate_commits_table(corpus).to_pandas())
+
+
 def _kg_file_summaries(sf_dir: str):
     """M9 summary heuristic over the corpus files (rows-only)."""
     import ray.data as rd
@@ -554,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_top": _kg_degree_top,
         "kg_delta": _kg_delta,
         "kg_file_summaries": _kg_file_summaries,
+        "kg_repo_stats": _kg_repo_stats,
         # relational conformance (shuffle/join/sort/window primitives)
         "q1_pricing": _q1_pricing,
         "orders_by_segment": _q_orders_by_segment,

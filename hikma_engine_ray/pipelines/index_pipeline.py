@@ -274,6 +274,80 @@ def build_graph_from_tagged(
     return out
 
 
+def enrich_commits(graph: dict, commits_df) -> dict:
+    """Fold the git-metadata side table (repo, commit, author, date,
+    message — the S4 `git log` analog, git-analyzer.ts:157-191) into the
+    graph: Commit node props gain author/date/message (broadcast join —
+    the commit table is the small side) and AUTHORED triples
+    (author:{name} → commit:{sha}, reference src/types/index.ts:18-29)
+    are unioned in."""
+    import json
+
+    import ray
+
+    ref = ray.put(
+        {
+            (r.repo, r.commit): (r.author, r.date, r.message)
+            for r in commits_df.itertuples(index=False)
+        }
+    )
+
+    def enrich(t: pa.Table) -> pa.Table:
+        meta = ray.get(ref)
+        types = t["node_type"].to_pylist()
+        repos = t["repo"].to_pylist()
+        names = t["name"].to_pylist()
+        props = t["props_json"].to_pylist()
+        out = []
+        for k in range(t.num_rows):
+            if types[k] == "Commit":
+                m = meta.get((repos[k], names[k]))
+                if m:
+                    out.append(
+                        json.dumps(
+                            {"author": m[0], "date": m[1], "message": m[2]},
+                            sort_keys=True,
+                        )
+                    )
+                    continue
+            out.append(props[k])
+        return t.set_column(
+            t.schema.get_field_index("props_json"), "props_json",
+            pa.array(out, pa.string()),
+        )
+
+    authored = pa.Table.from_pylist(
+        [
+            {
+                "subj": f"author:{r.author}", "pred": "AUTHORED",
+                "obj": f"commit:{r.commit}", "repo": r.repo,
+                "line": None, "col": None,
+            }
+            for r in commits_df.itertuples(index=False)
+        ],
+        schema=pa.schema(
+            [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+             ("repo", pa.string()), ("line", pa.int32()), ("col", pa.int32())]
+        ),
+    )
+    import ray.data as rd
+
+    graph = dict(graph)
+    graph["nodes"] = graph["nodes"].map_batches(enrich, batch_format="pyarrow")
+    graph["triples"] = graph["triples"].union(rd.from_arrow(authored))
+    return graph
+
+
+def repo_stats(commits_df):
+    """A7: per-repo commit stats (git-analyzer.ts:381-400)."""
+    g = commits_df.groupby("repo").agg(
+        n_commits=("commit", "nunique"),
+        n_authors=("author", "nunique"),
+        latest=("date", "max"),
+    )
+    return g.reset_index().sort_values("repo").reset_index(drop=True)
+
+
 def graph_stats(graph: dict) -> dict:
     """Grouped stats (SURVEY.md §2.5 A3/A4): counts by node_type / pred."""
     node_counts = {

@@ -53,6 +53,7 @@ PREDICATES = [
     "IMPLEMENTS",
     "MODIFIED_IN",
     "HAS_COMMIT",
+    "AUTHORED",
     "TESTED_BY",
 ]
 

@@ -283,22 +283,11 @@ class ParseFiles:
                 cls_eid = entity_id(fid, ckind, cname, cline, ccol)
                 triple(cls_eid, "CONTAINS", eid, idx + 1, indent)
 
-        # ---- ids + node rows + DEFINED_IN
-        eids: list[str] = []
-        for e in ents:
-            kind, name, line1, col, end1, sig, exported = e[:7]
-            eid = entity_id(fid, kind, name, line1, col)
-            eids.append(eid)
-            props = {"exported": bool(exported)}
-            if len(e) > 7:
-                props.update(e[7])
-            out.row(
-                "node", node_id=eid, node_type=kind, repo=repo, path=path,
-                commit=commit, lang=cols["lang_detected"][i], name=name,
-                start_line=line1, end_line=end1, start_col=col, signature=sig,
-                props_json=json.dumps(props, sort_keys=True),
-            )
-            triple(eid, "DEFINED_IN", fid, line1, col)
+        # ---- ids (node rows are emitted AFTER the call scan so that
+        # per-function call aggregates A1/A2 can land in props_json)
+        eids: list[str] = [
+            entity_id(fid, e[0], e[1], e[2], e[3]) for e in ents
+        ]
 
         # ---- name-resolution tables (first by start_line)
         by_kind_name: dict[tuple[str, str], int] = {}
@@ -367,6 +356,9 @@ class ParseFiles:
         fl_by_name: dict[str, int] = {}
         for k in funclike:
             fl_by_name.setdefault(ents[k][1], k)
+        local_calls: dict[int, set[int]] = {}
+        called_by: dict[int, set[int]] = {}
+        external_calls: dict[int, set[str]] = {}
         stack: list[int] = []
         fi = 0
         for idx in range(nlines):
@@ -391,7 +383,10 @@ class ParseFiles:
                 j = fl_by_name.get(callee)
                 if j is not None:
                     triple(eids[owner], "CALLS", eids[j], line1, m.start(1))
+                    local_calls.setdefault(owner, set()).add(j)
+                    called_by.setdefault(j, set()).add(owner)
                 elif callee in imports and imports[callee].startswith("."):
+                    external_calls.setdefault(owner, set()).add(callee)
                     out.row("mention", repo=repo, path=path,
                             module=imports[callee], symbol=callee, mkind="call",
                             src_id=eids[owner], src_kind=oent[0],
@@ -405,6 +400,48 @@ class ParseFiles:
                         line=line1, col=col)
             else:
                 triple(fid, "IMPORTS", f"module:{spec}", line1, col)
+
+        # ---- A2: transitive call depth over the file-local call graph
+        # (reference ast-parser.ts:440-449 — DFS, cycle-guarded). Local
+        # by design: never a distributed iteration.
+        depth_memo: dict[int, int] = {}
+
+        def call_depth(k: int, visiting: set[int]) -> int:
+            if k in depth_memo:
+                return depth_memo[k]
+            if k in visiting:
+                return 0  # cycle guard
+            visiting.add(k)
+            d = 0
+            for nxt in local_calls.get(k, ()):
+                d = max(d, 1 + call_depth(nxt, visiting))
+            visiting.discard(k)
+            depth_memo[k] = d
+            return d
+
+        # ---- node rows + DEFINED_IN (with A1/A2 aggregates in props)
+        for k, e in enumerate(ents):
+            kind, name, line1, col, end1, sig, exported = e[:7]
+            eid = eids[k]
+            props = {"exported": bool(exported)}
+            if len(e) > 7:
+                props.update(e[7])
+            if kind in _FUNCTION_LIKE:
+                props["calls_methods"] = sorted(
+                    ents[j][1] for j in local_calls.get(k, ())
+                )
+                props["called_by_methods"] = sorted(
+                    ents[j][1] for j in called_by.get(k, ())
+                )
+                props["uses_external_methods"] = bool(external_calls.get(k))
+                props["transitive_call_depth"] = call_depth(k, set())
+            out.row(
+                "node", node_id=eid, node_type=kind, repo=repo, path=path,
+                commit=commit, lang=cols["lang_detected"][i], name=name,
+                start_line=line1, end_line=end1, start_col=col, signature=sig,
+                props_json=json.dumps(props, sort_keys=True),
+            )
+            triple(eid, "DEFINED_IN", fid, line1, col)
 
     # ------------------------------------------------------------- dispatch
 

@@ -156,12 +156,21 @@ def build_graph_resumable(corpus_ds, out_dir: str, *, nshards: int = 4,
     )
     t0 = time.monotonic()
     counts = {}
+    # partitioned sinks mirror the reference's per-type tables
+    # (data-loader.ts:410-445 / PhaseRepository graph tables): one
+    # directory per node_type / pred so readers prune at the path level
+    part_cols = {"nodes": ["node_type"], "triples": ["pred"]}
     for name in ("nodes", "triples", "dangling") + (("adjacency",) if adjacency else ()):
         dest = os.path.join(out_dir, name)
         ds = graph[name]
-        ds.write_parquet(dest)
+        if name in part_cols:
+            ds.write_parquet(dest, partition_cols=part_cols[name])
+        else:
+            ds.write_parquet(dest)
         has_files = os.path.isdir(dest) and any(
-            f.endswith(".parquet") for f in os.listdir(dest)
+            f.endswith(".parquet")
+            for _, _, files in os.walk(dest)
+            for f in files
         )
         counts[name] = rd.read_parquet(dest).count() if has_files else 0
     write_manifest(

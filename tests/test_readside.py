@@ -188,3 +188,26 @@ def test_summary_generator(ray_session, small_corpus):
     rows = ds.take_all()
     s = next(r for r in rows if r["path"] == "src/lib/utils.ts")["summary"]
     assert "lines" in s and "defines functions" in s
+
+
+def test_commits_enrichment(ray_session, small_corpus, built_graph):
+    import json
+
+    from hikma_engine_ray.pipelines.index_pipeline import enrich_commits, repo_stats
+    from hikma_engine_ray.sources.corpus import generate_commits_table
+
+    commits = generate_commits_table(small_corpus).to_pandas()
+    g = enrich_commits(built_graph, commits)
+    commit_nodes = [
+        r for r in g["nodes"].take_all() if r["node_type"] == "Commit"
+    ]
+    assert commit_nodes
+    props = json.loads(commit_nodes[0]["props_json"])
+    assert {"author", "date", "message"} <= set(props)
+    authored = [r for r in g["triples"].take_all() if r["pred"] == "AUTHORED"]
+    assert len(authored) == len(commits)
+    assert authored[0]["subj"].startswith("author:")
+
+    st = repo_stats(commits)
+    assert set(st.columns) == {"repo", "n_commits", "n_authors", "latest"}
+    assert (st["n_commits"] == 3).all()
