@@ -333,6 +333,46 @@ def _q_events_window(sf_dir: str):
     )
 
 
+def _q_events_tumbling(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.stages.windows import tumbling
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = tumbling(ds, "event_type", "ts", "value", size_sec=3600)
+    return out.map_batches(
+        lambda t: pa.table(
+            {"window_start": t["window_start"], "event_type": t["event_type"],
+             "n": t["n"], "sum_value": _r4(t["sum_value"])}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_events_sliding(sf_dir: str):
+    import pyarrow as pa
+
+    from hikma_engine_ray.stages.windows import sliding
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = sliding(ds, "event_type", "ts", "value", size_sec=7200, step_sec=3600)
+    return out.map_batches(
+        lambda t: pa.table(
+            {"window_start": t["window_start"], "event_type": t["event_type"],
+             "n": t["n"], "sum_value": _r4(t["sum_value"])}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_events_sessions(sf_dir: str):
+    from hikma_engine_ray.stages.windows import sessionize
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    return sessionize(ds, "user_id", "ts", timeout_sec=1800)
+
+
 def _q_events_keepbest_impl(sf_dir: str):
     """Dedup-keep-best (T4): per user keep the highest-value event."""
     import pandas as pd
@@ -574,6 +614,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_nation_customer": _q_region_nation_customer,
         "top_orders": _q_top_orders,
         "events_window": _q_events_window,
+        "events_tumbling": _q_events_tumbling,
+        "events_sliding": _q_events_sliding,
+        "events_sessions": _q_events_sessions,
         "events_keepbest": _q_events_keepbest_impl,
         "part_filter": _q_part_filter,
         # documents / text analysis
@@ -632,6 +675,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, value FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id
                                        ORDER BY value DESC, event_id) = 1
+        """,
+        "events_tumbling": f"""
+            SELECT (epoch_us(ts) // {3600 * 1_000_000}) * {3600 * 1_000_000} AS window_start,
+                   event_type, count(*) AS n,
+                   round(sum(value), {_ROUND}) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sliding": f"""
+            SELECT (epoch_us(ts) // {3600 * 1_000_000}) * {3600 * 1_000_000}
+                     - r.j * {3600 * 1_000_000} AS window_start,
+                   event_type, count(*) AS n,
+                   round(sum(value), {_ROUND}) AS sum_value
+            FROM events
+            CROSS JOIN (SELECT unnest(range(2)) AS j) r
+            WHERE epoch_us(ts) < (epoch_us(ts) // {3600 * 1_000_000}) * {3600 * 1_000_000}
+                                 - r.j * {3600 * 1_000_000} + {7200 * 1_000_000}
+            GROUP BY 1, 2
+        """,
+        "events_sessions": f"""
+            WITH t AS (
+                SELECT user_id, epoch_us(ts) AS ts_us,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                    > {1800 * 1_000_000}
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts_us,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM t
+            )
+            SELECT user_id, min(ts_us) AS session_start,
+                   max(ts_us) AS session_end, count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "part_filter": """
             SELECT p_partkey, p_type, p_size, p_retailprice FROM part

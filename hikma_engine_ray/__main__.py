@@ -1,0 +1,141 @@
+"""CLI — user-facing parity with the reference's ``hikma-engine``
+commands (embed / search / graph-query, SURVEY.md §3):
+
+    python -m hikma_engine_ray build --corpus DIR_OR_FILE --out DIR [--shards N]
+    python -m hikma_engine_ray stats --out DIR
+    python -m hikma_engine_ray search --out DIR --query TEXT [-k K]
+    python -m hikma_engine_ray calls --out DIR --node NODE_ID
+    python -m hikma_engine_ray chain --out DIR --src ID --dst ID
+
+The CLI owns its Ray session (library code never calls ray.init).
+``build`` is resumable: re-running skips completed shards via the
+per-shard manifests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args):
+    import ray.data as rd
+
+    from .state.checkpoint import build_graph_resumable
+
+    _init_ray()
+    ds = rd.read_parquet(args.corpus)
+    res = build_graph_resumable(ds, args.out, nshards=args.shards)
+    print(json.dumps({"out": args.out, "counts": res["counts"],
+                      "shards": [
+                          {"shard": m["shard"], "skipped": bool(m.get("skipped")),
+                           "n_files": m["n_files"]}
+                          for m in res["manifests"]
+                      ]}, indent=1))
+
+
+def _read_out(out_dir: str, name: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(out_dir, name))
+
+
+def cmd_stats(args):
+    _init_ray()
+    from .pipelines.index_pipeline import graph_stats
+
+    graph = {"nodes": _read_out(args.out, "nodes"),
+             "triples": _read_out(args.out, "triples")}
+    print(json.dumps(graph_stats(graph), indent=1, sort_keys=True))
+
+
+def cmd_search(args):
+    _init_ray()
+    from .pipelines.search import semantic_search
+
+    nodes = _read_out(args.out, "nodes")
+    for r in semantic_search(nodes, args.query, k=args.k).take_all():
+        print(f"{r['similarity']:.4f}  {r['node_type']:13s} {r['name']}  ({r['path']})")
+
+
+def cmd_calls(args):
+    _init_ray()
+    from .pipelines.graph_query import edges_of
+
+    triples = _read_out(args.out, "triples")
+    for r in edges_of(triples, args.node, "out", "CALLS").take_all():
+        print("→", r["obj"])
+    for r in edges_of(triples, args.node, "in", "CALLS").take_all():
+        print("←", r["subj"])
+
+
+def cmd_chain(args):
+    _init_ray()
+    from .pipelines.graph_query import bfs_chain
+
+    triples = _read_out(args.out, "triples")
+    path = bfs_chain(triples, args.src, args.dst, max_hops=args.max_hops)
+    if path is None:
+        print("no chain found")
+        sys.exit(1)
+    print(" → ".join(path))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="hikma_engine_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="corpus parquet → graph outputs (resumable)")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--shards", type=int, default=4)
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("stats")
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_stats)
+
+    q = sub.add_parser("search")
+    q.add_argument("--out", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.set_defaults(fn=cmd_search)
+
+    c = sub.add_parser("calls")
+    c.add_argument("--out", required=True)
+    c.add_argument("--node", required=True)
+    c.set_defaults(fn=cmd_calls)
+
+    ch = sub.add_parser("chain")
+    ch.add_argument("--out", required=True)
+    ch.add_argument("--src", required=True)
+    ch.add_argument("--dst", required=True)
+    ch.add_argument("--max-hops", type=int, default=10)
+    ch.set_defaults(fn=cmd_chain)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -34,7 +34,7 @@ from ..stages.linking import (
     LINKED_SCHEMA,
     explode_definitions,
     explode_mentions,
-    find_hot_keys,
+    find_hot_keys_sampled,
     link_bucket,
 )
 from ..stages.parser import ParseFiles
@@ -85,6 +85,92 @@ def default_parse_concurrency() -> tuple[int, int]:
     return (n, n)
 
 
+def parse_corpus(
+    corpus_ds: "ray.data.Dataset",
+    *,
+    parse_concurrency=None,
+    parse_batch_size: int = 256,
+):
+    """Phase 1: corpus → materialized tagged parser output. The barrier
+    is deliberate — the parse is the expensive stage and its (much
+    smaller, content-free) output feeds four consumers; at cluster scale
+    this is the natural checkpoint boundary (state.checkpoint holds the
+    Parquet-backed variant)."""
+    if parse_concurrency is None:
+        parse_concurrency = default_parse_concurrency()
+    meta = corpus_ds.map_batches(file_meta_batch, batch_format="pyarrow")
+    tagged = meta.map_batches(
+        ParseFiles,
+        batch_format="pyarrow",
+        batch_size=parse_batch_size,
+        concurrency=parse_concurrency,
+        num_cpus=1,
+    )
+    _t = [_time.monotonic()]
+    tagged = tagged.materialize()
+    _tick("parse+materialize", _t)
+    return tagged
+
+
+def _finish_nodes(nodes_raw, embed: bool):
+    """Dedup the bounded Repository/Commit stream (sort-free: per-block
+    drop-dup → coalesce to one tiny block → final drop-dup; a sort stage
+    has seconds of fixed cost) and embed each branch BEFORE the union so
+    the map chains fuse (filter→split→embed in one task pipeline, no
+    intermediate object-store round-trips)."""
+
+    def _node_split(want_dup: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(
+                t["node_type"], value_set=pa.array(["Repository", "Commit"])
+            )
+            return t.filter(mask if want_dup else pc.invert(mask))
+
+        return fn
+
+    def _block_dedup(t: pa.Table) -> pa.Table:
+        t = t.sort_by("node_id")
+        if t.num_rows > 1:
+            keep = pa.chunked_array(
+                [pa.array([True]),
+                 pc.invert(pc.equal(t["node_id"].slice(1), t["node_id"].slice(0, t.num_rows - 1))).combine_chunks()]
+            )
+            t = t.filter(keep)
+        return t
+
+    dup_nodes = (
+        nodes_raw.map_batches(_node_split(True), batch_format="pyarrow")
+        .map_batches(_block_dedup, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_block_dedup, batch_format="pyarrow")
+    )
+    main_nodes = nodes_raw.map_batches(_node_split(False), batch_format="pyarrow")
+
+    if embed:
+        # hash provider is stateless → plain tasks (see hash_embed_batch);
+        # a model-backed provider would swap in the HashEmbedder-style
+        # actor pool: map_batches(ModelCls, concurrency=N)
+        from ..stages.embedding import hash_embed_batch
+
+        main_nodes = main_nodes.map_batches(
+            hash_embed_batch, batch_format="pyarrow", batch_size=2048
+        )
+        dup_nodes = dup_nodes.map_batches(
+            hash_embed_batch, batch_format="pyarrow", batch_size=2048
+        )
+    return main_nodes.union(dup_nodes)
+
+
+def nodes_pipeline(tagged, *, embed: bool = True):
+    """The node/embedding subtree — depends only on the tagged output,
+    NOT on linking/dedup, so callers can consume it concurrently with
+    the triple-side phases (bench.py does)."""
+    nodes_raw = tagged.map_batches(
+        _kind_filter("node", NODE_COLS), batch_format="pyarrow"
+    )
+    return _finish_nodes(nodes_raw, embed)
+
+
 def build_graph(
     corpus_ds: "ray.data.Dataset",
     *,
@@ -100,28 +186,11 @@ def build_graph(
     """Run the full pipeline; returns dict of lazy/materialized Datasets:
     ``nodes`` (deduped, + embeddings), ``triples`` (deduped),
     ``adjacency``, ``dangling``."""
-    import ray
-
-    if parse_concurrency is None:
-        parse_concurrency = default_parse_concurrency()
-    if embed_concurrency is None:
-        embed_concurrency = default_parse_concurrency()
-
-    meta = corpus_ds.map_batches(file_meta_batch, batch_format="pyarrow")
-    tagged = meta.map_batches(
-        ParseFiles,
-        batch_format="pyarrow",
-        batch_size=parse_batch_size,
-        concurrency=parse_concurrency,
-        num_cpus=1,
+    tagged = parse_corpus(
+        corpus_ds,
+        parse_concurrency=parse_concurrency,
+        parse_batch_size=parse_batch_size,
     )
-    # Barrier: the parse is the expensive stage; materialize its (much
-    # smaller, content-free) output once so the four per-kind consumers
-    # don't re-parse. At cluster scale this is the natural checkpoint
-    # boundary (see state.checkpoint for the Parquet-backed variant).
-    _t = [_time.monotonic()]
-    tagged = tagged.materialize()
-    _tick("parse+materialize", _t)
     return build_graph_from_tagged(
         tagged,
         nsalt=nsalt,
@@ -156,7 +225,7 @@ def build_graph_from_tagged(
 
     _t = [_time.monotonic()]
     # ---- entity linking (J4): one salted shuffle into bounded buckets
-    hot = find_hot_keys(mentions, hot_threshold)
+    hot = find_hot_keys_sampled(mentions, hot_threshold)
     _tick("find_hot_keys", _t)
     link_buckets = max(nbuckets, 64)
     m_keyed = mentions.map_batches(
@@ -215,52 +284,7 @@ def build_graph_from_tagged(
     )
     triples = unique_local.union(deduped)
 
-    def _node_split(want_dup: bool):
-        def fn(t: pa.Table) -> pa.Table:
-            mask = pc.is_in(
-                t["node_type"], value_set=pa.array(["Repository", "Commit"])
-            )
-            return t.filter(mask if want_dup else pc.invert(mask))
-
-        return fn
-
-    # Repository/Commit stream is bounded by #repos + #commits: dedup it
-    # without a sort shuffle — per-block drop-dup, coalesce to one tiny
-    # block, final drop-dup. (A sort stage has seconds of fixed cost.)
-    def _block_dedup(t: pa.Table) -> pa.Table:
-        t = t.sort_by("node_id")
-        if t.num_rows > 1:
-            keep = pa.chunked_array(
-                [pa.array([True]),
-                 pc.invert(pc.equal(t["node_id"].slice(1), t["node_id"].slice(0, t.num_rows - 1))).combine_chunks()]
-            )
-            t = t.filter(keep)
-        return t
-
-    dup_nodes = (
-        nodes_raw.map_batches(_node_split(True), batch_format="pyarrow")
-        .map_batches(_block_dedup, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(_block_dedup, batch_format="pyarrow")
-    )
-    main_nodes = nodes_raw.map_batches(_node_split(False), batch_format="pyarrow")
-
-    if embed:
-        # hash provider is stateless → plain tasks (see hash_embed_batch);
-        # a model-backed provider would swap in the HashEmbedder-style
-        # actor pool: map_batches(ModelCls, concurrency=embed_concurrency).
-        # Embed BEFORE the union: each branch's map chain then fuses into
-        # one task pipeline (filter→split→embed) with no intermediate
-        # object-store round-trips; a map after union would not fuse.
-        from ..stages.embedding import hash_embed_batch
-
-        main_nodes = main_nodes.map_batches(
-            hash_embed_batch, batch_format="pyarrow", batch_size=2048
-        )
-        dup_nodes = dup_nodes.map_batches(
-            hash_embed_batch, batch_format="pyarrow", batch_size=2048
-        )
-    nodes = main_nodes.union(dup_nodes)
+    nodes = _finish_nodes(nodes_raw, embed)
 
     out = {"nodes": nodes, "triples": triples, "dangling": dangling}
     if adjacency:

@@ -362,6 +362,26 @@ def _linked_df(rows: list[dict]) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=LINKED_SCHEMA)
 
 
+def find_hot_keys_sampled(mentions_ds, hot_threshold: int,
+                          sample_rows: int = 50_000) -> set[str]:
+    """Heavy-hitter detection from a prefix sample of the mentions —
+    no extra full pass, no shuffle. A key is salted when its share of
+    the sample extrapolates past the threshold. Hot modules (imported
+    by a large share of files) appear in any sizeable sample; a missed
+    borderline key only costs bucket imbalance, never correctness
+    (salted/unsalted linking is equivalence-tested)."""
+    total = mentions_ds.count()
+    if total == 0:
+        return set()
+    sample = mentions_ds.limit(min(sample_rows, total)).take_all()
+    scale = max(1.0, total / len(sample))
+    counts: dict[str, int] = {}
+    for r in sample:
+        rb = f"{r['repo']}{SEP}{mention_base(r['path'], r['module'])}"
+        counts[rb] = counts.get(rb, 0) + 1
+    return {k for k, n in counts.items() if n * scale > hot_threshold}
+
+
 def find_hot_keys(mentions_ds, hot_threshold: int, sample_mod: int = 16) -> set[str]:
     """Cheap pre-count: mention (repo, base) keys with count > threshold.
 

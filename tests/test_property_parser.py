@@ -1,0 +1,93 @@
+"""Property-based check: on randomized synthetic source files, the
+engine parser's (subj, pred, obj) set equals the golden oracle's —
+including files with hostile structure (nesting, unicode, unbalanced
+braces, comments containing call-like text)."""
+
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from hikma_engine_ray.golden import parse_file
+from hikma_engine_ray.schemas import CORPUS
+from hikma_engine_ray.stages.file_meta import file_meta_batch
+from hikma_engine_ray.stages.parser import ParseFiles
+
+_PARSER = ParseFiles()
+
+name = st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True)
+uname = st.from_regex(r"[a-zéψ][a-z0-9_é]{0,5}", fullmatch=True)
+
+
+@st.composite
+def source_file(draw):
+    lines = []
+    n_imports = draw(st.integers(0, 3))
+    for i in range(n_imports):
+        spec = draw(st.sampled_from(["./other", "../lib/utils", "fs", "./missing"]))
+        syms = draw(st.lists(name, min_size=1, max_size=3, unique=True))
+        lines.append(f"import {{ {', '.join(syms)} }} from '{spec}';")
+    n_funcs = draw(st.integers(0, 4))
+    fnames = draw(st.lists(uname, min_size=n_funcs, max_size=n_funcs, unique=True))
+    for fn in fnames:
+        body_calls = draw(st.lists(st.sampled_from(fnames + ["ext", "missing1"]),
+                                   max_size=2))
+        lines.append(f"function {fn}(a, b) {{")
+        for c in body_calls:
+            lines.append(f"  const x = {c}(a);")
+        if draw(st.booleans()):
+            lines.append("  // comment mentioning call_like(1)")
+        lines.append("  return a + b;")
+        lines.append("}")
+    if draw(st.booleans()) and fnames:
+        lines.append(f"const arrow1 = (x) => {fnames[0]}(x, 1);")
+    if draw(st.booleans()):
+        cname = draw(name)
+        lines.append(f"class K{cname} {{")
+        lines.append("  run(x) {")
+        if fnames:
+            lines.append(f"    return {fnames[0]}(x);")
+        lines.append("  }")
+        lines.append("}")
+    if draw(st.booleans()) and fnames:
+        lines.append(f"export {{ {fnames[0]} }};")
+    if draw(st.booleans()):
+        lines.append(draw(st.sampled_from(["}}{{", "((", "] ]", "const broken ="])))
+    return "\n".join(lines) + "\n"
+
+
+@settings(max_examples=60, deadline=None)
+@given(source_file())
+def test_engine_matches_golden_per_file(src):
+    repo, path, commit = "p/q", "src/gen.ts", "c1"
+    _, gold_triples, gold_mentions, _ = parse_file(repo, path, commit, src)
+    gold_spo = {(t[0], t[1], t[2]) for t in gold_triples}
+    gold_m = {
+        (m["module"], m["symbol"], m["kind"], m["src_id"]) for m in gold_mentions
+    }
+
+    t = pa.Table.from_pylist(
+        [{"repo": repo, "path": path, "commit": commit, "lang": "typescript",
+          "content": src}],
+        schema=CORPUS,
+    )
+    out = _PARSER(file_meta_batch(t)).to_pylist()
+    # engine emits file-level rows golden's parse_file doesn't; compare
+    # entity-level triples and mentions only (repo→file CONTAINS is
+    # file-level; class→method CONTAINS is entity-level and must match)
+    from hikma_engine_ray.ids import repo_id
+
+    rid = repo_id(repo)
+    eng_spo = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in out
+        if r["kind"] == "triple"
+        and r["pred"] not in {"MODIFIED_IN", "HAS_COMMIT"}
+        and not (r["pred"] == "CONTAINS" and r["subj"] == rid)
+    }
+    eng_m = {
+        (r["module"], r["symbol"], r["mkind"], r["src_id"])
+        for r in out
+        if r["kind"] == "mention" and r["mkind"] != "import"
+    }
+    gold_m_nonimport = {m for m in gold_m if m[2] != "import"}
+    assert eng_spo == gold_spo, (eng_spo ^ gold_spo, src)
+    assert eng_m == gold_m_nonimport, (eng_m ^ gold_m_nonimport, src)

@@ -211,3 +211,19 @@ def test_commits_enrichment(ray_session, small_corpus, built_graph):
     st = repo_stats(commits)
     assert set(st.columns) == {"repo", "n_commits", "n_authors", "latest"}
     assert (st["n_commits"] == 3).all()
+
+
+def test_windows(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.windows import sessionize, sliding, tumbling
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    t = tumbling(ds, "event_type", "ts", "value", 3600).take_all()
+    assert all(r["window_start"] % (3600 * 1_000_000) == 0 for r in t)
+    sl = sliding(ds, "event_type", "ts", "value", 7200, 3600)
+    # each event lands in exactly size/step windows → total count doubles
+    assert sum(r["n"] for r in sl.take_all()) == 2 * ds.count()
+    sess = sessionize(ds, "user_id", "ts", 1800).take_all()
+    assert all(r["session_end"] >= r["session_start"] for r in sess)
+    assert sum(r["n_events"] for r in sess) == ds.count()
