@@ -142,7 +142,10 @@ def _finish_nodes(nodes_raw, embed: bool):
         nodes_raw.map_batches(_node_split(True), batch_format="pyarrow")
         .map_batches(_block_dedup, batch_format="pyarrow")
         .repartition(1)
-        .map_batches(_block_dedup, batch_format="pyarrow")
+        # batch_size=None: dedup the whole coalesced block in ONE call —
+        # the default 4096-row chunking could split the same node_id
+        # across chunks and let Repository/Commit duplicates survive
+        .map_batches(_block_dedup, batch_format="pyarrow", batch_size=None)
     )
     main_nodes = nodes_raw.map_batches(_node_split(False), batch_format="pyarrow")
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import zlib
 
@@ -85,6 +86,11 @@ def parse_shard(corpus_ds, out_dir: str, shard: int, nshards: int,
 
     t0 = time.monotonic()
     shard_dir = os.path.join(out_dir, "parsed", f"shard={shard}")
+    # a crash after a partial parquet write but before the manifest leaves
+    # stale files behind; write_parquet APPENDS fresh uuid-named files, so
+    # re-running into the same dir would double rows — clear it first (the
+    # manifest, written atomically after, is the only completion signal)
+    shutil.rmtree(shard_dir, ignore_errors=True)
     tagged = (
         corpus_ds.map_batches(_shard_filter(shard, nshards), batch_format="pyarrow")
         .map_batches(file_meta_batch, batch_format="pyarrow")
@@ -162,6 +168,9 @@ def build_graph_resumable(corpus_ds, out_dir: str, *, nshards: int = 4,
     part_cols = {"nodes": ["node_type"], "triples": ["pred"]}
     for name in ("nodes", "triples", "dangling") + (("adjacency",) if adjacency else ()):
         dest = os.path.join(out_dir, name)
+        # same append hazard as parse_shard: a re-run (resume, or a second
+        # build into an existing out_dir) must overwrite, not append
+        shutil.rmtree(dest, ignore_errors=True)
         ds = graph[name]
         if name in part_cols:
             ds.write_parquet(dest, partition_cols=part_cols[name])

@@ -42,9 +42,38 @@ def test_resumable_build_skips_completed_shards(ray_session, small_corpus, tmp_p
     assert m["path_range"] and m["input_sha_range"] and m["n_files"] > 0
     assert m["repos"]
 
-    # a second resume re-runs nothing
+    # a second resume re-runs nothing — and must NOT append to the final
+    # sinks (write_parquet appends uuid-named files; outputs are cleared
+    # before rewrite, so counts stay identical)
     res2 = build_graph_resumable(ds, out, nshards=4, embed=False, adjacency=False)
     assert all(m.get("skipped") for m in res2["manifests"])
+    assert res2["counts"] == res["counts"]
+    t2 = pq.read_table(os.path.join(out, "triples"))
+    assert t2.num_rows == t.num_rows
+
+
+def test_crashed_shard_rerun_does_not_duplicate(ray_session, small_corpus, tmp_path):
+    """A shard that crashed after a partial parquet write but before its
+    manifest must be re-run cleanly: stale files are cleared, not appended
+    to (ADVICE r1 high)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hikma_engine_ray.state.checkpoint import parse_shard
+
+    out = str(tmp_path / "out")
+    ds = rd.from_arrow(small_corpus)
+
+    m_clean = parse_shard(ds, out, 0, 4)
+    clean_rows = pq.read_table(os.path.join(out, "parsed", "shard=0")).num_rows
+
+    # simulate the crash: manifest gone, partial parquet left behind
+    os.remove(os.path.join(out, "_manifests", "parsed-0.json"))
+    m_rerun = parse_shard(ds, out, 0, 4)
+    assert not m_rerun.get("skipped")
+    assert m_rerun["n_files"] == m_clean["n_files"]
+    rerun_rows = pq.read_table(os.path.join(out, "parsed", "shard=0")).num_rows
+    assert rerun_rows == clean_rows
 
 
 def test_manifest_atomicity(tmp_path):
