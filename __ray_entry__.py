@@ -542,16 +542,17 @@ def _q_ann_ivf(sf_dir: str):
 
 
 def _q_minhash_pairs(sf_dir: str):
-    import ray
-
-    from hikma_engine_ray.stages.dedup_suite import minhash_candidates, verify_jaccard
+    from hikma_engine_ray.stages.dedup_suite import (
+        minhash_candidates,
+        verify_jaccard_joined,
+    )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     cand = minhash_candidates(ds, num_perm=64, bands=16, k=3)
-    docs = {
-        r["doc_id"]: r["text"] for r in _read(sf_dir, "documents", ["doc_id", "text"]).take_all()
-    }
-    return verify_jaccard(cand, ray.put(docs), threshold=0.4, k=3)
+    # scale-safe verification: re-join candidates to the documents table
+    # by doc_id (bucketed hash join) — no driver-side corpus
+    # materialization, no whole-corpus broadcast
+    return verify_jaccard_joined(cand, ds, threshold=0.4, k=3)
 
 
 def _q_simhash_pairs(sf_dir: str):
@@ -566,8 +567,10 @@ def _q_embed_neardup(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     # the driver's synthetic embeddings top out near cosine 0.48; 0.35
-    # selects the ~0.1% nearest pairs (approximate: LSH-bucketed recall)
-    return embedding_neardup(ds, threshold=0.35, nplanes=6)
+    # selects the ~0.1% nearest pairs. Low threshold → short bands, many
+    # of them (p_plane ≈ 0.61 at cos 0.35; 3×12 → expected recall ≈ 0.96,
+    # gated ≥ 0.9 in tests/test_dedup_scale.py)
+    return embedding_neardup(ds, threshold=0.35, nplanes=3, nbands=12)
 
 
 def _q_media_features(sf_dir: str):

@@ -36,6 +36,41 @@ def _stable64(data: bytes, seed: int) -> int:
     return struct.unpack("<Q", h.digest())[0]
 
 
+# Bounded per-worker memo for token/shingle hashes: the hash function
+# stays the deterministic keyed blake2b (outputs are byte-identical to
+# the per-item path) but each distinct string is hashed once per worker
+# instead of once per occurrence — natural-language and code corpora
+# repeat tokens heavily, so this removes ~all Python hashing from the
+# hot loop. Cleared when it exceeds the cap (simple, scan-free bound).
+_HASH_MEMO_CAP = 1_000_000
+_hash_memo: dict[tuple[bytes, int], int] = {}
+
+
+def _stable64_memo(data: bytes, seed: int) -> int:
+    key = (data, seed)
+    v = _hash_memo.get(key)
+    if v is None:
+        if len(_hash_memo) >= _HASH_MEMO_CAP:
+            _hash_memo.clear()
+        v = _hash_memo[key] = _stable64(data, seed)
+    return v
+
+
+def _hash_occurrences(items: list[bytes], seed: int) -> np.ndarray:
+    """Vectorized-by-uniqueness hashing: hash each DISTINCT item once,
+    then scatter back to occurrence order. Same values as mapping
+    ``_stable64`` over ``items``."""
+    if not items:
+        return np.empty(0, dtype=np.uint64)
+    arr = np.asarray(items, dtype=object)
+    # hash-based uniquing (factorize) beats sort-based np.unique on strings
+    inv, uniq = pd.factorize(arr)
+    hu = np.fromiter(
+        (_stable64_memo(u, seed) for u in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    return hu[inv]
+
+
 # ------------------------------------------------------------------ exact
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", nbuckets: int = 32):
@@ -93,38 +128,54 @@ class MinHashSigs:
         self.text_col, self.id_col = text_col, id_col
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k)
-        sig = np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        if not sh:
-            return sig
-        base = np.fromiter(
-            (_stable64(s, 0) for s in sh), dtype=np.uint64, count=len(sh)
+        return self.signatures([text])[0]
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """Batch minhash: shingle every doc, hash each DISTINCT shingle
+        once (seeded blake2b — value-identical to the per-item path),
+        apply all affine permutations as one (n_shingles × num_perm)
+        uint64 matrix op, and take per-doc column minima via a single
+        ``np.minimum.reduceat``. No per-shingle Python in the hot loop."""
+        n = len(texts)
+        all_sh: list[bytes] = []
+        lens = np.empty(n, dtype=np.int64)
+        for j, t in enumerate(texts):
+            sh = _shingles(t or "", self.k)
+            lens[j] = len(sh)
+            all_sh.extend(sh)
+        sigs = np.full(
+            (n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64
         )
-        # affine rehash per permutation: (a_i * h + b_i) mod 2^64 — one
-        # vectorized op per permutation instead of len(sh) hash calls
-        for i in range(self.num_perm):
-            a = np.uint64(_A[i])
-            b = np.uint64(_B[i])
-            sig[i] = (base * a + b).min()
-        return sig
+        if all_sh:
+            base = _hash_occurrences(all_sh, 0)
+            # (a_i * h + b_i) mod 2^64 — uint64 wraparound is the modulus
+            vals = base[:, None] * _A[None, : self.num_perm] + _B[None, : self.num_perm]
+            nonempty = lens > 0
+            starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nonempty]
+            sigs[nonempty] = np.minimum.reduceat(vals, starts, axis=0)
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_pylist()
-        out_band, out_hash, out_id = [], [], []
+        n = len(texts)
+        sigs = self.signatures(texts)
         r = self.rows_per_band
-        for t, did in zip(texts, ids):
-            sig = self.signature(t or "")
-            for b in range(self.bands):
-                h = hashlib.blake2b(sig[b * r : (b + 1) * r].tobytes(), digest_size=8).hexdigest()
-                out_band.append(b)
-                out_hash.append(h)
-                out_id.append(did)
+        # band hashes: bands×docs blake2b calls (not shingles×perms)
+        out_hash = [
+            hashlib.blake2b(sigs[j, b * r : (b + 1) * r].tobytes(), digest_size=8).hexdigest()
+            for j in range(n)
+            for b in range(self.bands)
+        ]
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
+                "band": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n), pa.int32()
+                ),
                 "band_hash": pa.array(out_hash, pa.string()),
-                "doc_id": pa.array(out_id, pa.int64()),
+                "doc_id": pa.array(
+                    np.repeat(np.asarray(ids, dtype=np.int64), self.bands), pa.int64()
+                ),
             }
         )
 
@@ -198,50 +249,149 @@ def verify_jaccard(pairs_ds, docs_lookup_ref, threshold: float, k: int = 5):
     return pairs_ds.map_batches(verify, batch_format="pyarrow")
 
 
+_VERIFIED_PAIR_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+)
+
+
+def verify_jaccard_joined(pairs_ds, docs_ds, threshold: float, k: int = 5,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          nbuckets: int = 32):
+    """Scale path for candidate verification: re-join the (small) pair
+    set against the documents table by doc_id — twice, for each pair
+    side — via the bucketed hash join, then run the shingle/Jaccard
+    kernel per batch. NO driver-side corpus materialization and no
+    broadcast of the whole corpus (cf. ``verify_jaccard``, which is the
+    test-scale broadcast variant). Returns the same (a, b, jaccard)
+    rows for pairs meeting the threshold."""
+    from .joins import bucketed_join
+
+    docs_a = docs_ds.map_batches(
+        lambda t: pa.table({"a": t[id_col], "text_a": t[text_col]}),
+        batch_format="pyarrow",
+    )
+    docs_b = docs_ds.map_batches(
+        lambda t: pa.table({"b": t[id_col], "text_b": t[text_col]}),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_join(pairs_ds, docs_a, on=["a"], nbuckets=nbuckets)
+    joined = bucketed_join(joined, docs_b, on=["b"], nbuckets=nbuckets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        cache: dict[int, set] = {}
+
+        def sh(did, text):
+            s = cache.get(did)
+            if s is None:
+                s = cache[did] = _shingles(text or "", k)
+            return s
+
+        sims = [jaccard(sh(x, tx), sh(y, ty)) for x, y, tx, ty in zip(a, b, ta, tb)]
+        keep = [s >= threshold for s in sims]
+        t = pa.Table.from_arrays(
+            [
+                pa.array(a, pa.int64()),
+                pa.array(b, pa.int64()),
+                pa.array(sims, pa.float64()),
+            ],
+            schema=_VERIFIED_PAIR_SCHEMA,
+        )
+        return t.filter(pa.array(keep))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 # -------------------------------------------------------------- simhash
 
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Batch simhash (uint64 per text): tokenize all docs, hash each
+    DISTINCT token once (seeded blake2b — value-identical to the old
+    per-token path), unpack to a ±1 bit matrix, and segment-sum per doc
+    with one ``np.add.reduceat``. Empty text → 0."""
+    n = len(texts)
+    all_toks: list[bytes] = []
+    lens = np.empty(n, dtype=np.int64)
+    for j, t in enumerate(texts):
+        toks = _WORD.findall((t or "").lower())
+        lens[j] = len(toks)
+        all_toks.extend(tok.encode() for tok in toks)
+    out = np.zeros(n, dtype=np.uint64)
+    if not all_toks:
+        return out
+    h = _hash_occurrences(all_toks, 7)
+    # big-endian byte view so bit order matches struct.pack(">Q")+unpackbits
+    byts = np.frombuffer(h.astype(">u8").tobytes(), dtype=np.uint8).reshape(-1, 8)
+    bits = np.unpackbits(byts, axis=1).astype(np.int32) * 2 - 1
+    nonempty = lens > 0
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nonempty]
+    sums = np.add.reduceat(bits, starts, axis=0)
+    packed = np.packbits((sums > 0).astype(np.uint8), axis=1)
+    vals = np.zeros(len(starts), dtype=np.uint64)
+    for j in range(8):
+        vals = (vals << np.uint64(8)) | packed[:, j].astype(np.uint64)
+    out[nonempty] = vals
+    return out
+
+
+def _simhash_signed(vals: np.ndarray) -> np.ndarray:
+    """uint64 simhash → int64 shifted by 2^63 (parquet-friendly signed
+    range; identical to Python's ``h - (1 << 63)``)."""
+    return (vals ^ np.uint64(1 << 63)).view(np.int64)
+
+
 def simhash64(text: str) -> int:
-    toks = _WORD.findall((text or "").lower())
-    if not toks:
-        return 0
-    v = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = _stable64(t.encode(), 7)
-        bits = np.unpackbits(np.frombuffer(struct.pack(">Q", h), dtype=np.uint8))
-        v += bits.astype(np.int64) * 2 - 1
-    bits = (v > 0).astype(np.uint8)
-    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return int(simhash64_batch([text])[0])
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    hs = [simhash64(t) for t in batch[text_col].to_pylist()]
-    return batch.append_column(
-        "simhash", pa.array([h - (1 << 63) for h in hs], pa.int64())
-    )  # shifted into signed range for parquet friendliness
+    hs = simhash64_batch(batch[text_col].to_pylist())
+    return batch.append_column("simhash", pa.array(_simhash_signed(hs), pa.int64()))
+
+
+def _simhash_band_layout(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) per sub-band: ``max_hamming + 1`` near-equal bands
+    over the 64 bits, so by pigeonhole any pair with hamming ≤
+    max_hamming shares at least one whole band (the r1 fixed 4×16-bit
+    layout only guaranteed hamming ≤ 3 regardless of the parameter)."""
+    nb = max(1, min(64, max_hamming + 1))
+    base, rem = divmod(64, nb)
+    layout, shift = [], 0
+    for b in range(nb):
+        w = base + (1 if b < rem else 0)
+        layout.append((shift, w))
+        shift += w
+    return layout
 
 
 def simhash_candidates(ds, max_hamming: int = 3, text_col: str = "text",
                        id_col: str = "doc_id"):
-    """Near-dup candidates: docs sharing any of the four 16-bit sub-bands
-    of their simhash (pigeonhole: hamming ≤ 3 ⇒ one band equal), then
-    exact hamming verify in-group."""
+    """Near-dup candidates: docs sharing any sub-band of their simhash
+    (band count derived from ``max_hamming`` so the pigeonhole guarantee
+    actually covers the requested radius), then exact hamming verify
+    in-group."""
+    layout = _simhash_band_layout(max_hamming)
 
     def bands(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        hs = [simhash64(t) for t in batch[text_col].to_pylist()]
-        ob, ov, oi, oh = [], [], [], []
-        for did, h in zip(ids, hs):
-            for b in range(4):
-                ob.append(b)
-                ov.append((h >> (16 * b)) & 0xFFFF)
-                oi.append(did)
-                oh.append(h - (1 << 63))
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        hs = simhash64_batch(batch[text_col].to_pylist())
+        n = len(ids)
+        nb = len(layout)
+        ob = np.tile(np.arange(nb, dtype=np.int32), n)
+        ov = np.empty(n * nb, dtype=np.int64)
+        for b, (shift, width) in enumerate(layout):
+            ov[b::nb] = (
+                (hs >> np.uint64(shift)) & np.uint64((1 << width) - 1)
+            ).astype(np.int64)
         return pa.table(
             {
                 "band": pa.array(ob, pa.int32()),
-                "band_val": pa.array(ov, pa.int32()),
-                "doc_id": pa.array(oi, pa.int64()),
-                "simhash": pa.array(oh, pa.int64()),
+                "band_val": pa.array(ov, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, nb), pa.int64()),
+                "simhash": pa.array(np.repeat(_simhash_signed(hs), nb), pa.int64()),
             }
         )
 
@@ -279,60 +429,117 @@ def simhash_candidates(ds, max_hamming: int = 3, text_col: str = "text",
 
 # ------------------------------------------------- embedding near-dup LSH
 
-def embedding_neardup(ds, threshold: float = 0.95, nplanes: int = 12,
-                      vec_col: str = "embedding", id_col: str = "vec_id",
-                      dim: int = 64, seed: int = 13):
-    """Random-hyperplane LSH bucket → in-bucket cosine verify. Scale
-    path for embedding near-dup: only same-signature vectors pair up."""
+_EMBED_BUCKET_SCHEMA = pa.schema(
+    [("bucket", pa.int64()), ("vec_id", pa.int64()), ("vec", pa.list_(pa.float32()))]
+)
+_EMBED_PAIR_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())]
+)
+
+
+def embedding_neardup(ds, threshold: float = 0.95, nplanes: int = 8,
+                      nbands: int = 6, vec_col: str = "embedding",
+                      id_col: str = "vec_id", dim: int = 64, seed: int = 13,
+                      max_bucket: int = 4096):
+    """Multi-band random-hyperplane LSH → in-bucket cosine verify →
+    distinct pairs across bands.
+
+    Scale levers (the r1 version had a single signature and unbounded
+    buckets — O(n²) inside one hot bucket):
+      * ``nbands`` independent plane sets: a near-dup pair is found if
+        it agrees in ANY band (recall compounds like minhash banding).
+        Size to the threshold: p_plane = 1 - arccos(threshold)/π,
+        recall ≈ 1 - (1 - p_plane^nplanes)^nbands — low thresholds need
+        SHORT bands and MANY of them (e.g. 3×12 for cosine 0.35),
+        high thresholds tolerate longer bands (8×6 for 0.95).
+      * oversize buckets (> ``max_bucket``) split hierarchically by
+        extra hyperplane bits before the all-pairs matmul, so no group
+        ever computes more than max_bucket² similarities.
+      * the shuffle carries only (bucket, id, vec) rows; pairs are
+        deduped with the bucketed exact-dedup (a pair can collide in
+        several bands)."""
     rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((dim, nplanes)).astype(np.float32)
+    planes = rng.standard_normal((nbands, dim, nplanes)).astype(np.float32)
+    # extra planes for splitting oversize buckets (depth-bounded)
+    split_planes = rng.standard_normal((dim, 24)).astype(np.float32)
 
     def bucket(batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
-        ids = batch[id_col].to_pylist()
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         if len(ids) == 0:
-            return pa.table({"bucket": pa.array([], pa.int64()),
-                             "vec_id": pa.array([], pa.int64()),
-                             "vec": pa.array([], pa.list_(pa.float32()))})
-        signs = (vecs @ planes) > 0
-        packed = np.packbits(signs, axis=1).astype(np.int64)
-        buckets = np.zeros(len(packed), dtype=np.int64)
-        for j in range(packed.shape[1]):
-            buckets = (buckets << 8) | packed[:, j]
-        return pa.table(
-            {
-                "bucket": pa.array(buckets, pa.int64()),
-                "vec_id": pa.array(ids, pa.int64()),
-                "vec": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
-            }
+            return _EMBED_BUCKET_SCHEMA.empty_table()
+        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
+        out_bucket = np.empty(len(ids) * nbands, dtype=np.int64)
+        for b in range(nbands):
+            signs = (vecs @ planes[b]) > 0
+            sig = np.zeros(len(ids), dtype=np.int64)
+            for j in range(signs.shape[1]):
+                sig = (sig << 1) | signs[:, j]
+            # band id in the high bits so bands never collide
+            out_bucket[b::nbands] = (np.int64(b) << np.int64(56)) | sig
+        vec_list = pa.array([v.tolist() for v in vecs], pa.list_(pa.float32()))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_bucket, pa.int64()),
+                pa.array(np.repeat(ids, nbands), pa.int64()),
+                _repeat_list_array(vec_list, nbands),
+            ],
+            schema=_EMBED_BUCKET_SCHEMA,
         )
 
-    pair_schema = pa.schema(
-        [("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())]
-    )
+    def all_pairs(ids: np.ndarray, mat: np.ndarray) -> list[pa.Table]:
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return [
+            pa.Table.from_arrays(
+                [
+                    pa.array(ids[ia[keep]].astype(np.int64), pa.int64()),
+                    pa.array(ids[ib[keep]].astype(np.int64), pa.int64()),
+                    pa.array(np.round(sims[ia, ib][keep], 6), pa.float64()),
+                ],
+                schema=_EMBED_PAIR_SCHEMA,
+            )
+        ]
+
+    def split_pairs(ids, mat, raw, depth: int) -> list[pa.Table]:
+        if len(ids) <= max_bucket or depth >= split_planes.shape[1]:
+            return all_pairs(ids, mat)
+        side = (raw @ split_planes[:, depth]) > 0
+        out = []
+        for mask in (side, ~side):
+            if mask.sum() > 1:
+                out.extend(split_pairs(ids[mask], mat[mask], raw[mask], depth + 1))
+        return out
 
     def pairs(g: pd.DataFrame) -> pa.Table:
         ids = g["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        mat = np.asarray([g["vec"].iloc[i] for i in order], dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        raw = np.asarray([g["vec"].iloc[i] for i in order], dtype=np.float64)
+        norms = np.linalg.norm(raw, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        mat = mat / norms
-        sims = mat @ mat.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
-        return pa.Table.from_arrays(
-            [
-                pa.array(ids[ia[keep]].astype(np.int64), pa.int64()),
-                pa.array(ids[ib[keep]].astype(np.int64), pa.int64()),
-                pa.array(np.round(sims[ia, ib][keep], 6), pa.float64()),
-            ],
-            schema=pair_schema,
+        mat = raw / norms
+        tables = split_pairs(ids, mat, raw.astype(np.float32), 0)
+        return (
+            pa.concat_tables(tables) if tables else _EMBED_PAIR_SCHEMA.empty_table()
         )
 
-    return (
+    cand = (
         ds.map_batches(bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
+    return dedup_exact_pairs(cand)
+
+
+def dedup_exact_pairs(cand):
+    from .dedup import dedup_exact
+
+    return dedup_exact(cand, key_cols=["a", "b"], sort_cols=["a", "b"])
+
+
+def _repeat_list_array(arr: pa.Array, times: int) -> pa.Array:
+    """Repeat each element of a list array ``times`` times, interleaved
+    (row i → positions i*times..i*times+times-1)."""
+    idx = np.repeat(np.arange(len(arr), dtype=np.int64), times)
+    return arr.take(pa.array(idx))

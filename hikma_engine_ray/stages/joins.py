@@ -82,6 +82,8 @@ def bucketed_join(left, right, on: list[str], nbuckets: int = 32,
     lt = left.map_batches(tag(0), batch_format="pyarrow")
     rt = right.map_batches(tag(1), batch_format="pyarrow")
 
+    out_schema = pa.schema(union_fields)
+
     def merge(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -90,6 +92,11 @@ def bucketed_join(left, right, on: list[str], nbuckets: int = 32,
         ls = g.filter(pc.equal(g["__side"], 0)).select(lcols).to_pandas()
         rs = g.filter(pc.equal(g["__side"], 1)).select(rcols).to_pandas()
         out = ls.merge(rs, on=on, how=how)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # pinned schema: an empty merge must not degrade string columns
+        # to null type (it would poison a downstream join's union schema)
+        return pa.Table.from_pandas(
+            out[[n for n, _ in union_fields]], schema=out_schema,
+            preserve_index=False,
+        )
 
     return lt.union(rt).groupby("__jbucket").map_groups(merge, batch_format="pyarrow")
