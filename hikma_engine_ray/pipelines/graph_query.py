@@ -103,7 +103,11 @@ def reverse_deps(triples_ds, file_id: str):
 
 
 def degree_stats(adjacency_ds):
-    """Top-degree nodes — grouped stats over adjacency (A5-style)."""
+    """Top-degree nodes — grouped stats over adjacency (A5-style).
+    Sums over degree segments (high-degree nodes materialize as several
+    ``(node_id, seg)`` rows — stages/adjacency.py); normal nodes have a
+    single segment, so their rows pass through unchanged."""
+    from ray.data.aggregate import Sum
 
     def fn(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -116,6 +120,11 @@ def degree_stats(adjacency_ds):
 
     return (
         adjacency_ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("node_id")
+        .aggregate(
+            Sum("out_degree", alias_name="out_degree"),
+            Sum("in_degree", alias_name="in_degree"),
+        )
         .sort(["out_degree", "node_id"], descending=[True, False])
         .limit(20)
     )

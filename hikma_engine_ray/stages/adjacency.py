@@ -5,20 +5,34 @@ Replaces the reference's driver-memory whole-graph maps
 
   1. double-emit each triple — (node=subj, dir=out) and (node=obj,
      dir=in) — vectorized in Arrow;
-  2. **partial aggregation per block**: group (bucket, node, dir) with
-     Arrow's hash_list so the shuffle moves one compressed list-row per
-     node per block instead of one row per edge (triples are emitted
-     per-file, so a node's edges are nearly block-local → ~3-10× fewer
-     shuffled rows);
+  2. **partial aggregation per block**: group (bucket, node, seg, dir)
+     with Arrow's hash_list so the shuffle moves one compressed
+     list-row per node per block instead of one row per edge (triples
+     are emitted per-file, so a node's edges are nearly block-local →
+     ~3-10× fewer shuffled rows);
   3. one bucketed shuffle; per bucket: flatten partials (vectorized
      list_flatten / list_parent_indices), sort, and assemble the final
      ``out``/``in`` struct lists from offsets.
 
-Output schema: ``node_id, out: list<struct<pred,obj>>,
-in: list<struct<pred,subj>>`` — one row per node.
+Degree bound (the 10^12-file hazard): a pathological high-degree node —
+a Repository containing millions of files, a stdlib module imported
+everywhere — would otherwise concentrate its whole edge list in ONE
+group block and one giant list cell. Nodes whose estimated degree
+exceeds ``degree_cap`` (heavy-hitter estimate from a prefix sample,
+same pattern as linking.find_hot_keys_sampled) are SEGMENTED: each of
+their edges is deterministically assigned ``seg = hash(other) % nseg``
+and the shuffle key mixes the segment, so the node materializes as
+``nseg`` bounded rows ``(node_id, seg, out, in)``. Normal nodes keep a
+single ``seg = 0`` row — their output is unchanged. Consumers that need
+total degree sum over segments (see graph_query.degree_stats).
+
+Output schema: ``node_id, seg, out: list<struct<pred,obj>>,
+in: list<struct<pred,subj>>``.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -28,13 +42,42 @@ import pyarrow.compute as pc
 ADJ_SCHEMA = pa.schema(
     [
         ("node_id", pa.string()),
+        ("seg", pa.int32()),
         ("out", pa.list_(pa.struct([("pred", pa.string()), ("obj", pa.string())]))),
         ("in", pa.list_(pa.struct([("pred", pa.string()), ("subj", pa.string())]))),
     ]
 )
 
+_SEG_MIX = np.uint64(0x9E3779B1)  # golden-ratio odd constant for key mixing
 
-def _emit_partials(nbuckets: int):
+
+def find_hot_degree_nodes(triples_ds, degree_cap: int,
+                          sample_rows: int = 100_000) -> dict[str, int]:
+    """Heavy-hitter degree estimate from a prefix sample — no extra
+    shuffle. Returns {node_id: nseg} for nodes whose extrapolated
+    degree (in + out) exceeds the cap. A missed borderline node only
+    costs one oversized block, never correctness."""
+    total = triples_ds.count()
+    if total == 0:
+        return {}
+    sample = triples_ds.limit(min(sample_rows, total)).take_all()
+    scale = max(1.0, total / len(sample))
+    counts: dict[str, int] = {}
+    for r in sample:
+        counts[r["subj"]] = counts.get(r["subj"], 0) + 1
+        counts[r["obj"]] = counts.get(r["obj"], 0) + 1
+    hot: dict[str, int] = {}
+    for node, n in counts.items():
+        est = n * scale
+        if est > degree_cap:
+            # 1.5× headroom over the estimate; bounded segment count
+            hot[node] = int(min(256, max(2, math.ceil(est * 1.5 / degree_cap))))
+    return hot
+
+
+def _emit_partials(nbuckets: int, hot: dict[str, int] | None = None):
+    hot = hot or {}
+
     def fn(batch: pa.Table) -> pa.Table:
         import polars as pl
 
@@ -51,22 +94,32 @@ def _emit_partials(nbuckets: int):
         # polars xxhash: stable for fixed seed+version; a shuffle key only
         # needs intra-job consistency (never Python hash())
         h = pl.Series(pl.from_arrow(node)).hash(seed=0).to_numpy()
-        buckets = (h % np.uint64(nbuckets)).astype(np.int32)
+        seg = np.zeros(2 * n, dtype=np.int64)
+        if hot:
+            node_np = np.asarray(node.to_pylist(), dtype=object)
+            hot_any = np.isin(node_np, list(hot.keys()))
+            if hot_any.any():
+                oh = pl.Series(pl.from_arrow(other)).hash(seed=1).to_numpy()
+                for hn, nseg in hot.items():
+                    mask = node_np == hn
+                    seg[mask] = (oh[mask] % np.uint64(nseg)).astype(np.int64)
+        buckets = ((h + seg.astype(np.uint64) * _SEG_MIX) % np.uint64(nbuckets)).astype(np.int32)
         t = pa.table(
             {
                 "node_id": node,
+                "seg": pa.array(seg.astype(np.int32), pa.int32()),
                 "dir": direction,
                 "pred": pa.chunked_array([pred, pred]).combine_chunks(),
                 "other": other,
                 "__bucket": pa.array(buckets, pa.int32()),
             }
         )
-        # combiner: one list-row per (bucket, node, dir) per block
-        g = t.group_by(["__bucket", "node_id", "dir"]).aggregate(
+        # combiner: one list-row per (bucket, node, seg, dir) per block
+        g = t.group_by(["__bucket", "node_id", "seg", "dir"]).aggregate(
             [("pred", "list"), ("other", "list")]
         )
         return g.rename_columns(
-            ["__bucket", "node_id", "dir", "pred_list", "other_list"]
+            ["__bucket", "node_id", "seg", "dir", "pred_list", "other_list"]
         )
 
     return fn
@@ -74,24 +127,44 @@ def _emit_partials(nbuckets: int):
 
 def _assemble(g: pa.Table) -> pa.Table:
     """Per bucket: flatten partial lists back to edge rows (vectorized),
-    sort, and build the final out/in struct lists from offsets."""
+    sort, and build the final out/in struct lists from offsets. Rows
+    are keyed by (node_id, seg) — seg is 0 for every normal node."""
     parent = pc.list_parent_indices(g["pred_list"])
     flat = pa.table(
         {
             "node_id": pc.take(g["node_id"], parent),
+            "seg": pc.take(g["seg"], parent),
             "dir": pc.take(g["dir"], parent),
             "pred": pc.list_flatten(g["pred_list"]),
             "other": pc.list_flatten(g["other_list"]),
         }
     )
     df = flat.to_pandas()
-    df = df.sort_values(["node_id", "pred", "other"], kind="stable")
-    nodes = np.unique(df["node_id"].to_numpy())
-    cols = [pa.array(nodes, pa.string())]
+    segmented = bool((df["seg"].to_numpy() != 0).any())
+    if segmented:
+        # composite sort key: hot segments are rare, pay the concat only
+        # when the bucket actually contains one
+        key = (
+            df["node_id"].astype(str)
+            + "\x1f"
+            + df["seg"].astype(np.int64).astype(str).str.zfill(4)
+        )
+    else:
+        key = df["node_id"]
+    df = df.assign(__key=key).sort_values(["__key", "pred", "other"], kind="stable")
+    keys = np.unique(df["__key"].to_numpy())
+    if segmented:
+        split = np.char.partition(keys.astype(str), "\x1f")
+        node_ids = pa.array(split[:, 0], pa.string())
+        segs = pa.array(split[:, 2].astype(np.int32), pa.int32())
+    else:
+        node_ids = pa.array(keys, pa.string())
+        segs = pa.array(np.zeros(len(keys), dtype=np.int32), pa.int32())
+    cols = [node_ids, segs]
     for direction, child in (("o", "obj"), ("i", "subj")):
         d = df[df["dir"].to_numpy() == direction]
-        idx = np.searchsorted(nodes, d["node_id"].to_numpy())
-        counts = np.bincount(idx, minlength=len(nodes))
+        idx = np.searchsorted(keys, d["__key"].to_numpy())
+        counts = np.bincount(idx, minlength=len(keys))
         offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
         struct = pa.StructArray.from_arrays(
             [pa.array(d["pred"].to_numpy(), pa.string()),
@@ -102,9 +175,18 @@ def _assemble(g: pa.Table) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=ADJ_SCHEMA)
 
 
-def build_adjacency(triples_ds, nbuckets: int = 64):
+def build_adjacency(triples_ds, nbuckets: int = 64,
+                    degree_cap: int | None = 500_000):
+    """Materialize adjacency lists. ``degree_cap`` bounds the edges per
+    output row: higher-degree nodes split into hash-segments (None
+    disables the heavy-hitter sampling pass)."""
+    hot = (
+        find_hot_degree_nodes(triples_ds, degree_cap)
+        if degree_cap is not None
+        else {}
+    )
     return (
-        triples_ds.map_batches(_emit_partials(nbuckets), batch_format="pyarrow")
+        triples_ds.map_batches(_emit_partials(nbuckets, hot), batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(_assemble, batch_format="pyarrow")
     )

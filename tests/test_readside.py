@@ -227,3 +227,39 @@ def test_windows(ray_session):
     sess = sessionize(ds, "user_id", "ts", 1800).take_all()
     assert all(r["session_end"] >= r["session_start"] for r in sess)
     assert sum(r["n_events"] for r in sess) == ds.count()
+
+
+def test_adjacency_degree_segmentation(ray_session):
+    """A pathological high-degree node must materialize as bounded
+    (node_id, seg) rows, not one giant list cell; normal nodes keep a
+    single seg=0 row and degree_stats sums segments back together."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hikma_engine_ray.pipelines.graph_query import degree_stats
+    from hikma_engine_ray.stages.adjacency import build_adjacency
+
+    n_hub = 20_000
+    subj = ["hub"] * n_hub + ["solo"]
+    obj = [f"leaf{i}" for i in range(n_hub)] + ["leaf0"]
+    t = pa.table(
+        {
+            "subj": pa.array(subj, pa.string()),
+            "pred": pa.array(["CALLS"] * (n_hub + 1), pa.string()),
+            "obj": pa.array(obj, pa.string()),
+        }
+    )
+    adj = build_adjacency(rd.from_arrow(t), nbuckets=8, degree_cap=2000)
+    rows = adj.take_all()
+    hub_rows = [r for r in rows if r["node_id"] == "hub"]
+    assert len(hub_rows) > 1  # segmented
+    assert all(len(r["out"]) < n_hub for r in hub_rows)
+    assert {e["obj"] for r in hub_rows for e in r["out"]} == set(
+        f"leaf{i}" for i in range(n_hub)
+    )
+    assert sorted({r["seg"] for r in hub_rows}) == list(range(len(hub_rows)))
+    solo = [r for r in rows if r["node_id"] == "solo"]
+    assert len(solo) == 1 and solo[0]["seg"] == 0
+
+    top = degree_stats(adj).take_all()
+    assert top[0]["node_id"] == "hub" and top[0]["out_degree"] == n_hub
