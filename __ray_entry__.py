@@ -184,6 +184,37 @@ def _kg_repo_stats(sf_dir: str):
     return repo_stats(generate_commits_table(corpus).to_pandas())
 
 
+def _kg_clone_groups(sf_dir: str):
+    """signature_hash clone report (data-loader.ts:191-197): md5 of
+    type:name:signature per function-like node; groups with >1 member."""
+    from hikma_engine_ray.stages.stats import clone_groups
+
+    return clone_groups(_kg(sf_dir)["nodes"]).sort(
+        ["n_clones", "signature_hash"], descending=[True, False]
+    )
+
+
+def _kg_embed_coverage(sf_dir: str):
+    """A5 embedding coverage per node_type
+    (enhanced-search-service.ts:389-435)."""
+    from hikma_engine_ray.stages.stats import embedding_coverage
+
+    return embedding_coverage(_kg(sf_dir)["nodes"]).sort(["node_type"])
+
+
+def _kg_top_paths(sf_dir: str):
+    from hikma_engine_ray.stages.stats import top_paths
+
+    return top_paths(_kg(sf_dir)["nodes"], k=20)
+
+
+def _kg_complexity(sf_dir: str):
+    """A4 function complexity avg/max LoC per repo+lang (stats.ts:81-172)."""
+    from hikma_engine_ray.stages.stats import function_complexity
+
+    return function_complexity(_kg(sf_dir)["nodes"]).sort(["repo", "lang"])
+
+
 def _kg_file_summaries(sf_dir: str):
     """M9 summary heuristic over the corpus files (rows-only)."""
     import ray.data as rd
@@ -611,6 +642,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_delta": _kg_delta,
         "kg_file_summaries": _kg_file_summaries,
         "kg_repo_stats": _kg_repo_stats,
+        "kg_clone_groups": _kg_clone_groups,
+        "kg_embed_coverage": _kg_embed_coverage,
+        "kg_top_paths": _kg_top_paths,
+        "kg_complexity": _kg_complexity,
         # relational conformance (shuffle/join/sort/window primitives)
         "q1_pricing": _q1_pricing,
         "orders_by_segment": _q_orders_by_segment,

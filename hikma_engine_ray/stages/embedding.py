@@ -99,6 +99,40 @@ class HashEmbedder:
         return batch.append_column("embedding", emb)
 
 
+class ModelEmbedder(HashEmbedder):
+    """Model-backed actor-pool provider (ST1 — the reference's persistent
+    embed server, embed_server.py:22-43 / embedding-py.ts:15-70).
+
+    Use as::
+
+        nodes.map_batches(
+            ModelEmbedder,
+            concurrency=(N, N),
+            batch_size=32,                    # reference default batch
+            fn_constructor_kwargs={"model_factory": load_my_model},
+        )
+
+    ``model_factory`` runs ONCE per actor in ``__init__`` (never per
+    batch — tested in tests/test_embedding_provider.py); the object it
+    returns must expose ``encode(list[str]) -> array`` of shape
+    ``(n, dim)`` (already pooled) or ``(n, tokens, dim)`` (mean-pooled
+    here, embed_server.py:67-74). Output is L2-normalized like the
+    reference server. No real model ships in this environment; the
+    factory hook is where a transformers/ONNX model plugs in."""
+
+    def __init__(self, model_factory, dim: int = EMBEDDING_DIM):
+        super().__init__(dim)
+        self.model = model_factory()  # per-actor state: loaded once
+
+    def _encode(self, texts: list[str]) -> np.ndarray:
+        vecs = np.asarray(self.model.encode(texts), dtype=np.float32)
+        if vecs.ndim == 3:  # token-level output → mean-pool
+            vecs = vecs.mean(axis=1)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        np.maximum(norms, 1e-12, out=norms)
+        return vecs / norms
+
+
 _CACHED: HashEmbedder | None = None
 
 

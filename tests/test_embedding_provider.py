@@ -1,0 +1,75 @@
+"""ST1 contract: a model-backed embedding provider loads its model ONCE
+per actor (in __init__ via fn_constructor_kwargs), never per batch —
+the reference's persistent embed-server semantics (embed_server.py:22-43)."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_model_loaded_once_per_actor_not_per_batch(ray_session, tmp_path):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.embedding import ModelEmbedder
+
+    marker_dir = str(tmp_path)
+    dim = 16
+    n_rows, batch_size, concurrency = 256, 16, 2  # → 16 batches, 2 actors
+
+    # model + factory defined IN this function so cloudpickle ships them
+    # by value to the actor processes (a test module isn't importable
+    # from Ray workers)
+    class FakeModel:
+        """Deterministic stand-in for a transformer: writes a load
+        marker on construction so the test can count loads."""
+
+        def __init__(self):
+            path = os.path.join(marker_dir, f"load-{os.getpid()}-{id(self)}")
+            with open(path, "w") as f:
+                f.write("loaded")
+
+        def encode(self, texts):
+            # (n, tokens, dim) token-level output → exercises mean-pool
+            out = np.zeros((len(texts), 2, dim), dtype=np.float32)
+            for i, t in enumerate(texts):
+                out[i, 0, (len(t) % dim)] = 1.0
+                out[i, 1, ((len(t) + 1) % dim)] = 1.0
+            return out
+
+    t = pa.table(
+        {
+            "node_type": pa.array(["Function"] * n_rows),
+            "name": pa.array([f"fn{i}" for i in range(n_rows)]),
+            "path": pa.array(["src/a.ts"] * n_rows),
+            "signature": pa.array([f"fn{i}(x)" for i in range(n_rows)]),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            ModelEmbedder,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=(concurrency, concurrency),
+            fn_constructor_kwargs={"model_factory": FakeModel, "dim": dim},
+        )
+        .take_all()
+    )
+    assert len(out) == n_rows
+
+    loads = glob.glob(os.path.join(marker_dir, "load-*"))
+    n_batches = n_rows // batch_size
+    assert 1 <= len(loads) <= concurrency, loads  # once per ACTOR
+    assert len(loads) < n_batches  # definitely not once per batch
+
+    # output contract: mean-pooled + L2-normalized fixed-dim vectors
+    v = np.asarray(out[0]["embedding"], dtype=np.float32)
+    assert v.shape == (dim,)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # determinism: same source text → same vector
+    same = [
+        np.asarray(r["embedding"]) for r in out if r["source_text"] == out[0]["source_text"]
+    ]
+    assert all(np.array_equal(same[0], s) for s in same)
