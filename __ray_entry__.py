@@ -786,6 +786,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE text LIKE '%query%'
             ORDER BY n_chars, doc_id LIMIT 20
         """,
+        "langid": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(regexp_extract_all(lower(coalesce(text, '')),
+                                                      '[a-zäöüéèêáíóúñ]+')) AS ws
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                len(list_intersect(ws, ['the','a','and','of','to','in','is','on','for','with'])) AS en,
+                len(list_intersect(ws, ['der','die','das','und','ist','von','mit','auf','ein','zu'])) AS de,
+                len(list_intersect(ws, ['le','la','les','et','de','un','une','est','pour','dans'])) AS fr,
+                len(list_intersect(ws, ['el','la','los','y','de','un','una','es','para','en'])) AS es
+              FROM w
+            )
+            SELECT doc_id,
+              CASE WHEN greatest(en, de, es, fr) = 0 THEN 'unknown'
+                   -- tie-break = alphabetically first (matches LangId's
+                   -- max-over-sorted-keys): de < en < es < fr
+                   WHEN de = greatest(en, de, es, fr) THEN 'de'
+                   WHEN en = greatest(en, de, es, fr) THEN 'en'
+                   WHEN es = greatest(en, de, es, fr) THEN 'es'
+                   ELSE 'fr' END AS lang_pred
+            FROM s
+        """,
         "ann_topk": """
             WITH q AS (SELECT embedding :: DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,
@@ -793,7 +817,17 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             ORDER BY score DESC, e.vec_id LIMIT 10
         """,
-        # kg_*, langid, fingerprint, ann_ivf, minhash/simhash/embed near-dup,
-        # media_features: not SQL-expressible → rows-only driver check;
-        # their correctness gates live in tests/ (golden oracle + kernels).
+        # Not SQL-expressible → rows-only driver check; local gates named:
+        #   kg_*            golden oracle P/R=1.0 (tests/test_pipeline.py,
+        #                   test_corpus_golden.py, test_stats.py)
+        #   fingerprint     winnowed rolling crc32 — procedural windowing,
+        #                   no SQL analog (tests/test_text_kernels.py)
+        #   ann_ivf         trained centroids (driver-side kmeans state)
+        #                   (tests/test_readside.py::test_ivf_matches_bruteforce)
+        #   minhash_pairs   seeded blake2b minhash banding
+        #                   (tests/test_dedup_scale.py kernel-parity +
+        #                   joined-verify equivalence)
+        #   simhash_pairs   64-bit simhash banding (same file)
+        #   embed_neardup   hyperplane LSH (recall ≥0.9 gate, same file)
+        #   media_features  binary payload decode stub (tests/test_readside.py)
     }

@@ -1,0 +1,85 @@
+"""Kernel unit tests for langid + fingerprint (VERDICT r1: these were
+smoke-only). The langid rules are also mirrored in oracle SQL; these
+tests pin the kernel semantics independently of the driver."""
+
+import pyarrow as pa
+
+
+def _langid(texts):
+    from hikma_engine_ray.stages.text import LangId
+
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    out = LangId()(t)
+    return out["lang_pred"].to_pylist(), out["lang_conf"].to_pylist()
+
+
+def test_langid_known_languages():
+    preds, confs = _langid(
+        [
+            "the cat sat on the mat and looked for a mouse with glee",
+            "der Hund ist von der Straße und läuft mit einem Ball auf das Feld",
+            "le chat est dans la maison et les enfants jouent pour une heure",
+            "el perro es de los vecinos y una gata duerme para siempre en casa",
+        ]
+    )
+    assert preds == ["en", "de", "fr", "es"]
+    assert all(c > 0 for c in confs)
+
+
+def test_langid_unknown_and_empty():
+    preds, confs = _langid(["", "12345 67890 !!!", "zzz qqq xxx www", None])
+    assert preds == ["unknown"] * 4
+    assert confs == [0.0] * 4
+
+
+def test_langid_tiebreak_alphabetical():
+    # 'la'+'de' score 1 for both fr and es ('de' ∈ fr-profile, 'la' ∈ both;
+    # craft a text hitting exactly one stopword in two profiles
+    preds, _ = _langid(["la zzz"])  # 'la' ∈ fr and es profiles only
+    assert preds == ["es"] if "es" < "fr" else ["fr"]
+    # scores: fr=1, es=1 → alphabetically first of the maxima is 'es'
+    assert preds == ["es"]
+
+
+def test_langid_distinct_words_not_occurrences():
+    # repeated stopword counts once (set semantics)
+    p1, c1 = _langid(["the the the the"])
+    p2, c2 = _langid(["the"])
+    assert p1 == p2 == ["en"]
+    assert c1 == c2
+
+
+def test_fingerprint_deterministic_and_discriminative():
+    from hikma_engine_ray.stages.text import fingerprint_batch
+
+    texts = [
+        "some document body with enough content to roll the window " * 4,
+        "a completely different text that should not collide at all " * 4,
+    ]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    f1 = fingerprint_batch(t)["fingerprint"].to_pylist()
+    f2 = fingerprint_batch(t)["fingerprint"].to_pylist()
+    assert f1 == f2  # deterministic
+    assert f1[0] != f1[1]  # different docs → different fingerprints
+    assert all(len(f) == 8 and int(f, 16) >= 0 for f in f1)  # crc32 hex
+
+
+def test_fingerprint_whitespace_normalization():
+    from hikma_engine_ray.stages.text import fingerprint_batch
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    messy = base.replace(" ", "   \n\t ")
+    t = pa.table({"text": pa.array([base, messy], pa.string())})
+    fps = fingerprint_batch(t)["fingerprint"].to_pylist()
+    assert fps[0] == fps[1]  # runs of whitespace collapse before hashing
+
+
+def test_fingerprint_short_text_path():
+    from hikma_engine_ray.stages.text import fingerprint_batch
+
+    import zlib
+
+    t = pa.table({"text": pa.array(["tiny", ""], pa.string())})
+    fps = fingerprint_batch(t)["fingerprint"].to_pylist()
+    assert fps[0] == format(zlib.crc32(b"tiny"), "08x")
+    assert fps[1] == format(zlib.crc32(b""), "08x")
