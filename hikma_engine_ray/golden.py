@@ -9,6 +9,25 @@ the engine's (subj, pred, obj) set against this oracle's.
 =========================== EXTRACTION SPEC ===========================
 Derived from the reference's rules (file:line cites into /root/reference):
 
+Preprocessing (SPEC v2 — approximates the reference's real TS-compiler
+lexing, which ignores comments and tokenizes strings/templates;
+ast-parser.ts:145-179 / enhanced-ast-parser.ts:75-109 parse with the
+compiler, so none of these constructs confuse it):
+  P0. Before scanning, content is lexed into two line views with
+      identical line structure (masked chars become spaces):
+        scan view  — for all regex matching, signatures, call sites:
+          * line comments ``//…`` and block comments ``/* … */``
+            (multi-line) masked;
+          * template-literal contents masked (backticks kept; backslash
+            escapes honored; interpolation braces are masked with the
+            rest — calls inside the interpolations are out of spec);
+          * single/double-quoted string contents KEPT (import specs
+            live there); strings end at the closing quote or end of
+            line (JS strings cannot span lines).
+        brace view — for brace matching / depth tracking only: same as
+          scan view but quoted-string contents are masked too, so
+          braces inside any literal or comment never affect nesting.
+
 Per corpus row (repo, path, commit, lang, content):
   F0. if len(content_bytes) > 1 MiB → skip row entirely
       (src/config/index.ts:128, file-scanner.ts:78-83).
@@ -43,7 +62,17 @@ Entity extraction (1-based lines, 0-based cols = indentation width):
       (public|private|protected|static|async|get|set)* NAME(args) {
       with NAME not a control keyword → Method node;
       CONTAINS(class → method).
-  E7. imports  ^import [clause from] 'spec'
+  E6b. decorators (enhanced-ast-parser.ts:284-340): a line ``@NAME`` /
+      ``@NAME(...)`` (scan view) queues NAME; the queue attaches as
+      props ``decorators`` to the next declared entity (blank lines may
+      intervene; any other line clears the queue). Method decorators
+      collect from the immediately preceding decorator/blank lines.
+      Decorator lines are never call sites (C2).
+  E7. imports  ^import [clause from] 'spec'  — the statement may span
+      MULTIPLE physical lines (enhanced-ast-parser.ts:396-546 clause
+      parsing): when a line starts ``import`` but carries no quoted
+      spec, following lines are joined (≤ 20) until the statement
+      regex matches; entity position = first line
       → Import node per statement (name = spec); named/default/namespace
       locals recorded (enhanced-ast-parser.ts:396-468); IMPORTS triple:
       internal spec (starts with '.') resolved via resolve_module against
@@ -51,7 +80,8 @@ Entity extraction (1-based lines, 0-based cols = indentation width):
       target file version is the one with the lexicographically greatest
       commit sha (deterministic "latest"); external →
       IMPORTS(file → "module:{spec}").
-  E8. exports: `export { a, b };` → one Export node per statement (name =
+  E8. exports: `export { a, b };` (the list may span multiple lines,
+      joined like E7 until the closing brace) → one Export node per statement (name =
       comma-joined list) + EXPORTS(file → same-file entity) per resolved
       name; `export default NAME;` → Export node named 'default' +
       EXPORTS when NAME resolves; inline `export function/class/const`
@@ -64,15 +94,18 @@ Call extraction (ast-parser.ts:374-396 — same-file, by name):
   C1. each line is attributed to the INNERMOST function-like entity
       (Function/ArrowFunction/Method/TestCase) whose [start,end] covers
       it; unattributed lines emit no calls.
-  C2. call sites: NAME( not preceded by [letter, digit, _, $, .]
+  C2. call sites: NAME( not preceded by [letter, digit, _, $, ., @]
       (dotted calls excluded — callee text 'x.y' can never equal a
-      same-file function name in the reference either), NAME not in the
-      control-keyword set; a match of the entity's own name on its own
-      declaration line is the definition, not a call.
+      same-file function name in the reference either; '@' excludes
+      decorator invocations), NAME not in the control-keyword set; a
+      match of the entity's own name on its own declaration line is the
+      definition, not a call.
   C3. resolution: same-file function-like with that name (first by
       start_line) → CALLS(caller → callee); else a local name imported
-      from an internal module → mention(kind='call') for the linking
-      shuffle; else dangling.
+      from ANY module (internal or external) → mention(kind='call') for
+      the linking shuffle — external specifiers resolve to nothing
+      there and land in the dangling report (no-such-module), matching
+      J7; else dangling.
 
 Cross-file linking (the latent J4 stage — enhanced-ast-parser.ts:588-604
 leaves keys '{fileId}#{name}#unknown'; we resolve them):
@@ -125,9 +158,13 @@ METHOD_RE = re.compile(
     re.U,
 )
 IMPORT_RE = re.compile(r"^(\s*)import\s+(?:(.+?)\s+from\s+)?['\"]([^'\"]+)['\"]", re.U)
+IMPORT_START_RE = re.compile(r"^(\s*)import\b", re.U)
 EXPORT_LIST_RE = re.compile(r"^(\s*)export\s+\{([^}]*)\}", re.U)
+EXPORT_LIST_START_RE = re.compile(r"^(\s*)export\s+\{", re.U)
 EXPORT_DEFAULT_RE = re.compile(rf"^(\s*)export\s+default\s+({NAME})\s*;?\s*$", re.U)
-CALL_RE = re.compile(rf"(?<![\w$.])({NAME})\s*\(", re.U)
+DECORATOR_RE = re.compile(rf"^(\s*)@({NAME})", re.U)
+CALL_RE = re.compile(rf"(?<![\w$.@])({NAME})\s*\(", re.U)
+MAX_JOIN = 20  # bound on physical lines joined into one logical statement
 
 CALL_KEYWORDS = frozenset(
     "if for while switch catch function return new typeof await else do "
@@ -148,6 +185,110 @@ class Entity:
     eid: str = ""
     exported: bool = False
     props: dict = field(default_factory=dict)
+
+
+def preprocess(content: str) -> tuple[list[str], list[str]]:
+    """P0 lexer (slow, obviously-correct per-char state machine).
+
+    Returns (scan_lines, brace_lines): comments and template-literal
+    contents masked in both; quoted-string contents masked only in the
+    brace view. Line structure is preserved exactly."""
+    CODE, SQ, DQ, TPL, LINEC, BLOCKC = range(6)
+    state = CODE
+    scan: list[str] = []
+    brace: list[str] = []
+    i, n = 0, len(content)
+    while i < n:
+        ch = content[i]
+        if ch == "\n":
+            if state in (SQ, DQ, LINEC):  # strings/line comments end at EOL
+                state = CODE
+            scan.append("\n")
+            brace.append("\n")
+            i += 1
+            continue
+        if state == CODE:
+            nxt = content[i + 1] if i + 1 < n else ""
+            if ch == "/" and nxt == "/":
+                state = LINEC
+                scan.append("  ")
+                brace.append("  ")
+                i += 2
+                continue
+            if ch == "/" and nxt == "*":
+                state = BLOCKC
+                scan.append("  ")
+                brace.append("  ")
+                i += 2
+                continue
+            if ch == "'":
+                state = SQ
+            elif ch == '"':
+                state = DQ
+            elif ch == "`":
+                state = TPL
+            scan.append(ch)
+            brace.append(ch)
+            i += 1
+            continue
+        if state in (SQ, DQ):
+            quote = "'" if state == SQ else '"'
+            if ch == "\\" and i + 1 < n and content[i + 1] != "\n":
+                scan.append(content[i : i + 2])
+                brace.append("  ")
+                i += 2
+                continue
+            if ch == quote:
+                state = CODE
+                scan.append(ch)
+                brace.append(ch)
+            else:
+                scan.append(ch)
+                brace.append(" ")
+            i += 1
+            continue
+        if state == TPL:
+            if ch == "\\" and i + 1 < n and content[i + 1] != "\n":
+                scan.append("  ")
+                brace.append("  ")
+                i += 2
+                continue
+            if ch == "`":
+                state = CODE
+                scan.append(ch)
+                brace.append(ch)
+            else:
+                scan.append(" ")
+                brace.append(" ")
+            i += 1
+            continue
+        if state == LINEC:
+            scan.append(" ")
+            brace.append(" ")
+            i += 1
+            continue
+        # BLOCKC
+        if ch == "*" and i + 1 < n and content[i + 1] == "/":
+            state = CODE
+            scan.append("  ")
+            brace.append("  ")
+            i += 2
+            continue
+        scan.append(" ")
+        brace.append(" ")
+        i += 1
+    return "".join(scan).split("\n"), "".join(brace).split("\n")
+
+
+def _join_stmt(lines: list[str], idx: int, done) -> tuple[str, int]:
+    """Join physical lines starting at idx into one logical statement
+    until ``done(text)``; returns (text, n_lines). Bounded by MAX_JOIN."""
+    buf = lines[idx]
+    n = 1
+    while not done(buf) and n < MAX_JOIN and idx + n < len(lines):
+        buf = buf + " " + lines[idx + n].strip()
+        n += 1
+    return buf, n
 
 
 def _brace_end(lines: list[str], start_idx: int) -> int:
@@ -174,7 +315,7 @@ def parse_file(repo: str, path: str, commit: str, content: str):
     dicts with keys repo/module/symbol/kind/src_id/src_kind/src_file/line/col.
     """
     fid = file_id(repo, commit, path)
-    lines = content.split("\n")
+    lines, brace_lines = preprocess(content)
     test_file = is_test_path(path)
     entities: list[Entity] = []
     mentions: list[dict] = []
@@ -183,104 +324,152 @@ def parse_file(repo: str, path: str, commit: str, content: str):
     import_specs: list[tuple[str, int, int]] = []  # (spec, line, col)
     export_names: list[tuple[str, int, int, bool]] = []  # (name, line, col, is_default)
     inline_exported: set[str] = set()
+    pending_dec: list[str] = []
+
+    def _attach_dec(e: Entity):
+        if pending_dec:
+            e.props["decorators"] = list(pending_dec)
+            pending_dec.clear()
 
     # ---- pass 1: line scan with module-scope depth tracking
     depth = 0
-    for idx, line in enumerate(lines):
+    idx = 0
+    while idx < len(lines):
+        line = lines[idx]
         lineno = idx + 1
+        consumed = 1
+        md = DECORATOR_RE.match(line)
+        if md:
+            pending_dec.append(md.group(2))
+            depth = _depth_after(depth, brace_lines[idx])
+            idx += 1
+            continue
+        if line.strip() == "":  # blank keeps a pending decorator queue
+            depth = _depth_after(depth, brace_lines[idx])
+            idx += 1
+            continue
         m = IMPORT_RE.match(line)
+        if m is None and IMPORT_START_RE.match(line):
+            # multi-line import clause (E7): join until the spec appears
+            joined, njoin = _join_stmt(lines, idx, lambda s: IMPORT_RE.match(s))
+            m = IMPORT_RE.match(joined)
+            if m:
+                line, consumed = joined, njoin
         if m:
+            pending_dec.clear()
             indent, clause, spec = m.group(1), m.group(2), m.group(3)
             col = len(indent)
-            e = Entity("Import", spec, lineno, col, lineno, line.strip().rstrip(";"))
+            e = Entity("Import", spec, lineno, col, lineno + consumed - 1,
+                       line.strip().rstrip(";"))
             e.eid = entity_id(fid, "Import", spec, lineno, col)
             entities.append(e)
             import_specs.append((spec, lineno, col))
             if clause:
                 for part in _import_locals(clause):
                     import_map[part] = spec
-            depth = _depth_after(depth, line)
+            for k in range(idx, idx + consumed):
+                depth = _depth_after(depth, brace_lines[k])
+            idx += consumed
             continue
         m = EXPORT_LIST_RE.match(line)
+        if m is None and EXPORT_LIST_START_RE.match(line):
+            joined, njoin = _join_stmt(lines, idx, lambda s: "}" in s)
+            m = EXPORT_LIST_RE.match(joined)
+            if m:
+                line, consumed = joined, njoin
         if m:
+            pending_dec.clear()
             names = [n.strip().split(" as ")[-1].strip() for n in m.group(2).split(",") if n.strip()]
             col = len(m.group(1))
-            joined = ",".join(names)
-            e = Entity("Export", joined, lineno, col, lineno, line.strip().rstrip(";"))
-            e.eid = entity_id(fid, "Export", joined, lineno, col)
+            joined_names = ",".join(names)
+            e = Entity("Export", joined_names, lineno, col, lineno + consumed - 1,
+                       line.strip().rstrip(";"))
+            e.eid = entity_id(fid, "Export", joined_names, lineno, col)
             entities.append(e)
             for n in names:
                 export_names.append((n, lineno, col, False))
-            depth = _depth_after(depth, line)
+            for k in range(idx, idx + consumed):
+                depth = _depth_after(depth, brace_lines[k])
+            idx += consumed
             continue
         m = EXPORT_DEFAULT_RE.match(line)
         if m:
+            pending_dec.clear()
             col = len(m.group(1))
             e = Entity("Export", "default", lineno, col, lineno, line.strip().rstrip(";"))
             e.eid = entity_id(fid, "Export", "default", lineno, col)
             entities.append(e)
             export_names.append((m.group(2), lineno, col, True))
-            depth = _depth_after(depth, line)
+            depth = _depth_after(depth, brace_lines[idx])
+            idx += 1
             continue
         m = FUNC_RE.match(line)
         if m:
             name = m.group(2)
             col = len(m.group(1))
             kind = "TestCase" if test_file else "Function"
-            end = _brace_end(lines, idx) + 1
+            end = _brace_end(brace_lines, idx) + 1
             sig = _sig_before(line, col, "{")
             e = Entity(kind, name, lineno, col, end, sig)
             e.eid = entity_id(fid, kind, name, lineno, col)
             e.exported = "export" in line[:col] or line[col:].startswith("export")
+            _attach_dec(e)
             entities.append(e)
             if e.exported:
                 inline_exported.add(name)
-            depth = _depth_after(depth, line)
+            depth = _depth_after(depth, brace_lines[idx])
+            idx += 1
             continue
         m = ARROW_RE.match(line)
         if m:
             name = m.group(2)
             col = len(m.group(1))
-            if "{" in line.split("=>", 1)[1]:
-                end = _brace_end(lines, idx) + 1
+            if "{" in brace_lines[idx].split("=>", 1)[-1]:
+                end = _brace_end(brace_lines, idx) + 1
             else:
                 end = lineno
             sig = _sig_before(line, col, "=>").rstrip()
             e = Entity("ArrowFunction", name, lineno, col, end, sig)
             e.eid = entity_id(fid, "ArrowFunction", name, lineno, col)
             e.exported = line[col:].startswith("export")
+            _attach_dec(e)
             entities.append(e)
             if e.exported:
                 inline_exported.add(name)
-            depth = _depth_after(depth, line)
+            depth = _depth_after(depth, brace_lines[idx])
+            idx += 1
             continue
         m = CLASS_RE.match(line)
         if m:
             indent, name, ext, impl = m.group(1), m.group(2), m.group(3), m.group(4)
             col = len(indent)
-            end = _brace_end(lines, idx) + 1
+            end = _brace_end(brace_lines, idx) + 1
             sig = _sig_before(line, col, "{")
             e = Entity("Class", name, lineno, col, end, sig)
             e.eid = entity_id(fid, "Class", name, lineno, col)
             e.exported = line[col:].startswith("export")
             e.props = {"extends": ext or "", "implements": impl or ""}
+            _attach_dec(e)
             entities.append(e)
             if e.exported:
                 inline_exported.add(name)
-            depth = _depth_after(depth, line)
+            depth = _depth_after(depth, brace_lines[idx])
+            idx += 1
             continue
         m = IFACE_RE.match(line)
         if m:
             name = m.group(2)
             col = len(m.group(1))
-            end = _brace_end(lines, idx) + 1
+            end = _brace_end(brace_lines, idx) + 1
             e = Entity("Interface", name, lineno, col, end, _sig_before(line, col, "{"))
             e.eid = entity_id(fid, "Interface", name, lineno, col)
             e.exported = line[col:].startswith("export")
+            _attach_dec(e)
             entities.append(e)
             if e.exported:
                 inline_exported.add(name)
-            depth = _depth_after(depth, line)
+            depth = _depth_after(depth, brace_lines[idx])
+            idx += 1
             continue
         m = VAR_RE.match(line)
         if m and depth == 0:
@@ -292,12 +481,16 @@ def parse_file(repo: str, path: str, commit: str, content: str):
             e.eid = entity_id(fid, "Variable", name, lineno, col)
             e.exported = line[col:].startswith("export")
             e.props = {"kind": vkind, "value_snippet": value.rstrip(";").strip()[:100]}
+            _attach_dec(e)
             entities.append(e)
             if e.exported:
                 inline_exported.add(name)
-            depth = _depth_after(depth, line)
+            depth = _depth_after(depth, brace_lines[idx])
+            idx += 1
             continue
-        depth = _depth_after(depth, line)
+        pending_dec.clear()
+        depth = _depth_after(depth, brace_lines[idx])
+        idx += 1
 
     # ---- pass 2: methods inside classes
     classes = [e for e in entities if e.kind == "Class"]
@@ -322,9 +515,24 @@ def parse_file(repo: str, path: str, commit: str, content: str):
             ):
                 continue
             lineno = idx + 1
-            end = _brace_end(lines, idx) + 1
+            end = _brace_end(brace_lines, idx) + 1
             e = Entity("Method", name, lineno, indent, end, _sig_before(line, indent, "{"))
             e.eid = entity_id(fid, "Method", name, lineno, indent)
+            # method decorators: immediately preceding decorator/blank lines
+            decs: list[str] = []
+            back = idx - 1
+            while back >= 0:
+                mdd = DECORATOR_RE.match(lines[back])
+                if mdd:
+                    decs.insert(0, mdd.group(2))
+                    back -= 1
+                    continue
+                if lines[back].strip() == "":
+                    back -= 1
+                    continue
+                break
+            if decs:
+                e.props["decorators"] = decs
             entities.append(e)
             triples.append((cls.eid, "CONTAINS", e.eid, lineno, indent))
 
@@ -406,12 +614,13 @@ def parse_file(repo: str, path: str, commit: str, content: str):
             if tgt is not None:
                 triples.append((owner.eid, "CALLS", tgt.eid, lineno, m.start(1)))
             elif callee in import_map:
-                spec = import_map[callee]
-                if spec.startswith("."):
-                    mentions.append(
-                        _mention(repo, spec, callee, "call", owner, path, lineno, m.start(1))
-                    )
-                # external (bare) specifiers: dangling, no triple
+                # external (bare) specifiers also become mentions — the
+                # linking stage resolves them to nothing and they land
+                # in the J7 dangling report (no-such-module)
+                mentions.append(
+                    _mention(repo, import_map[callee], callee, "call", owner,
+                             path, lineno, m.start(1))
+                )
             # unresolved: dangling
 
     # ---- IMPORTS mentions (resolved to file targets in linking)

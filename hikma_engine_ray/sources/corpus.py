@@ -72,9 +72,19 @@ def _module_content(j: int, rng: random.Random, pkg: int, n_mods: int) -> str:
             dep = (dep + 1) % n_mods
         dep_pkg = dep % 4
         spec = f"./mod_{dep}" if dep_pkg == pkg else f"../pkg{dep_pkg}/mod_{dep}"
-        parts.append(f"import {{ f_{dep}_0 }} from '{spec}';")
+        if rng.random() < 0.3:  # multi-line import clause (SPEC E7)
+            parts.append("import {")
+            parts.append(f"  f_{dep}_0,")
+            parts.append(f"}} from '{spec}';")
+        else:
+            parts.append(f"import {{ f_{dep}_0 }} from '{spec}';")
     parts.append("import fs from 'fs';")
     parts.append("")
+    if rng.random() < 0.3:  # block comment with hostile text (SPEC P0)
+        parts.append("/* module overview {")
+        parts.append(f" * not_a_call_{j}(1) inside comment")
+        parts.append(" */")
+        parts.append("")
     parts.append(f"const rate_{j} = 0.{(j % 9) + 1}5;")
     parts.append("")
     # f_{j}_0 calls util (if hot), f_{j}_1 (same file) and maybe the dep.
@@ -91,6 +101,8 @@ def _module_content(j: int, rng: random.Random, pkg: int, n_mods: int) -> str:
     parts.append("}")
     parts.append("")
     parts.append(f"async function f_{j}_1(x) {{")
+    if rng.random() < 0.3:  # template literal with braces (SPEC P0)
+        parts.append(f"  const label = `mod {{{j}}} at ${{x}} pseudo_call(x)`;")
     parts.append(f"  return x * rate_{j};")
     parts.append("}")
     parts.append("")
@@ -107,6 +119,8 @@ def _module_content(j: int, rng: random.Random, pkg: int, n_mods: int) -> str:
         parts.append("  }")
         parts.append("}")
         parts.append("")
+        if rng.random() < 0.4:  # decorator on the class (SPEC E6b)
+            parts.append(f"@Component_{pkg}()")
         parts.append(f"class C_{j} extends Base_{j} implements I_{j} {{")
         parts.append("  constructor() {")
         parts.append("    this.state = 0;")

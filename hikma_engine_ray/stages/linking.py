@@ -65,6 +65,12 @@ LINKED_SCHEMA = pa.schema(
 
 
 def mention_base(src_path: str, spec: str) -> str:
+    if not spec.startswith("."):
+        # external (bare) specifier: key into a namespace no repo path
+        # can occupy, so the link group has no file definition and the
+        # mention dangles as no-such-module (mirrors rules.resolve_module
+        # returning '' for non-relative specs)
+        return f"\x00ext:{spec}"
     return posixpath.normpath(posixpath.join(posixpath.dirname(src_path), spec))
 
 

@@ -77,6 +77,65 @@ _DISPATCH = frozenset(
 )
 
 
+_LEX = re.compile(r"//|/\*|['\"`]")
+_SQ_BODY = re.compile(r"(?:\\.|[^'\\\n])*'")
+_DQ_BODY = re.compile(r'(?:\\.|[^"\\\n])*"')
+_TPL_BODY = re.compile(r"(?:\\.|[^`\\])*`", re.S)
+
+
+def _mask(chars: list[str], a: int, b: int) -> None:
+    for k in range(a, b):
+        if chars[k] != "\n":
+            chars[k] = " "
+
+
+def _preprocess(content: str) -> tuple[list[str], list[str]]:
+    """SPEC P0 lexer (engine variant: regex jumps instead of golden's
+    per-char state machine — same output, property-tested against it).
+
+    scan view: comments + template contents masked, quoted strings kept.
+    brace view: scan view + quoted-string contents masked. Line
+    structure preserved (masked chars → spaces)."""
+    scan = list(content)
+    extra_str_spans: list[tuple[int, int]] = []  # quoted contents (brace only)
+    pos, n = 0, len(content)
+    while pos < n:
+        m = _LEX.search(content, pos)
+        if m is None:
+            break
+        tok, start = m.group(0), m.start()
+        if tok == "//":
+            end = content.find("\n", start)
+            end = n if end < 0 else end
+            _mask(scan, start, end)
+            pos = end + 1
+        elif tok == "/*":
+            close = content.find("*/", start + 2)
+            end = n if close < 0 else close + 2
+            _mask(scan, start, end)
+            pos = end
+        elif tok == "`":
+            b = _TPL_BODY.match(content, start + 1)
+            end = b.end() if b else n
+            _mask(scan, start + 1, max(start + 1, end - 1))
+            pos = end
+        else:  # ' or "
+            b = (_SQ_BODY if tok == "'" else _DQ_BODY).match(content, start + 1)
+            if b:
+                extra_str_spans.append((start + 1, b.end() - 1))
+                pos = b.end()
+            else:  # unterminated: string ends at EOL
+                eol = content.find("\n", start)
+                eol = n if eol < 0 else eol
+                extra_str_spans.append((start + 1, eol))
+                pos = eol + 1
+    scan_text = "".join(scan)
+    brace = list(scan_text)
+    for a, b_ in extra_str_spans:
+        _mask(brace, a, b_)
+    return scan_text.split("\n"), "".join(brace).split("\n")
+
+
 def _try_treesitter():
     """tree-sitter grammars are not shipped in this container; the regex
     scanner below is the real implementation. If tree_sitter + grammars
@@ -143,11 +202,16 @@ class ParseFiles:
         self.re_import = re.compile(
             r"^(\s*)import\s+(?:(.+?)\s+from\s+)?['\"]([^'\"]+)['\"]", U
         )
+        self.re_import_start = re.compile(r"^(\s*)import\b", U)
         self.re_export_list = re.compile(r"^(\s*)export\s+\{([^}]*)\}", U)
+        self.re_export_list_start = re.compile(r"^(\s*)export\s+\{", U)
         self.re_export_default = re.compile(
             rf"^(\s*)export\s+default\s+({n})\s*;?\s*$", U
         )
-        self.re_call = re.compile(rf"(?<![\w$.])({n})\s*\(", U)
+        self.re_decorator = re.compile(rf"^(\s*)@({n})", U)
+        # '@' in the lookbehind: decorator invocations are not call sites
+        self.re_call = re.compile(rf"(?<![\w$.@])({n})\s*\(", U)
+        self.max_join = 20  # physical lines joined into one logical stmt
         self.call_keywords = frozenset(
             "if for while switch catch function return new typeof await else do "
             "import export async const let var super this constructor".split()
@@ -217,10 +281,12 @@ class ParseFiles:
         fid = cols["file_id"][i]
         content: str = cols["content"][i]
         is_test = bool(cols["is_test"][i])
-        lines = content.split("\n")
+        # SPEC P0: scan view for regexes/signatures/calls, brace view for
+        # nesting (comments, templates, string braces never count)
+        lines, brace_lines = _preprocess(content)
         nlines = len(lines)
 
-        # (kind, name, line1, col, end1, sig, exported)
+        # (kind, name, line1, col, end1, sig, exported, props)
         ents: list[list] = []
         imports: dict[str, str] = {}
         import_stmts: list[tuple[str, int, int]] = []
@@ -228,26 +294,42 @@ class ParseFiles:
         export_defaults: list[tuple[str, int, int]] = []
         inline_exported: set[str] = set()
         class_idx: list[int] = []
+        pending_dec: list[str] = []
 
         depth = 0
-        for idx in range(nlines):
+        idx = 0
+        while idx < nlines:
             line = lines[idx]
             s = line.lstrip()
-            tok = s.split(" ", 1)[0].split("(", 1)[0] if s else ""
-            if tok in _DISPATCH:
-                handled = self._dispatch(
-                    out, lines, idx, line, depth, is_test, ents, imports,
-                    import_stmts, export_lists, export_defaults,
-                    inline_exported, class_idx,
+            consumed = 1
+            if s.startswith("@"):
+                md = self.re_decorator.match(line)
+                if md:
+                    pending_dec.append(md.group(2))
+                    s = ""  # handled; fall through to depth bookkeeping
+            if s:
+                tok = s.split(" ", 1)[0].split("(", 1)[0]
+                res = (
+                    self._dispatch(
+                        out, lines, brace_lines, idx, line, depth, is_test,
+                        ents, imports, import_stmts, export_lists,
+                        export_defaults, inline_exported, class_idx,
+                        pending_dec,
+                    )
+                    if tok in _DISPATCH
+                    else 0
                 )
-            else:
-                handled = False
-            del handled
-            for ch in line:
-                if ch == "{":
-                    depth += 1
-                elif ch == "}":
-                    depth = max(0, depth - 1)
+                if res == 0:  # unhandled non-blank line drops the queue
+                    pending_dec.clear()
+                else:
+                    consumed = res
+            for k in range(idx, idx + consumed):
+                for ch in brace_lines[k]:
+                    if ch == "{":
+                        depth += 1
+                    elif ch == "}":
+                        depth = max(0, depth - 1)
+            idx += consumed
 
         # in-file triple dedup: every triple this file emits goes through
         # seen_triples, so the file's output is duplicate-free by
@@ -275,9 +357,26 @@ class ParseFiles:
                 indent = len(m.group(1))
                 if indent <= ccol:
                     continue
-                end = self._brace_end(lines, idx) + 1
+                end = self._brace_end(brace_lines, idx) + 1
                 sig = self._sig(lines[idx], indent, "{")
-                ents.append(["Method", m.group(2), idx + 1, indent, end, sig, False])
+                # method decorators: immediately preceding @/blank lines
+                mprops: dict = {}
+                back = idx - 1
+                decs: list[str] = []
+                while back >= 0:
+                    md = self.re_decorator.match(lines[back])
+                    if md:
+                        decs.insert(0, md.group(2))
+                        back -= 1
+                        continue
+                    if lines[back].strip() == "":
+                        back -= 1
+                        continue
+                    break
+                if decs:
+                    mprops["decorators"] = decs
+                ents.append(["Method", m.group(2), idx + 1, indent, end, sig,
+                             False, mprops])
                 skip_until = end
                 eid = entity_id(fid, "Method", m.group(2), idx + 1, indent)
                 cls_eid = entity_id(fid, ckind, cname, cline, ccol)
@@ -316,7 +415,8 @@ class ParseFiles:
                 j = resolve(ext, TYPE_KINDS)
                 if j is not None:
                     triple(cls_eid, "EXTENDS", eids[j], e[2], e[3])
-                elif ext in imports and imports[ext].startswith("."):
+                elif ext in imports:
+                    # external specs too: linking dangles them (J7)
                     out.row("mention", repo=repo, path=path, module=imports[ext],
                             symbol=ext, mkind="extends", src_id=cls_eid,
                             src_kind="Class", line=e[2], col=e[3])
@@ -324,7 +424,7 @@ class ParseFiles:
                 j = resolve(nm, TYPE_KINDS)
                 if j is not None:
                     triple(cls_eid, "IMPLEMENTS", eids[j], e[2], e[3])
-                elif nm in imports and imports[nm].startswith("."):
+                elif nm in imports:
                     out.row("mention", repo=repo, path=path, module=imports[nm],
                             symbol=nm, mkind="implements", src_id=cls_eid,
                             src_kind="Class", line=e[2], col=e[3])
@@ -385,7 +485,10 @@ class ParseFiles:
                     triple(eids[owner], "CALLS", eids[j], line1, m.start(1))
                     local_calls.setdefault(owner, set()).add(j)
                     called_by.setdefault(j, set()).add(owner)
-                elif callee in imports and imports[callee].startswith("."):
+                elif callee in imports:
+                    # external (bare) specifiers become mentions too — the
+                    # linking stage resolves them to nothing and reports
+                    # them dangling (no-such-module), matching golden
                     external_calls.setdefault(owner, set()).add(callee)
                     out.row("mention", repo=repo, path=path,
                             module=imports[callee], symbol=callee, mkind="call",
@@ -445,94 +548,134 @@ class ParseFiles:
 
     # ------------------------------------------------------------- dispatch
 
-    def _dispatch(self, out, lines, idx, line, depth, is_test, ents, imports,
-                  import_stmts, export_lists, export_defaults, inline_exported,
-                  class_idx) -> bool:
+    def _join_stmt(self, lines, idx, done):
+        """Join physical lines from idx into one logical statement until
+        ``done(text)``; returns (text, n_lines)."""
+        buf = lines[idx]
+        k = 1
+        while not done(buf) and k < self.max_join and idx + k < len(lines):
+            buf = buf + " " + lines[idx + k].strip()
+            k += 1
+        return buf, k
+
+    def _dispatch(self, out, lines, brace_lines, idx, line, depth, is_test,
+                  ents, imports, import_stmts, export_lists, export_defaults,
+                  inline_exported, class_idx, pending_dec) -> int:
+        """Handle one (possibly multi-line) statement; returns the number
+        of physical lines consumed (0 = not handled)."""
         line1 = idx + 1
+
+        def take_dec() -> dict:
+            if not pending_dec:
+                return {}
+            d = {"decorators": list(pending_dec)}
+            pending_dec.clear()
+            return d
+
+        consumed = 1
         m = self.re_import.match(line)
+        if m is None and self.re_import_start.match(line):
+            joined, njoin = self._join_stmt(
+                lines, idx, lambda s: self.re_import.match(s)
+            )
+            m = self.re_import.match(joined)
+            if m:
+                line, consumed = joined, njoin
         if m:
+            pending_dec.clear()
             indent, clause, spec = m.groups()
             col = len(indent)
-            ents.append(["Import", spec, line1, col, line1,
-                         line.strip().rstrip(";"), False])
+            ents.append(["Import", spec, line1, col, line1 + consumed - 1,
+                         line.strip().rstrip(";"), False, {}])
             import_stmts.append((spec, line1, col))
             if clause:
                 for local in self._import_locals(clause):
                     imports[local] = spec
-            return True
+            return consumed
         m = self.re_export_list.match(line)
+        if m is None and self.re_export_list_start.match(line):
+            joined, njoin = self._join_stmt(lines, idx, lambda s: "}" in s)
+            m = self.re_export_list.match(joined)
+            if m:
+                line, consumed = joined, njoin
         if m:
+            pending_dec.clear()
             names = [x.strip().split(" as ")[-1].strip()
                      for x in m.group(2).split(",") if x.strip()]
             col = len(m.group(1))
-            ents.append(["Export", ",".join(names), line1, col, line1,
-                         line.strip().rstrip(";"), False])
+            ents.append(["Export", ",".join(names), line1, col,
+                         line1 + consumed - 1, line.strip().rstrip(";"),
+                         False, {}])
             export_lists.append((names, line1, col))
-            return True
+            return consumed
         m = self.re_export_default.match(line)
         if m:
+            pending_dec.clear()
             col = len(m.group(1))
             ents.append(["Export", "default", line1, col, line1,
-                         line.strip().rstrip(";"), False])
+                         line.strip().rstrip(";"), False, {}])
             export_defaults.append((m.group(2), line1, col))
-            return True
+            return 1
         m = self.re_func.match(line)
         if m:
             col = len(m.group(1))
             kind = "TestCase" if is_test else "Function"
-            end = self._brace_end(lines, idx) + 1
+            end = self._brace_end(brace_lines, idx) + 1
             exported = line[col:].startswith("export")
             ents.append([kind, m.group(2), line1, col, end,
-                         self._sig(line, col, "{"), exported])
+                         self._sig(line, col, "{"), exported, take_dec()])
             if exported:
                 inline_exported.add(m.group(2))
-            return True
+            return 1
         m = self.re_arrow.match(line)
         if m:
             col = len(m.group(1))
-            after = line.split("=>", 1)[1]
-            end = self._brace_end(lines, idx) + 1 if "{" in after else line1
+            after = brace_lines[idx].split("=>", 1)[-1]
+            end = self._brace_end(brace_lines, idx) + 1 if "{" in after else line1
             exported = line[col:].startswith("export")
             ents.append(["ArrowFunction", m.group(2), line1, col, end,
-                         self._sig(line, col, "=>"), exported])
+                         self._sig(line, col, "=>"), exported, take_dec()])
             if exported:
                 inline_exported.add(m.group(2))
-            return True
+            return 1
         m = self.re_class.match(line)
         if m:
             indent, name, ext, impl = m.groups()
             col = len(indent)
-            end = self._brace_end(lines, idx) + 1
+            end = self._brace_end(brace_lines, idx) + 1
             exported = line[col:].startswith("export")
+            props = {"extends": ext or "", "implements": impl or ""}
+            props.update(take_dec())
             ents.append(["Class", name, line1, col, end, self._sig(line, col, "{"),
-                         exported, {"extends": ext or "", "implements": impl or ""}])
+                         exported, props])
             class_idx.append(len(ents) - 1)
             if exported:
                 inline_exported.add(name)
-            return True
+            return 1
         m = self.re_iface.match(line)
         if m:
             col = len(m.group(1))
-            end = self._brace_end(lines, idx) + 1
+            end = self._brace_end(brace_lines, idx) + 1
             exported = line[col:].startswith("export")
             ents.append(["Interface", m.group(2), line1, col, end,
-                         self._sig(line, col, "{"), exported])
+                         self._sig(line, col, "{"), exported, take_dec()])
             if exported:
                 inline_exported.add(m.group(2))
-            return True
+            return 1
         m = self.re_var.match(line)
         if m and depth == 0:
             indent, vkind, name, value = m.groups()
             col = len(indent)
             exported = line[col:].startswith("export")
+            props = {"kind": vkind,
+                     "value_snippet": value.rstrip(";").strip()[:100]}
+            props.update(take_dec())
             ents.append(["Variable", name, line1, col, line1,
-                         line.strip().rstrip(";"), exported,
-                         {"kind": vkind,
-                          "value_snippet": value.rstrip(";").strip()[:100]}])
+                         line.strip().rstrip(";"), exported, props])
             if exported:
                 inline_exported.add(name)
-            return True
-        return False
+            return 1
+        return 0
 
     # -------------------------------------------------------------- helpers
 

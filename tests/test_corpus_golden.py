@@ -95,3 +95,85 @@ def test_precision_recall_math():
     e = {("a", "P", "b"), ("x", "P", "y")}
     pr = precision_recall(e, g)
     assert pr["precision"] == 0.5 and pr["recall"] == 0.5
+
+
+def test_spec_v2_constructs():
+    """SPEC v2: block comments, template literals, multi-line
+    import/export, decorators, external-call mentions."""
+    src = "\n".join(
+        [
+            "import {",
+            "  aid,",
+            "  bid,",
+            "} from './lib';",
+            "import axios from 'axios';",
+            "",
+            "/* block comment with a brace {",
+            "   and a fake_call(1) spanning lines */",
+            "function outer(x) {",
+            "  const t = `template { with brace and ${x} interp and ghost(2)`;",
+            "  // line comment calling ghost2(3)",
+            "  return aid(x) + axios(x);",
+            "}",
+            "",
+            "@Injectable()",
+            "class Svc {",
+            "  @Get()",
+            "  handle(x) {",
+            "    return outer(x);",
+            "  }",
+            "}",
+            "",
+            "export {",
+            "  outer,",
+            "};",
+        ]
+    )
+    ents, triples, mentions, exported = parse_file("r/r", "src/svc.ts", "c1", src)
+    by = {(e.kind, e.name): e for e in ents}
+
+    # multi-line import parsed: one Import entity, locals recorded
+    imp = by[("Import", "./lib")]
+    assert imp.start_line == 1 and imp.end_line == 4
+    # block comment: no entity/call extracted from its text; outer's
+    # end_line is unaffected by the '{' inside the comment
+    outer = by[("Function", "outer")]
+    assert outer.end_line == 13
+    spo = {(t[0], t[1], t[2]) for t in triples}
+    callees = {t[2] for t in spo if t[1] == "CALLS"}
+    # no calls from comment or template text
+    assert not any("ghost" in str(c) or "fake" in str(c) for c in callees)
+    # calls to imported names become mentions — INCLUDING the external one
+    ms = {(m["module"], m["symbol"], m["kind"]) for m in mentions}
+    assert ("./lib", "aid", "call") in ms
+    assert ("axios", "axios", "call") in ms  # external spec dangles later
+    # decorators attach to class and method; not treated as calls
+    svc = by[("Class", "Svc")]
+    assert svc.props.get("decorators") == ["Injectable"]
+    handle = by[("Method", "handle")]
+    assert handle.props.get("decorators") == ["Get"]
+    assert not any(c in ("Injectable", "Get") for c in callees)
+    assert (handle.eid, "CALLS", outer.eid) in spo
+    # multi-line export resolved
+    assert "outer" in exported
+
+
+def test_spec_v2_external_mentions_dangle():
+    """External-spec call mentions land in the dangling report, never in
+    triples (golden_extract end-to-end)."""
+    import pyarrow as pa
+
+    from hikma_engine_ray.schemas import CORPUS
+
+    rows = [
+        {
+            "repo": "r/r", "path": "src/a.ts", "commit": "c1",
+            "lang": "typescript",
+            "content": "import axios from 'axios';\n"
+                       "function f(x) {\n  return axios(x);\n}\n",
+        }
+    ]
+    corpus = pa.Table.from_pylist(rows, schema=CORPUS)
+    _, triples, dangling = golden_extract(corpus)
+    assert not any(t[1] == "CALLS" for t in triples)
+    assert any(d["module"] == "axios" and d["kind"] == "call" for d in dangling)

@@ -24,23 +24,38 @@ def source_file(draw):
     for i in range(n_imports):
         spec = draw(st.sampled_from(["./other", "../lib/utils", "fs", "./missing"]))
         syms = draw(st.lists(name, min_size=1, max_size=3, unique=True))
-        lines.append(f"import {{ {', '.join(syms)} }} from '{spec}';")
+        if draw(st.booleans()):
+            lines.append(f"import {{ {', '.join(syms)} }} from '{spec}';")
+        else:  # multi-line import clause (SPEC E7)
+            lines.append("import {")
+            for s in syms:
+                lines.append(f"  {s},")
+            lines.append(f"}} from '{spec}';")
+    if draw(st.booleans()):  # block comment with hostile text (SPEC P0)
+        lines.append("/* block comment { with brace and fake_call(1)")
+        lines.append("   spanning lines */")
     n_funcs = draw(st.integers(0, 4))
     fnames = draw(st.lists(uname, min_size=n_funcs, max_size=n_funcs, unique=True))
     for fn in fnames:
         body_calls = draw(st.lists(st.sampled_from(fnames + ["ext", "missing1"]),
                                    max_size=2))
+        if draw(st.booleans()):
+            lines.append(f"@deco{draw(st.integers(0, 3))}")
         lines.append(f"function {fn}(a, b) {{")
         for c in body_calls:
             lines.append(f"  const x = {c}(a);")
         if draw(st.booleans()):
             lines.append("  // comment mentioning call_like(1)")
+        if draw(st.booleans()):  # template literal with braces (SPEC P0)
+            lines.append("  const t = `tpl { brace ${a} and fakecall(2)`;")
         lines.append("  return a + b;")
         lines.append("}")
     if draw(st.booleans()) and fnames:
         lines.append(f"const arrow1 = (x) => {fnames[0]}(x, 1);")
     if draw(st.booleans()):
         cname = draw(name)
+        if draw(st.booleans()):
+            lines.append("@Injectable()")
         lines.append(f"class K{cname} {{")
         lines.append("  run(x) {")
         if fnames:
@@ -48,9 +63,17 @@ def source_file(draw):
         lines.append("  }")
         lines.append("}")
     if draw(st.booleans()) and fnames:
-        lines.append(f"export {{ {fnames[0]} }};")
+        if draw(st.booleans()):
+            lines.append(f"export {{ {fnames[0]} }};")
+        else:  # multi-line export list (SPEC E8)
+            lines.append("export {")
+            lines.append(f"  {fnames[0]},")
+            lines.append("};")
     if draw(st.booleans()):
-        lines.append(draw(st.sampled_from(["}}{{", "((", "] ]", "const broken ="])))
+        lines.append(draw(st.sampled_from(
+            ["}}{{", "((", "] ]", "const broken =",
+             "/* unterminated block", "const s = 'unterminated",
+             "const q = `unterminated template"])))
     return "\n".join(lines) + "\n"
 
 
