@@ -34,7 +34,7 @@ from ..stages.linking import (
     LINKED_SCHEMA,
     explode_definitions,
     explode_mentions,
-    find_hot_keys_sampled,
+    find_hot_keys_exact,
     link_bucket,
 )
 from ..stages.parser import ParseFiles
@@ -85,6 +85,22 @@ def default_parse_concurrency() -> tuple[int, int]:
     return (n, n)
 
 
+_PARSE_CACHE: "ParseFiles | None" = None
+
+
+def parse_files_task(batch: pa.Table) -> pa.Table:
+    """Stateless-task parse: file_meta fused in (one stage, no
+    intermediate blocks) and the parser instance cached per worker
+    process — the same compile-once semantics as the actor pool without
+    its spin-up cost or static CPU reservation. Parser state is cheap
+    (compiled regexes); heavyweight state (models) still belongs in a
+    real actor pool — see stages.embedding.ModelEmbedder."""
+    global _PARSE_CACHE
+    if _PARSE_CACHE is None:
+        _PARSE_CACHE = ParseFiles()
+    return _PARSE_CACHE(file_meta_batch(batch))
+
+
 def parse_corpus(
     corpus_ds: "ray.data.Dataset",
     *,
@@ -95,18 +111,29 @@ def parse_corpus(
     is deliberate — the parse is the expensive stage and its (much
     smaller, content-free) output feeds four consumers; at cluster scale
     this is the natural checkpoint boundary (state.checkpoint holds the
-    Parquet-backed variant)."""
-    if parse_concurrency is None:
-        parse_concurrency = default_parse_concurrency()
-    meta = corpus_ds.map_batches(file_meta_batch, batch_format="pyarrow")
-    tagged = meta.map_batches(
-        ParseFiles,
-        batch_format="pyarrow",
-        batch_size=parse_batch_size,
-        concurrency=parse_concurrency,
-        num_cpus=1,
-    )
+    Parquet-backed variant).
+
+    Default execution is task-based (worker-cached parser): measured at
+    num_cpus=32 the fixed actor-pool spin-up plus its static CPU
+    reservation cost ~5-7 s that never parallelize — the single largest
+    serial term in the scaling budget. Pass ``parse_concurrency`` to get
+    the explicit actor-pool form instead."""
     _t = [_time.monotonic()]
+    if parse_concurrency is not None:
+        meta = corpus_ds.map_batches(file_meta_batch, batch_format="pyarrow")
+        tagged = meta.map_batches(
+            ParseFiles,
+            batch_format="pyarrow",
+            batch_size=parse_batch_size,
+            concurrency=parse_concurrency,
+            num_cpus=1,
+        )
+    else:
+        tagged = corpus_ds.map_batches(
+            parse_files_task,
+            batch_format="pyarrow",
+            batch_size=parse_batch_size,
+        )
     tagged = tagged.materialize()
     _tick("parse+materialize", _t)
     return tagged
@@ -214,10 +241,19 @@ def build_graph_from_tagged(
     embed_concurrency=None,
     embed: bool = True,
     adjacency: bool = True,
+    materialize_triples: bool = True,
+    degree_cap: int | None = 500_000,
 ) -> dict:
     """Linking + dedup + embedding + adjacency over the parser's tagged
     output (in-memory materialized or read back from a parsed-shard
-    checkpoint)."""
+    checkpoint).
+
+    ``materialize_triples=False`` is the single-consumer streaming mode:
+    neither the linked stream nor the final triples are pinned, so the
+    whole link→dedup→adjacency chain executes as ONE streaming topology
+    with no barriers — right when exactly one consumer drains the
+    result (e.g. the bench headline, or a pure-adjacency build). The
+    default pins triples for multi-consumer use (sinks + adjacency)."""
     if embed_concurrency is None:
         embed_concurrency = default_parse_concurrency()
 
@@ -227,8 +263,10 @@ def build_graph_from_tagged(
     defs = tagged.map_batches(_kind_filter("definition", DEF_COLS), batch_format="pyarrow")
 
     _t = [_time.monotonic()]
-    # ---- entity linking (J4): one salted shuffle into bounded buckets
-    hot = find_hot_keys_sampled(mentions, hot_threshold)
+    # ---- entity linking (J4): one salted shuffle into bounded buckets.
+    # Hot keys come from the parser's folded per-batch partial counts —
+    # exact, one cheap pass, no mention sampling (stages/linking.py).
+    hot = find_hot_keys_exact(tagged, hot_threshold)
     _tick("find_hot_keys", _t)
     link_buckets = max(nbuckets, 64)
     m_keyed = mentions.map_batches(
@@ -239,15 +277,17 @@ def build_graph_from_tagged(
     )
 
     # coalesce before the sort shuffle: dozens of full blocks beat
-    # hundreds of tiny ones (sort cost grows with input block count)
+    # hundreds of tiny ones (sort planning/merge cost grows sharply with
+    # input block count — removing this measured 2× slower end-to-end)
     linked = (
         m_keyed.union(d_keyed)
         .repartition(nbuckets)
         .groupby("link_bucket")
         .map_groups(link_bucket, batch_format="pandas")
     )
-    linked = linked.materialize()  # small; consumed twice (triples + dangling)
-    _tick("linking", _t)
+    if materialize_triples:
+        linked = linked.materialize()  # consumed twice (triples + dangling)
+        _tick("linking", _t)
 
     linked_triples = linked.map_batches(
         _kind_filter("triple", TRIPLE_COLS), batch_format="pyarrow"
@@ -263,41 +303,67 @@ def build_graph_from_tagged(
     #     file dedups in-actor, ids are content-addressed, and input rows
     #     are unique by (repo, commit, path) — EXCEPT the per-batch
     #     HAS_COMMIT rows (repeated across batches of the same repo)
-    #   * linked triples: two mentions at different sites can resolve to
-    #     the same (subj, pred, obj)
+    #   * linked triples: the salt key excludes line/col, so every
+    #     mention pair that can emit the same (subj, pred, obj) shares a
+    #     link group and dies in link_bucket's in-group dedup — EXCEPT
+    #     IMPORTS, where two different specifiers ('./x' vs '../p/x')
+    #     from one file can resolve to the same target across different
+    #     link keys
     #   * Repository/Commit nodes repeat across batches; all other node
     #     ids are unique by construction
-    # Shuffling only these small streams instead of every triple/node
-    # turns the dedup from an all-to-all of the whole graph into a
-    # kilobyte-scale one.
-    def _pred_split(want_dup: bool):
-        def fn(t: pa.Table) -> pa.Table:
-            mask = pc.equal(t["pred"], "HAS_COMMIT")
-            return t.filter(mask if want_dup else pc.invert(mask))
+    # The global dedup shuffle therefore carries only HAS_COMMIT rows +
+    # linked IMPORTS — kilobytes, not the graph.
+    def _pred_split(col_pred: str):
+        def fn_factory(want: bool):
+            def fn(t: pa.Table) -> pa.Table:
+                mask = pc.equal(t["pred"], col_pred)
+                return t.filter(mask if want else pc.invert(mask))
 
-        return fn
+            return fn
 
-    dupable = triples_local.map_batches(_pred_split(True), batch_format="pyarrow")
-    unique_local = triples_local.map_batches(_pred_split(False), batch_format="pyarrow")
+        return fn_factory
+
+    has_commit = _pred_split("HAS_COMMIT")
+    imports = _pred_split("IMPORTS")
+    dupable = triples_local.map_batches(has_commit(True), batch_format="pyarrow")
+    unique_local = triples_local.map_batches(has_commit(False), batch_format="pyarrow")
+    linked_imports = linked_triples.map_batches(imports(True), batch_format="pyarrow")
+    linked_rest = linked_triples.map_batches(imports(False), batch_format="pyarrow")
     deduped = dedup_exact(
-        dupable.union(linked_triples),
+        dupable.union(linked_imports),
         key_cols=["subj", "pred", "obj"],
         nbuckets=nbuckets,
         sort_cols=["subj", "pred", "obj", "line", "col"],
     )
-    triples = unique_local.union(deduped)
+    triples = unique_local.union(linked_rest).union(deduped)
 
     nodes = _finish_nodes(nodes_raw, embed)
 
     out = {"nodes": nodes, "triples": triples, "dangling": dangling}
     if adjacency:
-        # triples feed both the sink and the adjacency shuffle; coalesce
-        # then pin once (a materialized pile of 256 tiny blocks would
-        # make the adjacency sort pay per-block overhead)
-        triples = triples.repartition(nbuckets).materialize()
-        _tick("dedup+materialize-triples", _t)
-        out["triples"] = triples
-        out["adjacency"] = build_adjacency(triples, nbuckets=nbuckets)
+        if materialize_triples:
+            # triples feed both the sink and the adjacency shuffle;
+            # coalesce then pin once (a materialized pile of tiny blocks
+            # would make the adjacency sort pay per-block overhead)
+            triples = triples.repartition(nbuckets).materialize()
+            _tick("dedup+materialize-triples", _t)
+            out["triples"] = triples
+            out["adjacency"] = build_adjacency(
+                triples, nbuckets=nbuckets, degree_cap=degree_cap
+            )
+        else:
+            # streaming mode: the adjacency shuffle consumes the RAW
+            # (pre-dedup) triple union — duplicates of a triple land in
+            # the same (node, dir) reduce group, where _assemble drops
+            # them exactly. The global dedup shuffle disappears from the
+            # consumed path entirely; `triples` above remains the
+            # dedup-correct pipeline for any other consumer. Degree
+            # capping needs a materialized input to sample, so it
+            # applies only on the pinned path.
+            raw = triples_local.union(linked_triples)
+            out["adjacency"] = build_adjacency(
+                raw, nbuckets=nbuckets, degree_cap=None
+            )
     return out
 
 

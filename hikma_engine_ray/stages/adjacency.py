@@ -140,6 +140,11 @@ def _assemble(g: pa.Table) -> pa.Table:
         }
     )
     df = flat.to_pandas()
+    # exact dedup at the reduce: duplicates of a triple land in the same
+    # (node, dir) group by construction, so dropping them here makes the
+    # adjacency correct even over a PRE-dedup triple stream (streaming
+    # mode skips the global dedup shuffle); a no-op for deduped input
+    df = df.drop_duplicates(subset=["node_id", "seg", "dir", "pred", "other"])
     segmented = bool((df["seg"].to_numpy() != 0).any())
     if segmented:
         # composite sort key: hot segments are rare, pay the concat only
@@ -186,7 +191,13 @@ def build_adjacency(triples_ds, nbuckets: int = 64,
         else {}
     )
     return (
-        triples_ds.map_batches(_emit_partials(nbuckets, hot), batch_format="pyarrow")
+        # explicit batch_size: coalesces the (possibly fragmented) triple
+        # blocks so the per-batch combiner sees enough rows per node to
+        # actually compress the shuffle
+        triples_ds.map_batches(
+            _emit_partials(nbuckets, hot), batch_format="pyarrow",
+            batch_size=131072,
+        )
         .groupby("__bucket")
         .map_groups(_assemble, batch_format="pyarrow")
     )

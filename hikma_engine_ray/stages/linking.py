@@ -103,7 +103,13 @@ def explode_mentions(hot_keys: set[str], nsalt: int, nbuckets: int = 64):
             rb = f"{repo[i]}{SEP}{base}"
             salt = 0
             if rb in hot_keys and nsalt > 1:
-                salt = _crc(f"{src_id[i]}{mkind[i]}{symbol[i]}{line[i]}{col[i]}") % nsalt
+                # salt EXCLUDES line/col: all mentions with the same
+                # (src, kind, symbol) — the only combinations that can
+                # produce the same linked triple — land in ONE salt
+                # group, so in-bucket dedup makes CALLS/EXTENDS/
+                # IMPLEMENTS/TESTED_BY linked triples globally unique
+                # (see link_bucket + index_pipeline dedup scope)
+                salt = _crc(f"{src_id[i]}{mkind[i]}{symbol[i]}") % nsalt
             link_key[i] = f"{rb}{SEP}{salt}"
         bucket = [_crc(k) % nbuckets for k in link_key]
         return pa.table(
@@ -284,7 +290,37 @@ def link_bucket(g: pd.DataFrame) -> pa.Table:
     emit_dangling((mk == "call") & has_sym & ~callable_, "not-callable")
     emit_triples((mk == "extends") & has_sym, "EXTENDS", "src_id", "d_eid")
     emit_triples((mk == "implements") & has_sym, "IMPLEMENTS", "src_id", "d_eid")
-    return pa.Table.from_pylist(rows, schema=LINKED_SCHEMA)
+    out = pa.Table.from_pylist(rows, schema=LINKED_SCHEMA)
+    return _dedup_bucket_triples(out)
+
+
+def _dedup_bucket_triples(t: pa.Table) -> pa.Table:
+    """Drop duplicate (subj, pred, obj) TRIPLE rows within one bucket,
+    keeping the deterministic first by (line, col). Because the salt is
+    keyed on (src, kind, symbol), every mention pair that can emit the
+    same triple shares a link group — so after this in-bucket pass the
+    non-IMPORTS linked triples are globally unique and skip the global
+    dedup shuffle entirely (index_pipeline dedup scope)."""
+    import pyarrow.compute as pc
+
+    is_triple = pc.equal(t["kind"], "triple")
+    trip = t.filter(is_triple)
+    rest = t.filter(pc.invert(is_triple))
+    if trip.num_rows > 1:
+        trip = trip.sort_by(
+            [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending"),
+             ("line", "ascending"), ("col", "ascending")]
+        )
+        key = pc.binary_join_element_wise(
+            trip["subj"], trip["pred"], trip["obj"], "\x1f"
+        )
+        n = trip.num_rows
+        prev_eq = pc.equal(key.slice(1), key.slice(0, n - 1))
+        keep = pa.chunked_array(
+            [pa.array([True]), pc.invert(prev_eq).combine_chunks()]
+        )
+        trip = trip.filter(keep)
+    return pa.concat_tables([trip, rest]).combine_chunks()
 
 
 def link_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -364,8 +400,45 @@ def _dangle(m, reason: str) -> dict:
 
 
 def _linked_df(rows: list[dict]) -> pa.Table:
-    # return Arrow with the pinned schema so every group's block unifies
-    return pa.Table.from_pylist(rows, schema=LINKED_SCHEMA)
+    # return Arrow with the pinned schema so every group's block unifies;
+    # same in-group triple dedup as link_bucket (equivalence-tested)
+    return _dedup_bucket_triples(pa.Table.from_pylist(rows, schema=LINKED_SCHEMA))
+
+
+def find_hot_keys_exact(tagged_ds, hot_threshold: int) -> set[str]:
+    """EXACT heavy-hitter detection from the parser's folded per-batch
+    'keycount' rows (stages/parser.py emits one partial count per
+    (repo, base) per batch): one cheap filter pass over the materialized
+    parse output + a tiny groupby over partials — no mention sampling,
+    no extra corpus pass, no prefix bias."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], "keycount"))
+        # second-level combine inside the scan task: collapse this
+        # block's per-batch partials so the driver sees one row per key
+        # per block
+        rb = pc.binary_join_element_wise(t["repo"], t["module"], SEP)
+        g = (
+            pa.table({"rb": rb, "n": pc.cast(t["line"], pa.int64())})
+            .group_by(["rb"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["rb", "n"])
+
+    # batch_size=None: combine at BLOCK granularity (each block spans
+    # many parse batches) so the driver sees one row per key per block
+    partial_df = tagged_ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    # final combine on the driver, vectorized: rows = (#keys × #blocks)
+    # partials — small next to the corpus. (If the key cardinality ever
+    # made this a driver hazard, swap for groupby('rb').aggregate(Sum);
+    # same semantics, one extra small shuffle.)
+    del Sum  # documented alternative above
+    totals = partial_df.groupby("rb", sort=False)["n"].sum()
+    return set(totals.index[totals > int(hot_threshold)])
 
 
 def find_hot_keys_sampled(mentions_ds, hot_threshold: int,

@@ -150,24 +150,108 @@ def _try_treesitter():
 
 
 class _Out:
-    """Columnar builders for the tagged-union output table."""
+    """Columnar builders for the tagged-union output table.
 
-    __slots__ = ("cols",)
+    Sparse: each row touches only its ~8 populated fields; the other
+    ~19 columns materialize as nulls at table-build time (a np.full +
+    fancy-index per column) instead of 27 Python appends per row."""
+
+    __slots__ = ("n", "kinds", "idx", "val")
 
     def __init__(self):
-        self.cols = {c: [] for c in _COLS}
+        self.n = 0
+        self.kinds: list[str] = []
+        self.idx: dict[str, list[int]] = {c: [] for c in _COLS[1:]}
+        self.val: dict[str, list] = {c: [] for c in _COLS[1:]}
 
     def row(self, kind: str, **kw):
-        c = self.cols
-        c["kind"].append(kind)
-        for k in _COLS[1:]:
-            c[k].append(kw.get(k))
+        i = self.n
+        self.n = i + 1
+        self.kinds.append(kind)
+        idx, val = self.idx, self.val
+        for k, v in kw.items():
+            idx[k].append(i)
+            val[k].append(v)
 
     def table(self) -> pa.Table:
-        return pa.Table.from_arrays(
-            [pa.array(self.cols[f.name], f.type) for f in TAGGED_SCHEMA],
-            schema=TAGGED_SCHEMA,
-        )
+        import numpy as np
+
+        n = self.n
+        arrays = [pa.array(self.kinds, pa.string())]
+        for f in TAGGED_SCHEMA:
+            if f.name == "kind":
+                continue
+            ix = self.idx[f.name]
+            if len(ix) == n:  # dense column: no null fill needed
+                arrays.append(pa.array(self.val[f.name], f.type))
+                continue
+            col = np.full(n, None, dtype=object)
+            if ix:
+                col[ix] = self.val[f.name]
+            arrays.append(pa.array(col, f.type))
+        return pa.Table.from_arrays(arrays, schema=TAGGED_SCHEMA)
+
+
+class _BraceIndex:
+    """Per-file brace bookkeeping over the brace view.
+
+    Per-line open/close counts come from C-speed ``str.count``; the
+    exact per-char scan runs only on lines where a zero-crossing or
+    clamp is possible (current depth ≤ closes on the line). Semantically
+    identical to scanning every character — the fast paths apply only
+    when order inside the line provably cannot matter."""
+
+    __slots__ = ("lines", "opens", "closes")
+
+    def __init__(self, brace_lines: list[str]):
+        self.lines = brace_lines
+        self.opens = [l.count("{") for l in brace_lines]
+        self.closes = [l.count("}") for l in brace_lines]
+
+    def depth_after(self, depth: int, idx: int) -> int:
+        c = self.closes[idx]
+        if c == 0:
+            return depth + self.opens[idx]
+        if depth >= c:  # prefix minimum ≥ 0 → clamp can't trigger
+            return depth + self.opens[idx] - c
+        for ch in self.lines[idx]:
+            if ch == "{":
+                depth += 1
+            elif ch == "}":
+                depth = max(0, depth - 1)
+        return depth
+
+    def brace_end(self, start_idx: int) -> int:
+        """Line index of the close matching the first '{' at/after
+        start_idx (same clamped semantics as the per-char scan)."""
+        n = len(self.lines)
+        depth = 0
+        opened = False
+        i = start_idx
+        while i < n:
+            o, c = self.opens[i], self.closes[i]
+            if opened:
+                if c == 0:
+                    depth += o
+                    i += 1
+                    continue
+                if depth > c:  # cannot reach zero on this line
+                    depth += o - c
+                    i += 1
+                    continue
+            elif o == 0 and c == 0:
+                i += 1
+                continue
+            for ch in self.lines[i]:
+                if ch == "{":
+                    depth += 1
+                    opened = True
+                elif ch == "}":
+                    depth = max(0, depth - 1)
+                    if opened and depth == 0:
+                        return i
+            i += 1
+        return n - 1
 
 
 class ParseFiles:
@@ -235,6 +319,7 @@ class ParseFiles:
         }
         seen_repo: set[str] = set()
         seen_commit: set[tuple[str, str]] = set()
+        self._keycounts: dict[tuple[str, str], int] = {}
         for i in range(batch.num_rows):
             self._emit_file_level(out, cols, i, seen_repo, seen_commit)
             if cols["lang_detected"][i] in PARSED_LANGS:
@@ -244,7 +329,19 @@ class ParseFiles:
                     # skip-with-warning semantics (ast-parser.ts:80-82):
                     # a malformed file must never kill the stage.
                     pass
+        # per-batch partial mention-key counts, folded into the parse
+        # output so hot-key detection needs NO extra pass over the corpus
+        # (one 'keycount' row per distinct (repo, base) per batch; the
+        # count rides in the int32 'line' column)
+        for (repo, base), n in self._keycounts.items():
+            out.row("keycount", repo=repo, module=base, line=min(n, 2**31 - 1))
         return out.table()
+
+    def _count_key(self, repo: str, path: str, spec: str):
+        from .linking import mention_base
+
+        k = (repo, mention_base(path, spec))
+        self._keycounts[k] = self._keycounts.get(k, 0) + 1
 
     # ------------------------------------------------------- file-level rows
 
@@ -285,6 +382,7 @@ class ParseFiles:
         # nesting (comments, templates, string braces never count)
         lines, brace_lines = _preprocess(content)
         nlines = len(lines)
+        bidx = _BraceIndex(brace_lines)
 
         # (kind, name, line1, col, end1, sig, exported, props)
         ents: list[list] = []
@@ -311,8 +409,8 @@ class ParseFiles:
                 tok = s.split(" ", 1)[0].split("(", 1)[0]
                 res = (
                     self._dispatch(
-                        out, lines, brace_lines, idx, line, depth, is_test,
-                        ents, imports, import_stmts, export_lists,
+                        out, lines, brace_lines, bidx, idx, line, depth,
+                        is_test, ents, imports, import_stmts, export_lists,
                         export_defaults, inline_exported, class_idx,
                         pending_dec,
                     )
@@ -324,11 +422,7 @@ class ParseFiles:
                 else:
                     consumed = res
             for k in range(idx, idx + consumed):
-                for ch in brace_lines[k]:
-                    if ch == "{":
-                        depth += 1
-                    elif ch == "}":
-                        depth = max(0, depth - 1)
+                depth = bidx.depth_after(depth, k)
             idx += consumed
 
         # in-file triple dedup: every triple this file emits goes through
@@ -357,7 +451,7 @@ class ParseFiles:
                 indent = len(m.group(1))
                 if indent <= ccol:
                     continue
-                end = self._brace_end(brace_lines, idx) + 1
+                end = bidx.brace_end(idx) + 1
                 sig = self._sig(lines[idx], indent, "{")
                 # method decorators: immediately preceding @/blank lines
                 mprops: dict = {}
@@ -417,6 +511,7 @@ class ParseFiles:
                     triple(cls_eid, "EXTENDS", eids[j], e[2], e[3])
                 elif ext in imports:
                     # external specs too: linking dangles them (J7)
+                    self._count_key(repo, path, imports[ext])
                     out.row("mention", repo=repo, path=path, module=imports[ext],
                             symbol=ext, mkind="extends", src_id=cls_eid,
                             src_kind="Class", line=e[2], col=e[3])
@@ -425,6 +520,7 @@ class ParseFiles:
                 if j is not None:
                     triple(cls_eid, "IMPLEMENTS", eids[j], e[2], e[3])
                 elif nm in imports:
+                    self._count_key(repo, path, imports[nm])
                     out.row("mention", repo=repo, path=path, module=imports[nm],
                             symbol=nm, mkind="implements", src_id=cls_eid,
                             src_kind="Class", line=e[2], col=e[3])
@@ -490,6 +586,7 @@ class ParseFiles:
                     # linking stage resolves them to nothing and reports
                     # them dangling (no-such-module), matching golden
                     external_calls.setdefault(owner, set()).add(callee)
+                    self._count_key(repo, path, imports[callee])
                     out.row("mention", repo=repo, path=path,
                             module=imports[callee], symbol=callee, mkind="call",
                             src_id=eids[owner], src_kind=oent[0],
@@ -498,6 +595,7 @@ class ParseFiles:
         # ---- IMPORTS: internal → mention; external → triple
         for spec, line1, col in import_stmts:
             if spec.startswith("."):
+                self._count_key(repo, path, spec)
                 out.row("mention", repo=repo, path=path, module=spec, symbol="",
                         mkind="import", src_id=fid, src_kind="File",
                         line=line1, col=col)
@@ -558,9 +656,10 @@ class ParseFiles:
             k += 1
         return buf, k
 
-    def _dispatch(self, out, lines, brace_lines, idx, line, depth, is_test,
-                  ents, imports, import_stmts, export_lists, export_defaults,
-                  inline_exported, class_idx, pending_dec) -> int:
+    def _dispatch(self, out, lines, brace_lines, bidx, idx, line, depth,
+                  is_test, ents, imports, import_stmts, export_lists,
+                  export_defaults, inline_exported, class_idx,
+                  pending_dec) -> int:
         """Handle one (possibly multi-line) statement; returns the number
         of physical lines consumed (0 = not handled)."""
         line1 = idx + 1
@@ -620,7 +719,7 @@ class ParseFiles:
         if m:
             col = len(m.group(1))
             kind = "TestCase" if is_test else "Function"
-            end = self._brace_end(brace_lines, idx) + 1
+            end = bidx.brace_end(idx) + 1
             exported = line[col:].startswith("export")
             ents.append([kind, m.group(2), line1, col, end,
                          self._sig(line, col, "{"), exported, take_dec()])
@@ -631,7 +730,7 @@ class ParseFiles:
         if m:
             col = len(m.group(1))
             after = brace_lines[idx].split("=>", 1)[-1]
-            end = self._brace_end(brace_lines, idx) + 1 if "{" in after else line1
+            end = bidx.brace_end(idx) + 1 if "{" in after else line1
             exported = line[col:].startswith("export")
             ents.append(["ArrowFunction", m.group(2), line1, col, end,
                          self._sig(line, col, "=>"), exported, take_dec()])
@@ -642,7 +741,7 @@ class ParseFiles:
         if m:
             indent, name, ext, impl = m.groups()
             col = len(indent)
-            end = self._brace_end(brace_lines, idx) + 1
+            end = bidx.brace_end(idx) + 1
             exported = line[col:].startswith("export")
             props = {"extends": ext or "", "implements": impl or ""}
             props.update(take_dec())
@@ -655,7 +754,7 @@ class ParseFiles:
         m = self.re_iface.match(line)
         if m:
             col = len(m.group(1))
-            end = self._brace_end(brace_lines, idx) + 1
+            end = bidx.brace_end(idx) + 1
             exported = line[col:].startswith("export")
             ents.append(["Interface", m.group(2), line1, col, end,
                          self._sig(line, col, "{"), exported, take_dec()])

@@ -73,9 +73,8 @@ def parse_shard(corpus_ds, out_dir: str, shard: int, nshards: int,
                 parse_concurrency=None) -> dict:
     """Parse one corpus shard → tagged parquet + lineage manifest.
     Skips (returns existing manifest) when already complete."""
-    from ..pipelines.index_pipeline import default_parse_concurrency
-    from ..stages.file_meta import file_meta_batch
-    from ..stages.parser import ParseFiles
+    from ..pipelines.index_pipeline import parse_files_task
+    from ..stages.parser import ParseFiles  # noqa: F401 (actor-pool alt)
 
     name = f"parsed-{shard}"
     if manifest_complete(out_dir, name):
@@ -93,13 +92,10 @@ def parse_shard(corpus_ds, out_dir: str, shard: int, nshards: int,
     shutil.rmtree(shard_dir, ignore_errors=True)
     tagged = (
         corpus_ds.map_batches(_shard_filter(shard, nshards), batch_format="pyarrow")
-        .map_batches(file_meta_batch, batch_format="pyarrow")
         .map_batches(
-            ParseFiles,
+            parse_files_task,
             batch_format="pyarrow",
             batch_size=256,
-            concurrency=parse_concurrency or default_parse_concurrency(),
-            num_cpus=1,
         )
     )
     tagged.write_parquet(shard_dir)

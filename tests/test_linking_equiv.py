@@ -62,3 +62,45 @@ def test_vectorized_matches_per_group():
                 per.append(r)
         per_t = pa.concat_tables(per) if per else LINKED_SCHEMA.empty_table()
         assert _norm(vec) == _norm(per_t), seed
+
+
+def test_no_duplicate_triples_with_salted_repeat_callsites(ray_session):
+    """The global dedup shuffle now skips non-IMPORTS linked triples;
+    this holds only because the salt excludes line/col, so repeated call
+    sites (same src entity, same callee, different lines) land in one
+    link group and dedup there. Pin it: a hot salted key with repeated
+    cross-file call sites must yield exactly one CALLS triple per
+    (caller, callee) and no duplicate rows anywhere."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hikma_engine_ray.pipelines.index_pipeline import build_graph
+    from hikma_engine_ray.schemas import CORPUS
+
+    rows = [
+        {
+            "repo": "r/r", "path": "src/lib/hot.ts", "commit": "c1",
+            "lang": "typescript",
+            "content": "export function hotfn(x) {\n  return x;\n}\n",
+        }
+    ]
+    # many callers; each calls hotfn at THREE separate sites
+    for i in range(30):
+        body = (
+            "import { hotfn } from '../lib/hot';\n"
+            f"function caller_{i}(a) {{\n"
+            "  const x = hotfn(a);\n"
+            "  const y = hotfn(x);\n"
+            "  return hotfn(y);\n"
+            "}\n"
+        )
+        rows.append({"repo": "r/r", "path": f"src/pkg/m{i}.ts", "commit": "c1",
+                     "lang": "typescript", "content": body})
+    corpus = pa.Table.from_pylist(rows, schema=CORPUS)
+    # hot_threshold=10 → the hot.ts base is salted; nsalt=4
+    g = build_graph(rd.from_arrow(corpus), nsalt=4, hot_threshold=10,
+                    adjacency=False, embed=False)
+    trip = [(r["subj"], r["pred"], r["obj"]) for r in g["triples"].take_all()]
+    assert len(trip) == len(set(trip)), "duplicate triple rows emitted"
+    calls = [t for t in trip if t[1] == "CALLS"]
+    assert len(calls) == 30  # one per caller despite 3 sites each
