@@ -575,15 +575,16 @@ def _q_ann_ivf(sf_dir: str):
 def _q_minhash_pairs(sf_dir: str):
     from hikma_engine_ray.stages.dedup_suite import (
         minhash_candidates,
-        verify_jaccard_joined,
+        verify_jaccard_pairs,
     )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cand = minhash_candidates(ds, num_perm=64, bands=16, k=3)
-    # scale-safe verification: re-join candidates to the documents table
-    # by doc_id (bucketed hash join) — no driver-side corpus
-    # materialization, no whole-corpus broadcast
-    return verify_jaccard_joined(cand, ds, threshold=0.4, k=3)
+    cand = minhash_candidates(ds, num_perm=64, bands=16, k=3, distinct=False)
+    # scale-safe verification: broadcast the (result-sized) candidate
+    # pair set, stream the docs once, one shuffle joins each pair's two
+    # texts — the corpus is never materialized or broadcast (the pair
+    # distinct happens driver-side on the result-sized list)
+    return verify_jaccard_pairs(cand, ds, threshold=0.4, k=3)
 
 
 def _q_simhash_pairs(sf_dir: str):

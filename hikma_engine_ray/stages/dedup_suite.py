@@ -187,7 +187,8 @@ _B = _rng.randint(0, 2**63, size=256, dtype=np.int64).astype(np.uint64)
 
 
 def minhash_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
-                       text_col: str = "text", id_col: str = "doc_id"):
+                       text_col: str = "text", id_col: str = "doc_id",
+                       distinct: bool = True):
     """Documents → candidate near-dup pairs (a < b) via banded LSH.
     The groupby shuffles only (band, hash, id) rows."""
 
@@ -219,6 +220,10 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
             batch_format="pandas",
         )
     )
+    if not distinct:
+        # caller dedups (e.g. verify_jaccard_pairs does it driver-side on
+        # the result-sized pair list) — skips a whole sort shuffle
+        return cand
     # distinct pairs (a pair can collide in several bands)
     return dedup_exact(cand, key_cols=["a", "b"], sort_cols=["a", "b"])
 
@@ -254,6 +259,81 @@ _VERIFIED_PAIR_SCHEMA = pa.schema(
 )
 
 
+def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float, k: int = 5,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         nbuckets: int = 16):
+    """Broadcast-small-side verification: the CANDIDATE PAIR SET (tiny
+    by construction — it IS the result size) is broadcast via ray.put;
+    one streaming pass over the documents emits (pair, side, text) rows
+    for participating docs only, and ONE shuffle brings each pair's two
+    texts together for the exact Jaccard kernel. The corpus is never
+    materialized anywhere — contrast verify_jaccard (broadcasts all
+    docs; test-scale only) and verify_jaccard_joined (2 shuffle joins;
+    the fallback when even the pair set outgrows a broadcast)."""
+    import ray
+
+    # driver-side distinct on the result-sized pair list (a pair can
+    # collide in several LSH bands) — cheaper than a distinct shuffle
+    pair_rows = sorted(
+        {(r["a"], r["b"]) for r in pairs_ds.materialize().take_all()}
+    )
+    pair_rows = [{"a": a, "b": b} for a, b in pair_rows]
+    doc_to_pairs: dict[int, list[tuple[int, int]]] = {}
+    for i, r in enumerate(pair_rows):
+        doc_to_pairs.setdefault(r["a"], []).append((i, 0))
+        doc_to_pairs.setdefault(r["b"], []).append((i, 1))
+    ref = ray.put(doc_to_pairs)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)  # zero-copy plasma fetch, once per worker
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        pid, side, txt = [], [], []
+        for did, t in zip(ids, texts):
+            for p, s in m.get(did, ()):
+                pid.append(p)
+                side.append(s)
+                txt.append(t)
+        return pa.table(
+            {
+                "pair": pa.array(pid, pa.int64()),
+                "side": pa.array(side, pa.int32()),
+                "text": pa.array(txt, pa.string()),
+                "__b": pa.array([p % nbuckets for p in pid], pa.int32()),
+            }
+        )
+
+    def score(g: pd.DataFrame) -> pa.Table:
+        cache: dict[str, set] = {}
+
+        def sh(t):
+            s = cache.get(t)
+            if s is None:
+                s = cache[t] = _shingles(t or "", k)
+            return s
+
+        out_a, out_b, out_j = [], [], []
+        for p, sub in g.groupby("pair", sort=True):
+            texts = dict(zip(sub["side"], sub["text"]))
+            j = jaccard(sh(texts.get(0, "")), sh(texts.get(1, "")))
+            if j >= threshold:
+                r = pair_rows[int(p)]
+                out_a.append(r["a"])
+                out_b.append(r["b"])
+                out_j.append(j)
+        return pa.Table.from_arrays(
+            [pa.array(out_a, pa.int64()), pa.array(out_b, pa.int64()),
+             pa.array(out_j, pa.float64())],
+            schema=_VERIFIED_PAIR_SCHEMA,
+        )
+
+    return (
+        docs_ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(score, batch_format="pandas")
+    )
+
+
 def verify_jaccard_joined(pairs_ds, docs_ds, threshold: float, k: int = 5,
                           text_col: str = "text", id_col: str = "doc_id",
                           nbuckets: int = 32):
@@ -274,7 +354,12 @@ def verify_jaccard_joined(pairs_ds, docs_ds, threshold: float, k: int = 5,
         lambda t: pa.table({"b": t[id_col], "text_b": t[text_col]}),
         batch_format="pyarrow",
     )
-    joined = bucketed_join(pairs_ds, docs_a, on=["a"], nbuckets=nbuckets)
+    # pin the (tiny) pair sets at the join boundaries: bucketed_join
+    # inspects its inputs' schemas, which on a lazy sort-backed pipeline
+    # triggers a partial execution — without the pin the candidate
+    # pipeline would run several times over (measured 4× wall)
+    pairs_ds = pairs_ds.materialize()
+    joined = bucketed_join(pairs_ds, docs_a, on=["a"], nbuckets=nbuckets).materialize()
     joined = bucketed_join(joined, docs_b, on=["b"], nbuckets=nbuckets)
 
     def verify(batch: pa.Table) -> pa.Table:

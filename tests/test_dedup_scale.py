@@ -128,13 +128,14 @@ def test_simhash_candidates_find_mid_radius_pairs(ray_session):
 
 # ------------------------------------------- distributed Jaccard verify
 
-def test_verify_jaccard_joined_matches_broadcast(ray_session):
+def test_verify_jaccard_variants_match_broadcast(ray_session):
     import ray
 
     from hikma_engine_ray.stages.dedup_suite import (
         minhash_candidates,
         verify_jaccard,
         verify_jaccard_joined,
+        verify_jaccard_pairs,
     )
 
     ds = _docs(ray_session)
@@ -142,8 +143,10 @@ def test_verify_jaccard_joined_matches_broadcast(ray_session):
     docs = {r["doc_id"]: r["text"] for r in ds.take_all()}
     bc = verify_jaccard(cand, ray.put(docs), threshold=0.4, k=3).take_all()
     jn = verify_jaccard_joined(cand, ds, threshold=0.4, k=3).take_all()
+    pb = verify_jaccard_pairs(cand, ds, threshold=0.4, k=3).take_all()
     as_set = lambda rows: {(r["a"], r["b"], round(r["jaccard"], 9)) for r in rows}
     assert as_set(jn) == as_set(bc)
+    assert as_set(pb) == as_set(bc)
     assert len(jn) > 0  # the synthetic docs contain near-dups by design
 
 
