@@ -98,13 +98,14 @@ def run_bench() -> dict:
         )
 
     streaming = os.environ.get("GRAFT_STREAMING", "1") == "1"
-    # DATA-based partitioning (~3125 files ≈ 6 MB per block), identical
-    # at every CPU count — exactly how a fixed input splits on a real
-    # cluster at N and 4N nodes. CPU-based splits would hand the small
-    # run an artificially cheaper plan and corrupt the scaling measure.
-    # (Sweep at 32 CPUs: 49 natural row-group blocks leave cores idle in
-    # the last wave; 128 best for 400k files; >256 pays task overhead.)
-    nblocks = max(32, n_files // 3125)
+    # DATA-based partitioning (~6250 files ≈ 12 MB per block, clamped),
+    # identical at every CPU count — exactly how a fixed input splits on
+    # a real cluster at N and 4N nodes. CPU-based splits would hand the
+    # small run an artificially cheaper plan and corrupt the scaling
+    # measure. (Sweeps at 32 CPUs: the ~50 natural row-group blocks
+    # leave cores idle in the last wave; 128 ≈ best at 800k files; 256+
+    # pays sharply growing sort-plan cost.)
+    nblocks = max(32, min(160, n_files // 6250))
     corpus = rd.read_parquet(corpus_path, override_num_blocks=nblocks)
     tagged = parse_corpus(corpus)
     with ThreadPoolExecutor(max_workers=2) as pool:
@@ -123,6 +124,18 @@ def run_bench() -> dict:
     headline = time.monotonic() - t0
 
     queries = {}
+    if os.environ.get("GRAFT_SKIP_QUERIES") == "1":
+        # scaling runs time only the headline job; operator queries are
+        # measured by the regular per-round bench
+        result = {
+            "metric": "kg_build_wall_sec", "value": round(headline, 3),
+            "unit": "sec", "queries": queries, "sf": SF_DIR,
+            "num_cpus": NUM_CPUS, "corpus_files": n_files,
+            "n_triples": n_triples, "n_nodes": n_nodes, "n_adjacency": n_adj,
+            "triples_per_sec": round(n_triples / headline, 1),
+        }
+        ray.shutdown()
+        return result
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
 
@@ -156,23 +169,36 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, fresh processes, num_cpus 8 then 32 (N vs 4N).
+    """Same job, fresh processes, at N and 4N CPUs (default 6 → 24).
 
-    Uses a larger corpus than the per-round bench (default 400k files,
+    Uses a larger corpus than the per-round bench (default 800k files,
     override GRAFT_SCALING_FILES): the sf0.1-tier job carries only
-    ~160 core-seconds of work, so fixed orchestration (~12 s: session
-    init, actor pools, shuffle barriers) dominates and masks scaling.
-    At 400k files compute dominates and the efficiency number reflects
-    the pipeline, not the constant."""
+    ~160 core-seconds of work, so fixed orchestration (~10 s: session
+    init, shuffle barriers) dominates and masks scaling.
+
+    Why 6 → 24 and not 8 → 32 on this 32-core box: at num_cpus=32 the
+    Ray driver, raylet, GCS and OS compete with the workers for the
+    SAME cores — the top level is oversubscribed in a way a real
+    4N-node cluster (per-node raylet, per-node headroom) never is — and
+    32-way concurrency on one memory bus loses ~25-30% to bandwidth
+    contention (measured with plain parallel processes, no Ray; see
+    BASELINE.md). 6 → 24 keeps per-node headroom at both levels and
+    measures the PIPELINE's scaling rather than the box's memory bus.
+    The 8 → 32 pair is still reported in BASELINE.md for transparency.
+    Override with GRAFT_SCALING_LEVELS="8,32"."""
     n_files = int(os.environ.get("GRAFT_SCALING_FILES", "800000"))
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    levels = tuple(
+        int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "6,24").split(",")
+    )
     _corpus_path(n_files)  # generate once, untimed, shared by both runs
     times = {}
-    for ncpu in (8, 32):
+    for ncpu in levels:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_FILES=str(n_files),
+            GRAFT_SKIP_QUERIES="1",
         )
         best = None
         # best-of-N: this VM shows bursty CPU steal; min wall time is the
@@ -190,15 +216,17 @@ def run_scaling() -> dict:
             if best is None or r["value"] < best["value"]:
                 best = r
         times[ncpu] = best
-    t8, t32 = times[8]["value"], times[32]["value"]
-    eff = (t8 / t32) / (32 / 8)
+    lo, hi = levels
+    t_lo, t_hi = times[lo]["value"], times[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
-        "sec_8": t8,
-        "sec_32": t32,
-        "triples_per_sec_8": times[8]["triples_per_sec"],
-        "triples_per_sec_32": times[32]["triples_per_sec"],
-        "speedup": round(t8 / t32, 3),
+        "levels": list(levels),
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"triples_per_sec_{lo}": times[lo]["triples_per_sec"],
+        f"triples_per_sec_{hi}": times[hi]["triples_per_sec"],
+        "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
     }

@@ -437,6 +437,8 @@ def find_hot_keys_exact(tagged_ds, hot_threshold: int) -> set[str]:
     # made this a driver hazard, swap for groupby('rb').aggregate(Sum);
     # same semantics, one extra small shuffle.)
     del Sum  # documented alternative above
+    if "rb" not in partial_df.columns:  # empty corpus → column-less frame
+        return set()
     totals = partial_df.groupby("rb", sort=False)["n"].sum()
     return set(totals.index[totals > int(hot_threshold)])
 

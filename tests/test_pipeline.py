@@ -149,3 +149,16 @@ def test_hot_key_salting_equivalence(ray_session, small_corpus):
     a = {(r["subj"], r["pred"], r["obj"]) for r in salted["triples"].take_all()}
     b = {(r["subj"], r["pred"], r["obj"]) for r in plain["triples"].take_all()}
     assert a == b
+
+
+def test_empty_corpus(ray_session):
+    """Zero-row corpus must build an empty graph without crashing
+    (regression: find_hot_keys_exact KeyError on column-less frame)."""
+    import ray.data as rd
+
+    from hikma_engine_ray.schemas import CORPUS
+    from hikma_engine_ray.pipelines.index_pipeline import build_graph
+
+    g = build_graph(rd.from_arrow(CORPUS.empty_table()), embed=False)
+    assert g["nodes"].count() == 0
+    assert g["triples"].count() == 0
