@@ -144,6 +144,16 @@ def _kg_semantic_search(sf_dir: str):
     return semantic_search(_kg(sf_dir)["nodes"], "utility function", k=10)
 
 
+def _kg_rag_context(sf_dir: str):
+    """RAG read path (llm-rag.ts / OpenAILLMProvider.ts): distributed
+    top-k search → prompt assembly → provider chain; returns the
+    deterministic provenance row (rows-only check — prompt assembly is
+    not SQL-expressible)."""
+    from hikma_engine_ray.pipelines.rag import rag_query
+
+    return rag_query(_kg(sf_dir)["nodes"], "utility function", k=10)
+
+
 def _kg_degree_top(sf_dir: str):
     from hikma_engine_ray.pipelines.graph_query import degree_stats
 
@@ -639,6 +649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_adjacency_degrees": _kg_adjacency_sizes,
         "kg_resume": _kg_resume,
         "kg_semantic_search": _kg_semantic_search,
+        "kg_rag_context": _kg_rag_context,
         "kg_degree_top": _kg_degree_top,
         "kg_delta": _kg_delta,
         "kg_file_summaries": _kg_file_summaries,

@@ -23,15 +23,25 @@ BUCKET_COL = "__bucket"
 
 
 def add_bucket_column(key_cols: list[str], nbuckets: int):
-    """map_batches fn: append crc32(key_cols)%nbuckets as __bucket."""
+    """map_batches fn: append hash(key_cols)%nbuckets as __bucket.
+
+    Vectorized (polars xxhash over the joined key column — the
+    adjacency.py:94 pattern); bucket ids only need to be consistent
+    within one job, so any deterministic fixed-seed hash qualifies."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        cols = [batch[c].to_pylist() for c in key_cols]
-        n = batch.num_rows
-        buckets = np.empty(n, dtype=np.int32)
-        for i in range(n):
-            key = "\x1f".join("" if c[i] is None else str(c[i]) for c in cols)
-            buckets[i] = zlib.crc32(key.encode("utf-8", "surrogatepass")) % nbuckets
+        import polars as pl
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return batch.append_column(BUCKET_COL, pa.array([], pa.int32()))
+        combined = pc.binary_join_element_wise(
+            *[pc.fill_null(pc.cast(batch[c], pa.string()), "\x00")
+              for c in key_cols],
+            "\x1f",
+        )
+        h = pl.Series(pl.from_arrow(combined)).hash(seed=0).to_numpy()
+        buckets = (h % np.uint64(nbuckets)).astype(np.int32)
         return batch.append_column(BUCKET_COL, pa.array(buckets, pa.int32()))
 
     return fn

@@ -12,8 +12,7 @@
 
 from __future__ import annotations
 
-import zlib
-
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -58,14 +57,22 @@ def bucketed_join(left, right, on: list[str], nbuckets: int = 32,
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
-            keys = [batch[c].to_pylist() for c in on]
+            import polars as pl
+            import pyarrow.compute as pc
+
             n = batch.num_rows
-            buckets = [
-                zlib.crc32(
-                    "\x1f".join(str(k[i]) for k in keys).encode()
-                ) % nbuckets
-                for i in range(n)
-            ]
+            if n == 0:
+                buckets = pa.array([], pa.int32())
+            else:
+                combined = pc.binary_join_element_wise(
+                    *[pc.fill_null(pc.cast(batch[c], pa.string()), "None")
+                      for c in on],
+                    "\x1f",
+                )
+                h = pl.Series(pl.from_arrow(combined)).hash(seed=0).to_numpy()
+                buckets = pa.array(
+                    (h % np.uint64(nbuckets)).astype(np.int32), pa.int32()
+                )
             arrays, names = [], []
             for name, typ in union_fields:
                 names.append(name)
@@ -74,7 +81,7 @@ def bucketed_join(left, right, on: list[str], nbuckets: int = 32,
                 else:
                     arrays.append(pa.nulls(n, typ))
             names += ["__jbucket", "__side"]
-            arrays += [pa.array(buckets, pa.int32()), pa.array([side] * n, pa.int32())]
+            arrays += [buckets, pa.array([side] * n, pa.int32())]
             return pa.table(dict(zip(names, arrays)))
 
         return fn

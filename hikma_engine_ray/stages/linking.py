@@ -251,33 +251,43 @@ def link_bucket(g: pd.DataFrame) -> pa.Table:
     ).isin(FUNCTION_LIKE).to_numpy()
     src_kind = m["src_kind"].to_numpy()
 
-    rows: list[dict] = []
+    # column-wise emission: each emit appends one small frame built from
+    # the masked columns (no per-row Python inside the linking shuffle)
+    frames: list[pd.DataFrame] = []
 
     def emit_triples(mask, pred, subj_col, obj_vals):
         sub = m[mask]
-        ovals = obj_vals[mask] if isinstance(obj_vals, np.ndarray) else sub[obj_vals]
-        for s, o, rp, ln, cl in zip(
-            sub[subj_col], ovals, sub["repo"], sub["line"], sub["col"]
-        ):
-            rows.append(
-                {"kind": "triple", "subj": s, "pred": pred, "obj": o,
-                 "repo": rp, "line": int(ln), "col": int(cl),
-                 "module": "", "symbol": "", "mkind": "", "src_id": "",
-                 "reason": ""}
-            )
+        if not len(sub):
+            return
+        ovals = (obj_vals[mask] if isinstance(obj_vals, np.ndarray)
+                 else sub[obj_vals].to_numpy())
+        frames.append(pd.DataFrame({
+            "kind": "triple",
+            "subj": sub[subj_col].to_numpy(),
+            "pred": pred,
+            "obj": ovals,
+            "repo": sub["repo"].to_numpy(),
+            "line": sub["line"].to_numpy(),
+            "col": sub["col"].to_numpy(),
+            "module": "", "symbol": "", "mkind": "", "src_id": "",
+            "reason": "",
+        }))
 
     def emit_dangling(mask, reason):
         sub = m[mask]
-        for rp, md, sy, mkd, sid, ln, cl in zip(
-            sub["repo"], sub["module"], sub["symbol"], sub["mkind"],
-            sub["src_id"], sub["line"], sub["col"]
-        ):
-            rows.append(
-                {"kind": "dangling", "subj": "", "pred": "", "obj": "",
-                 "repo": rp, "line": int(ln), "col": int(cl),
-                 "module": md, "symbol": sy, "mkind": mkd, "src_id": sid,
-                 "reason": reason}
-            )
+        if not len(sub):
+            return
+        frames.append(pd.DataFrame({
+            "kind": "dangling", "subj": "", "pred": "", "obj": "",
+            "repo": sub["repo"].to_numpy(),
+            "line": sub["line"].to_numpy(),
+            "col": sub["col"].to_numpy(),
+            "module": sub["module"].to_numpy(),
+            "symbol": sub["symbol"].to_numpy(),
+            "mkind": sub["mkind"].to_numpy(),
+            "src_id": sub["src_id"].to_numpy(),
+            "reason": reason,
+        }))
 
     emit_dangling(~has_file, "no-such-module")
     emit_triples((mk == "import") & has_file, "IMPORTS", "src_id", "t_fid")
@@ -290,7 +300,14 @@ def link_bucket(g: pd.DataFrame) -> pa.Table:
     emit_dangling((mk == "call") & has_sym & ~callable_, "not-callable")
     emit_triples((mk == "extends") & has_sym, "EXTENDS", "src_id", "d_eid")
     emit_triples((mk == "implements") & has_sym, "IMPLEMENTS", "src_id", "d_eid")
-    out = pa.Table.from_pylist(rows, schema=LINKED_SCHEMA)
+    if not frames:
+        return LINKED_SCHEMA.empty_table()
+    df = pd.concat(frames, ignore_index=True)
+    df["line"] = df["line"].astype("int32")
+    df["col"] = df["col"].astype("int32")
+    out = pa.Table.from_pandas(
+        df[LINKED_SCHEMA.names], schema=LINKED_SCHEMA, preserve_index=False
+    )
     return _dedup_bucket_triples(out)
 
 
