@@ -194,6 +194,33 @@ def _kg_repo_stats(sf_dir: str):
     return repo_stats(generate_commits_table(corpus).to_pandas())
 
 
+def _kg_pull_requests(sf_dir: str):
+    """J6: PR side table → PullRequest nodes + INCLUDES_COMMIT triples
+    (git-analyzer.ts:264-310). Returns the deterministic PR→commit
+    edge list (rows-only check; the PR source is a generated table —
+    the reference's own PR source is an acknowledged mock)."""
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.pipelines.index_pipeline import add_pull_requests
+    from hikma_engine_ray.sources.corpus import (
+        corpus_files_for_sf,
+        generate_commits_table,
+        generate_corpus,
+        generate_prs_table,
+    )
+
+    corpus = generate_corpus(min(2000, corpus_files_for_sf(sf_dir)))
+    prs = generate_prs_table(generate_commits_table(corpus))
+    g = add_pull_requests(_kg(sf_dir), prs)  # embed=True: PR node rows
+    # must carry the same (source_text, embedding) columns as the
+    # built graph's nodes for the union to be schema-consistent
+    inc = g["triples"].map_batches(
+        lambda t: t.filter(pc.equal(t["pred"], "INCLUDES_COMMIT")),
+        batch_format="pyarrow",
+    )
+    return inc.sort(["subj", "obj"])
+
+
 def _kg_clone_groups(sf_dir: str):
     """signature_hash clone report (data-loader.ts:191-197): md5 of
     type:name:signature per function-like node; groups with >1 member."""
@@ -655,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_file_summaries": _kg_file_summaries,
         "kg_repo_stats": _kg_repo_stats,
         "kg_clone_groups": _kg_clone_groups,
+        "kg_pull_requests": _kg_pull_requests,
         "kg_embed_coverage": _kg_embed_coverage,
         "kg_top_paths": _kg_top_paths,
         "kg_complexity": _kg_complexity,
@@ -842,4 +870,6 @@ def oracle_sql() -> dict[str, str]:
         #   simhash_pairs   64-bit simhash banding (same file)
         #   embed_neardup   hyperplane LSH (recall ≥0.9 gate, same file)
         #   media_features  binary payload decode stub (tests/test_readside.py)
+        #   kg_rag_context  prompt assembly + provider chain digest
+        #                   (tests/test_rag.py, deterministic e2e)
     }

@@ -187,14 +187,36 @@ class Entity:
     props: dict = field(default_factory=dict)
 
 
-def preprocess(content: str) -> tuple[list[str], list[str]]:
+def _norm_jsdoc(raw: str) -> str:
+    """SPEC P7: JSDoc text — between ``/**`` and ``*/``, leading ``*``
+    (+ one space) stripped per line, trimmed (ts jsDoc[0].comment,
+    enhanced-ast-parser.ts:631-637)."""
+    body = raw[3:]
+    if body.endswith("*/"):
+        body = body[:-2]
+    out = []
+    for ln in body.split("\n"):
+        t = ln.strip()
+        if t.startswith("*"):
+            t = t[1:]
+            if t.startswith(" "):
+                t = t[1:]
+        out.append(t)
+    return "\n".join(out).strip()
+
+
+def preprocess(content: str) -> tuple[list[str], list[str], dict[int, tuple[int, str]]]:
     """P0 lexer (slow, obviously-correct per-char state machine).
 
-    Returns (scan_lines, brace_lines): comments and template-literal
-    contents masked in both; quoted-string contents masked only in the
-    brace view. Line structure is preserved exactly."""
+    Returns (scan_lines, brace_lines, jsdocs): comments and
+    template-literal contents masked in both views; quoted-string
+    contents masked only in the brace view. Line structure is preserved
+    exactly. ``jsdocs`` maps a JSDoc block's 0-based end line to
+    (start line, normalized text) — SPEC P7."""
     CODE, SQ, DQ, TPL, LINEC, BLOCKC = range(6)
     state = CODE
+    block_start = -1
+    jsdoc_spans: list[tuple[int, int]] = []
     scan: list[str] = []
     brace: list[str] = []
     i, n = 0, len(content)
@@ -217,6 +239,7 @@ def preprocess(content: str) -> tuple[list[str], list[str]]:
                 continue
             if ch == "/" and nxt == "*":
                 state = BLOCKC
+                block_start = i
                 scan.append("  ")
                 brace.append("  ")
                 i += 2
@@ -270,6 +293,8 @@ def preprocess(content: str) -> tuple[list[str], list[str]]:
         # BLOCKC
         if ch == "*" and i + 1 < n and content[i + 1] == "/":
             state = CODE
+            if content.startswith("/**", block_start) and i + 2 - block_start > 4:
+                jsdoc_spans.append((block_start, i + 2))
             scan.append("  ")
             brace.append("  ")
             i += 2
@@ -277,7 +302,12 @@ def preprocess(content: str) -> tuple[list[str], list[str]]:
         scan.append(" ")
         brace.append(" ")
         i += 1
-    return "".join(scan).split("\n"), "".join(brace).split("\n")
+    jsdocs: dict[int, tuple[int, str]] = {}
+    for a, b in jsdoc_spans:
+        start_line = content.count("\n", 0, a)
+        end_line = content.count("\n", 0, b)
+        jsdocs[end_line] = (start_line, _norm_jsdoc(content[a:b]))
+    return "".join(scan).split("\n"), "".join(brace).split("\n"), jsdocs
 
 
 def _join_stmt(lines: list[str], idx: int, done) -> tuple[str, int]:
@@ -315,7 +345,7 @@ def parse_file(repo: str, path: str, commit: str, content: str):
     dicts with keys repo/module/symbol/kind/src_id/src_kind/src_file/line/col.
     """
     fid = file_id(repo, commit, path)
-    lines, brace_lines = preprocess(content)
+    lines, brace_lines, jsdocs = preprocess(content)
     test_file = is_test_path(path)
     entities: list[Entity] = []
     mentions: list[dict] = []
@@ -641,6 +671,26 @@ def parse_file(repo: str, path: str, commit: str, content: str):
             )
         else:
             triples.append((fid, "IMPORTS", f"module:{spec}", lineno, col))
+
+    # SPEC P7: attach the TOPMOST JSDoc of each declaration's
+    # leading-trivia run (blank / decorator / comment-interior lines),
+    # matching ts jsDoc[0] (enhanced-ast-parser.ts:143,206,260).
+    if jsdocs:
+        for e in entities:
+            b = e.start_line - 2  # 0-based line above the declaration
+            found = ""
+            while b >= 0:
+                j = jsdocs.get(b)
+                if j is not None:
+                    found = j[1]
+                    b = j[0] - 1
+                    continue
+                if lines[b].strip() == "" or DECORATOR_RE.match(lines[b]):
+                    b -= 1
+                    continue
+                break
+            if found:
+                e.props["docstring"] = found
 
     return entities, triples, mentions, exported_syms
 

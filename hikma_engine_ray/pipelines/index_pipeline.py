@@ -431,6 +431,65 @@ def enrich_commits(graph: dict, commits_df) -> dict:
     return graph
 
 
+def add_pull_requests(graph: dict, prs: pa.Table, *, embed: bool = True) -> dict:
+    """J6: PR table → PullRequest nodes + INCLUDES_COMMIT triples
+    (git-analyzer.ts:264-310; the reference's PR source is an
+    acknowledged mock, so the table shape — not an API client — is the
+    contract here). The PR side is tiny next to the graph: plain Arrow
+    build + union, no shuffle. Like ``enrich_commits``, call before
+    building adjacency if PR edges should appear there."""
+    import json
+
+    import ray.data as rd
+
+    from ..ids import commit_id
+
+    node_rows, triple_rows = [], []
+    for r in prs.to_pylist():
+        pid = f"pr:{r['repo']}#{r['pr_id']}"
+        node_rows.append({
+            "node_id": pid, "node_type": "PullRequest", "repo": r["repo"],
+            "path": None, "commit": None, "lang": None, "name": r["pr_id"],
+            "start_line": None, "end_line": None, "start_col": None,
+            "signature": None, "file_type": None, "size_kb": None,
+            "content_sha256": None,
+            "props_json": json.dumps(
+                {"title": r["title"], "author": r["author"],
+                 "url": r["url"], "body": r["body"]},
+                sort_keys=True,
+            ),
+        })
+        for sha in r["commit_shas"]:
+            triple_rows.append({
+                "subj": pid, "pred": "INCLUDES_COMMIT",
+                "obj": commit_id(sha), "repo": r["repo"],
+                "line": None, "col": None,
+            })
+    node_schema = pa.schema([
+        ("node_id", pa.string()), ("node_type", pa.string()),
+        ("repo", pa.string()), ("path", pa.string()),
+        ("commit", pa.string()), ("lang", pa.string()),
+        ("name", pa.string()), ("start_line", pa.int32()),
+        ("end_line", pa.int32()), ("start_col", pa.int32()),
+        ("signature", pa.string()), ("file_type", pa.string()),
+        ("size_kb", pa.float32()), ("content_sha256", pa.string()),
+        ("props_json", pa.string()),
+    ])
+    nodes_t = pa.Table.from_pylist(node_rows, schema=node_schema)
+    if embed:
+        from ..stages.embedding import hash_embed_batch
+
+        nodes_t = hash_embed_batch(nodes_t)
+    triples_t = pa.Table.from_pylist(triple_rows, schema=pa.schema([
+        ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+        ("repo", pa.string()), ("line", pa.int32()), ("col", pa.int32()),
+    ]))
+    graph = dict(graph)
+    graph["nodes"] = graph["nodes"].union(rd.from_arrow(nodes_t))
+    graph["triples"] = graph["triples"].union(rd.from_arrow(triples_t))
+    return graph
+
+
 def repo_stats(commits_df):
     """A7: per-repo commit stats (git-analyzer.ts:381-400)."""
     g = commits_df.groupby("repo").agg(

@@ -140,6 +140,21 @@ def assemble_rag_prompt(query: str, results: list[dict],
 # the RAGProvider duck type.
 
 
+_URL_SUFFIXES = ("/v1/embeddings", "/api/embeddings", "/v1")
+
+
+def normalize_provider_base_url(raw_url: str) -> str:
+    """M13 config utility: strip endpoint suffixes and trailing slashes
+    from a provider base URL (embedding-service.ts:288-300)."""
+    url = (raw_url or "").strip().rstrip("/")
+    low = url.lower()
+    for suf in _URL_SUFFIXES:
+        if low.endswith(suf):
+            url = url[: -len(suf)]
+            low = url.lower()
+    return url.rstrip("/")
+
+
 class EchoProvider:
     """Deterministic no-model provider: digests the assembled prompt.
     Stands in for the OpenAI-compat / python-subprocess transports

@@ -38,6 +38,7 @@ NODE_TYPES = [
     "Import",
     "Export",
     "TestCase",
+    "PullRequest",  # J6 side table (git-analyzer.ts:264-310)
 ]
 
 # Predicate vocabulary (union, SURVEY.md §7.0): reference
@@ -55,6 +56,7 @@ PREDICATES = [
     "HAS_COMMIT",
     "AUTHORED",
     "TESTED_BY",
+    "INCLUDES_COMMIT",  # J6 PR → commit
 ]
 
 NODES = pa.schema(

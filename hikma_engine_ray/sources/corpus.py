@@ -277,6 +277,40 @@ def generate_commits_table(corpus: pa.Table, seed: int = 42) -> pa.Table:
     )
 
 
+def generate_prs_table(commits: pa.Table, commits_per_pr: int = 2,
+                       seed: int = 42) -> pa.Table:
+    """Pull-request side table (J6 analog). The reference has no real
+    PR source — it ships two hard-coded mock PRs per repo, each linked
+    to the repo's most recent commits (git-analyzer.ts:264-310, an
+    acknowledged placeholder). This generator is the deterministic
+    table-shaped equivalent: per repo, consecutive runs of
+    ``commits_per_pr`` commits roll up into one PR row."""
+    authors = ["alice", "bob", "carol", "dan", "erin"]
+    by_repo: dict[str, list[str]] = {}
+    for rp, cm in zip(commits["repo"].to_pylist(), commits["commit"].to_pylist()):
+        by_repo.setdefault(rp, []).append(cm)
+    rows = []
+    for rp in sorted(by_repo):
+        shas = sorted(by_repo[rp])
+        for k in range(0, len(shas), commits_per_pr):
+            pr_num = k // commits_per_pr + 1
+            rows.append({
+                "repo": rp,
+                "pr_id": f"pr-{pr_num}",
+                "title": f"Change set {pr_num}",
+                "author": authors[(len(rp) + pr_num) % len(authors)],
+                "url": f"https://example.invalid/{rp}/pull/{pr_num}",
+                "body": f"Rolls up {len(shas[k:k + commits_per_pr])} commits.",
+                "commit_shas": shas[k:k + commits_per_pr],
+            })
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("repo", pa.string()), ("pr_id", pa.string()),
+        ("title", pa.string()), ("author", pa.string()),
+        ("url", pa.string()), ("body", pa.string()),
+        ("commit_shas", pa.list_(pa.string())),
+    ]))
+
+
 def corpus_files_for_sf(sf_dir: str) -> int:
     """Scale knob keyed off the driver's sf directory name (FIXTURES.md:
     smoke ≈200 @ sf0.001, correctness ≈2k @ sf0.01, bench ≈20k @ sf0.1)."""

@@ -89,15 +89,37 @@ def _mask(chars: list[str], a: int, b: int) -> None:
             chars[k] = " "
 
 
-def _preprocess(content: str) -> tuple[list[str], list[str]]:
+def _norm_jsdoc(raw: str) -> str:
+    """SPEC P7: JSDoc comment text — body between ``/**`` and ``*/``
+    with each line's leading ``*`` (plus one following space) stripped,
+    whole result trimmed (the shape ts jsDoc[0].comment exposes —
+    enhanced-ast-parser.ts:631-637)."""
+    body = raw[3:]
+    if body.endswith("*/"):
+        body = body[:-2]
+    out = []
+    for ln in body.split("\n"):
+        t = ln.strip()
+        if t.startswith("*"):
+            t = t[1:]
+            if t.startswith(" "):
+                t = t[1:]
+        out.append(t)
+    return "\n".join(out).strip()
+
+
+def _preprocess(content: str) -> tuple[list[str], list[str], dict[int, tuple[int, str]]]:
     """SPEC P0 lexer (engine variant: regex jumps instead of golden's
     per-char state machine — same output, property-tested against it).
 
     scan view: comments + template contents masked, quoted strings kept.
     brace view: scan view + quoted-string contents masked. Line
-    structure preserved (masked chars → spaces)."""
+    structure preserved (masked chars → spaces). Third return: JSDoc
+    blocks (``/** … */``) as {end_line_idx: (start_line_idx, text)},
+    0-based, text normalized per SPEC P7."""
     scan = list(content)
     extra_str_spans: list[tuple[int, int]] = []  # quoted contents (brace only)
+    jsdoc_spans: list[tuple[int, int]] = []
     pos, n = 0, len(content)
     while pos < n:
         m = _LEX.search(content, pos)
@@ -112,6 +134,8 @@ def _preprocess(content: str) -> tuple[list[str], list[str]]:
         elif tok == "/*":
             close = content.find("*/", start + 2)
             end = n if close < 0 else close + 2
+            if content.startswith("/**", start) and end - start > 4:
+                jsdoc_spans.append((start, end))
             _mask(scan, start, end)
             pos = end
         elif tok == "`":
@@ -133,7 +157,16 @@ def _preprocess(content: str) -> tuple[list[str], list[str]]:
     brace = list(scan_text)
     for a, b_ in extra_str_spans:
         _mask(brace, a, b_)
-    return scan_text.split("\n"), "".join(brace).split("\n")
+    jsdocs: dict[int, tuple[int, str]] = {}
+    if jsdoc_spans:
+        import bisect
+
+        nl = [m.start() for m in re.finditer("\n", content)]
+        for a, b_ in jsdoc_spans:
+            start_line = bisect.bisect_right(nl, a - 1)
+            end_line = bisect.bisect_right(nl, b_ - 1)
+            jsdocs[end_line] = (start_line, _norm_jsdoc(content[a:b_]))
+    return scan_text.split("\n"), "".join(brace).split("\n"), jsdocs
 
 
 def _try_treesitter():
@@ -380,7 +413,7 @@ class ParseFiles:
         is_test = bool(cols["is_test"][i])
         # SPEC P0: scan view for regexes/signatures/calls, brace view for
         # nesting (comments, templates, string braces never count)
-        lines, brace_lines = _preprocess(content)
+        lines, brace_lines, jsdocs = _preprocess(content)
         nlines = len(lines)
         bidx = _BraceIndex(brace_lines)
 
@@ -475,6 +508,32 @@ class ParseFiles:
                 eid = entity_id(fid, "Method", m.group(2), idx + 1, indent)
                 cls_eid = entity_id(fid, ckind, cname, cline, ccol)
                 triple(cls_eid, "CONTAINS", eid, idx + 1, indent)
+
+        # ---- SPEC P7: JSDoc docstrings. Walk the leading-trivia run
+        # above each declaration (blank lines, decorators, comment
+        # interiors — all scan-blank) and attach the TOPMOST JSDoc in
+        # the run, matching ts jsDoc[0] (enhanced-ast-parser.ts:143,
+        # 206, 260, 631-637).
+        if jsdocs:
+            for e in ents:
+                b = e[2] - 2  # 0-based index of the line above the decl
+                found = ""
+                while b >= 0:
+                    j = jsdocs.get(b)
+                    if j is not None:
+                        found = j[1]
+                        b = j[0] - 1
+                        continue
+                    s = lines[b].strip()
+                    if s == "" or self.re_decorator.match(lines[b]):
+                        b -= 1
+                        continue
+                    break
+                if found:
+                    if len(e) > 7:
+                        e[7]["docstring"] = found
+                    else:
+                        e.append({"docstring": found})
 
         # ---- ids (node rows are emitted AFTER the call scan so that
         # per-function call aggregates A1/A2 can land in props_json)

@@ -177,3 +177,74 @@ def test_spec_v2_external_mentions_dangle():
     _, triples, dangling = golden_extract(corpus)
     assert not any(t[1] == "CALLS" for t in triples)
     assert any(d["module"] == "axios" and d["kind"] == "call" for d in dangling)
+
+
+def test_jsdoc_docstrings():
+    """SPEC P7: JSDoc attaches to the following declaration (through
+    blank lines and decorators), normalized like ts jsDoc[0].comment;
+    plain block comments and detached JSDoc do not attach. Engine and
+    golden must agree."""
+    import json
+
+    import pyarrow as pa
+
+    from hikma_engine_ray.schemas import CORPUS
+    from hikma_engine_ray.stages.file_meta import file_meta_batch
+    from hikma_engine_ray.stages.parser import ParseFiles
+
+    src = "\n".join(
+        [
+            "/**",
+            " * Adds two numbers.",
+            " * @param a first",
+            " */",
+            "function add(a, b) {",
+            "  return a + b;",
+            "}",
+            "",
+            "/** One-liner doc */",
+            "",
+            "@Injectable()",
+            "class Svc {",
+            "  /** method doc */",
+            "  handle(x) {",
+            "    return add(x, 1);",
+            "  }",
+            "}",
+            "",
+            "/* not a jsdoc */",
+            "function bare(x) {",
+            "  return x;",
+            "}",
+            "",
+            "/** detached doc */",
+            "const y = 1;",
+            "function after(x) {",
+            "  return x;",
+            "}",
+        ]
+    )
+    repo, path, commit = "r/r", "src/doc.ts", "c1"
+    ents, *_ = parse_file(repo, path, commit, src)
+    gold = {(e.kind, e.name): e.props.get("docstring") for e in ents}
+    assert gold[("Function", "add")] == "Adds two numbers.\n@param a first"
+    assert gold[("Class", "Svc")] == "One-liner doc"  # through blank+decorator
+    assert gold[("Method", "handle")] == "method doc"
+    assert gold[("Function", "bare")] is None  # /* */ is not JSDoc
+    assert gold[("Function", "after")] is None  # detached by real code
+    assert gold[("Variable", "y")] == "detached doc"
+
+    t = pa.Table.from_pylist(
+        [{"repo": repo, "path": path, "commit": commit,
+          "lang": "typescript", "content": src}],
+        schema=CORPUS,
+    )
+    out = ParseFiles()(file_meta_batch(t)).to_pylist()
+    eng = {}
+    for r in out:
+        if r["kind"] == "node" and r["props_json"]:
+            eng[(r["node_type"], r["name"])] = json.loads(r["props_json"]).get(
+                "docstring"
+            )
+    for key, want in gold.items():
+        assert eng.get(key) == want, (key, want, eng.get(key))

@@ -162,3 +162,36 @@ def test_empty_corpus(ray_session):
     g = build_graph(rd.from_arrow(CORPUS.empty_table()), embed=False)
     assert g["nodes"].count() == 0
     assert g["triples"].count() == 0
+
+
+def test_pull_requests(built_graph, small_corpus):
+    """J6: PR side table → PullRequest nodes + INCLUDES_COMMIT edges
+    targeting real Commit nodes (git-analyzer.ts:264-310)."""
+    import json
+
+    from hikma_engine_ray.pipelines.index_pipeline import add_pull_requests
+    from hikma_engine_ray.sources.corpus import (
+        generate_commits_table,
+        generate_prs_table,
+    )
+
+    commits = generate_commits_table(small_corpus)
+    prs = generate_prs_table(commits, commits_per_pr=2)
+    assert prs.num_rows > 0
+    g = add_pull_requests(built_graph, prs)
+
+    nodes = g["nodes"].take_all()
+    pr_nodes = [n for n in nodes if n["node_type"] == "PullRequest"]
+    assert len(pr_nodes) == prs.num_rows
+    props = json.loads(pr_nodes[0]["props_json"])
+    assert {"title", "author", "url", "body"} <= set(props)
+    # embedding columns present (schema-consistent union)
+    assert pr_nodes[0]["embedding"] is not None
+
+    trips = g["triples"].take_all()
+    inc = [t for t in trips if t["pred"] == "INCLUDES_COMMIT"]
+    n_linked = sum(len(r["commit_shas"]) for r in prs.to_pylist())
+    assert len(inc) == n_linked
+    commit_ids = {n["node_id"] for n in nodes if n["node_type"] == "Commit"}
+    pr_ids = {n["node_id"] for n in pr_nodes}
+    assert all(t["subj"] in pr_ids and t["obj"] in commit_ids for t in inc)

@@ -76,3 +76,13 @@ def test_rag_query_end_to_end(built_graph):
     # deterministic across runs
     t2 = rag_query(built_graph["nodes"], "utility function", k=5)
     assert t2.to_pylist()[0]["explanation_sha256"] == row["explanation_sha256"]
+
+
+def test_normalize_provider_base_url():
+    from hikma_engine_ray.pipelines.rag import normalize_provider_base_url as f
+
+    assert f("http://x:1234/v1/embeddings") == "http://x:1234"
+    assert f("http://x/api/embeddings/") == "http://x"
+    assert f("http://x/V1") == "http://x"
+    assert f(" http://x// ") == "http://x"
+    assert f("") == ""
