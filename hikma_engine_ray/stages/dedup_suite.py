@@ -278,6 +278,10 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float, k: int = 5,
         {(r["a"], r["b"]) for r in pairs_ds.materialize().take_all()}
     )
     pair_rows = [{"a": a, "b": b} for a, b in pair_rows]
+    # the driver knows the exact pair count — size the verify shuffle so
+    # no bucket is empty (empty sort partitions emit schema-less blocks
+    # that only produce Ray warnings, and tiny inputs don't need 16-way)
+    nbuckets = max(1, min(nbuckets, (len(pair_rows) + 7) // 8))
     doc_to_pairs: dict[int, list[tuple[int, int]]] = {}
     for i, r in enumerate(pair_rows):
         doc_to_pairs.setdefault(r["a"], []).append((i, 0))

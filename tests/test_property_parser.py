@@ -39,6 +39,15 @@ def source_file(draw):
     for fn in fnames:
         body_calls = draw(st.lists(st.sampled_from(fnames + ["ext", "missing1"]),
                                    max_size=2))
+        if draw(st.booleans()):  # JSDoc block (SPEC P7)
+            if draw(st.booleans()):
+                lines.append(f"/** doc for {fn} with fake_doc_call(9) */")
+            else:
+                lines.append("/**")
+                lines.append(f" * doc for {fn}")
+                lines.append(" */")
+            if draw(st.booleans()):
+                lines.append("")  # attaches through blank lines
         if draw(st.booleans()):
             lines.append(f"@deco{draw(st.integers(0, 3))}")
         lines.append(f"function {fn}(a, b) {{")
@@ -81,7 +90,7 @@ def source_file(draw):
 @given(source_file())
 def test_engine_matches_golden_per_file(src):
     repo, path, commit = "p/q", "src/gen.ts", "c1"
-    _, gold_triples, gold_mentions, _ = parse_file(repo, path, commit, src)
+    gold_ents, gold_triples, gold_mentions, _ = parse_file(repo, path, commit, src)
     gold_spo = {(t[0], t[1], t[2]) for t in gold_triples}
     gold_m = {
         (m["module"], m["symbol"], m["kind"], m["src_id"]) for m in gold_mentions
@@ -114,3 +123,24 @@ def test_engine_matches_golden_per_file(src):
     gold_m_nonimport = {m for m in gold_m if m[2] != "import"}
     assert eng_spo == gold_spo, (eng_spo ^ gold_spo, src)
     assert eng_m == gold_m_nonimport, (eng_m ^ gold_m_nonimport, src)
+
+    # SPEC P7 parity: per-entity docstring props must agree
+    import json
+
+    gold_docs = {
+        (e.kind, e.name): e.props.get("docstring") for e in gold_ents
+    }
+    eng_docs = {
+        (r["node_type"], r["name"]): json.loads(r["props_json"] or "{}").get("docstring")
+        for r in out
+        if r["kind"] == "node" and r["node_type"] in gold_docs_kinds
+    }
+    for key, want in gold_docs.items():
+        if key[0] in gold_docs_kinds:
+            assert eng_docs.get(key) == want, (key, want, eng_docs.get(key), src)
+
+
+gold_docs_kinds = frozenset(
+    ["Function", "ArrowFunction", "Method", "TestCase", "Class",
+     "Interface", "Variable"]
+)
