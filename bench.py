@@ -202,8 +202,11 @@ def run_scaling() -> dict:
         )
         best = None
         # best-of-N: this VM shows bursty CPU steal; min wall time is the
-        # standard estimator of intrinsic cost under noisy neighbors
-        for _ in range(repeats):
+        # standard estimator of intrinsic cost under noisy neighbors.
+        # The high level runs ~(hi/lo)× faster, so give it extra repeats
+        # (same noise-rejection per wall-clock spent at both levels).
+        n_rep = repeats if ncpu == min(levels) else repeats + 2
+        for _ in range(n_rep):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
