@@ -624,6 +624,18 @@ def _q_minhash_pairs(sf_dir: str):
     return verify_jaccard_pairs(cand, ds, threshold=0.4, k=3)
 
 
+def _q_dup_clusters(sf_dir: str):
+    """Near-dup pairs → connected-component dup clusters (node, root).
+    Union-find on the result-sized verified pair list; the distributed
+    alternating-star contraction (stages/components.py) is the
+    equivalence-tested scale path for pair lists beyond the driver."""
+    from hikma_engine_ray.stages.components import dedup_clusters
+
+    return dedup_clusters(_q_minhash_pairs(sf_dir).drop_columns(["jaccard"])).sort(
+        ["node", "root"]
+    )
+
+
 def _q_simhash_pairs(sf_dir: str):
     from hikma_engine_ray.stages.dedup_suite import simhash_candidates
 
@@ -710,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "minhash_pairs": _q_minhash_pairs,
+        "dup_clusters": _q_dup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "embed_neardup": _q_embed_neardup,
         # multimodal plumbing
@@ -872,4 +885,7 @@ def oracle_sql() -> dict[str, str]:
         #   media_features  binary payload decode stub (tests/test_readside.py)
         #   kg_rag_context  prompt assembly + provider chain digest
         #                   (tests/test_rag.py, deterministic e2e)
+        #   dup_clusters    components over LSH-derived pairs
+        #                   (tests/test_components.py: distributed
+        #                   star-contraction ≡ union-find)
     }
