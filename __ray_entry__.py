@@ -534,6 +534,22 @@ def _q_token_count(sf_dir: str):
     )
 
 
+def _q_doc_sample(sf_dir: str):
+    """Deterministic md5-prefix sampling (repeatable training splits)."""
+    from hikma_engine_ray.stages.text import hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return hash_sample(ds, rate=0.25).sort("doc_id")
+
+
+def _q_token_vocab(sf_dir: str):
+    """Corpus vocabulary top-100 (combiner-first token counting)."""
+    from hikma_engine_ray.stages.text import token_vocab
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return token_vocab(ds, top_n=100)
+
+
 def _q_quality(sf_dir: str):
     from hikma_engine_ray.stages.text import quality_score_batch
 
@@ -713,6 +729,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _q_doc_stats,
         "doc_sha256": _q_doc_sha256,
         "token_count": _q_token_count,
+        "doc_sample": _q_doc_sample,
+        "token_vocab": _q_token_vocab,
         "quality_score": _q_quality,
         "exact_dedup": _q_exact_dedup,
         "text_search": _q_text_search,
@@ -820,6 +838,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(text), '\s+'))
                    END :: BIGINT AS token_count
             FROM documents
+        """,
+        "doc_sample": r"""
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+            ORDER BY doc_id
+        """,
+        "token_vocab": r"""
+            SELECT token, count(*) :: BIGINT AS n
+            FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS token
+                  FROM documents)
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY n DESC, token
+            LIMIT 100
         """,
         "quality_score": r"""
             SELECT doc_id,

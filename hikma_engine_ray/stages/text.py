@@ -12,10 +12,12 @@ fingerprint).
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -127,3 +129,57 @@ def fingerprint_batch(batch: pa.Table, window: int = 16) -> pa.Table:
         acc = zlib.crc32(b"".join(m.to_bytes(4, "big") for m in minima))
         fps.append(format(acc, "08x"))
     return batch.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+def hash_sample(ds, id_col: str = "doc_id", rate: float = 0.25,
+                keep_cols: list[str] | None = None):
+    """Deterministic hash sampling: keep a row iff the first byte of
+    md5(str(id)) falls under ``rate`` — the standard repeatable-split
+    operator for training corpora (same rows on every run/engine, no
+    RNG state, no coordination; SQL-replicable so it carries a DuckDB
+    oracle). Pure filter: streams, never shuffles."""
+    threshold = format(int(rate * 256), "02x")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch[id_col].to_pylist()
+        keep = pa.array(
+            [hashlib.md5(str(i).encode()).hexdigest()[:2] < threshold
+             for i in ids],
+            pa.bool_(),
+        )
+        out = batch.filter(keep)
+        return out.select(keep_cols) if keep_cols else out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_VOCAB_TOKEN = re.compile(r"[a-z0-9_]+")
+
+
+def token_vocab(ds, text_col: str = "text", top_n: int = 100):
+    """Corpus vocabulary: top-N tokens by total occurrence count.
+    Combiner-first: each batch pre-aggregates its own (token, n)
+    partial counts vectorized (pandas value_counts), so the global
+    groupby shuffles one row per DISTINCT token per block — never one
+    row per occurrence."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch[text_col].to_pylist():
+            toks.extend(_VOCAB_TOKEN.findall((t or "").lower()))
+        if not toks:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = pd.Series(toks, dtype="object").value_counts()
+        return pa.table({"token": pa.array(vc.index.to_list(), pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return totals.sort(["n", "token"], descending=[True, False]).limit(top_n)

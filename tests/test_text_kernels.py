@@ -83,3 +83,30 @@ def test_fingerprint_short_text_path():
     fps = fingerprint_batch(t)["fingerprint"].to_pylist()
     assert fps[0] == format(zlib.crc32(b"tiny"), "08x")
     assert fps[1] == format(zlib.crc32(b""), "08x")
+
+
+def test_hash_sample_deterministic(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from hikma_engine_ray.stages.text import hash_sample
+
+    t = pa.table({"doc_id": list(range(1000)), "lang": ["en"] * 1000})
+    a = sorted(r["doc_id"] for r in hash_sample(rd.from_arrow(t), rate=0.25).take_all())
+    b = sorted(r["doc_id"] for r in hash_sample(rd.from_arrow(t), rate=0.25).take_all())
+    assert a == b and 0 < len(a) < 1000
+    # monotone in rate: the 25% sample is a subset of the 50% sample
+    c = {r["doc_id"] for r in hash_sample(rd.from_arrow(t), rate=0.5).take_all()}
+    assert set(a) <= c
+    assert abs(len(a) / 1000 - 0.25) < 0.08  # md5 prefix is uniform-ish
+
+
+def test_token_vocab_counts(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from hikma_engine_ray.stages.text import token_vocab
+
+    t = pa.table({"text": ["a b b", "B c! c,c", None, ""]})
+    out = {r["token"]: r["n"] for r in token_vocab(rd.from_arrow(t)).take_all()}
+    assert out == {"a": 1, "b": 3, "c": 3}
