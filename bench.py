@@ -142,8 +142,9 @@ def run_bench() -> dict:
     qs = entrymod.queries()
     for name in (
         "q1_pricing", "orders_by_segment", "events_window", "doc_sha256",
-        "token_count", "exact_dedup", "ann_topk", "minhash_pairs",
-        "simhash_pairs", "embed_neardup",
+        "token_count", "token_vocab", "doc_sample", "exact_dedup",
+        "ann_topk", "minhash_pairs", "dup_clusters", "simhash_pairs",
+        "embed_neardup",
     ):
         tq = time.monotonic()
         res = qs[name](SF_DIR)

@@ -79,7 +79,15 @@ class IVFIndex:
     def fit(self, ds, vec_col: str = "embedding", sample: int = 2048, iters: int = 4):
         import ray.data  # noqa: F401
 
-        rows = ds.limit(sample).to_pandas()
+        # unbiased training sample: seeded random_sample streams the
+        # whole dataset (a limit() prefix would see only the first
+        # blocks — biased if the input is ordered/partitioned)
+        total = ds.count()
+        if total > sample:
+            frac = min(1.0, (sample * 1.25) / total)
+            rows = ds.random_sample(frac, seed=self.seed).limit(sample).to_pandas()
+        else:
+            rows = ds.to_pandas()
         mat = np.asarray(rows[vec_col].tolist(), dtype=np.float32)
         rng = np.random.RandomState(self.seed)
         idx = rng.choice(len(mat), size=min(self.ncentroids, len(mat)), replace=False)
