@@ -6,6 +6,9 @@ commands (embed / search / graph-query, SURVEY.md §3):
     python -m hikma_engine_ray search --out DIR --query TEXT [-k K]
     python -m hikma_engine_ray calls --out DIR --node NODE_ID
     python -m hikma_engine_ray chain --out DIR --src ID --dst ID
+    python -m hikma_engine_ray dedup --docs FILE --out DIR [--threshold J]
+    python -m hikma_engine_ray sample --docs FILE --out DIR [--rate R]
+    python -m hikma_engine_ray vocab --docs FILE [--top-n N]
 
 The CLI owns its Ray session (library code never calls ray.init).
 ``build`` is resumable: re-running skips completed shards via the
@@ -98,6 +101,56 @@ def cmd_chain(args):
     print(" → ".join(path))
 
 
+def cmd_dedup(args):
+    """documents parquet → near-dup clusters parquet (minhash-LSH →
+    exact-Jaccard verify → connected components)."""
+    import ray.data as rd
+
+    _init_ray()
+    from .stages.components import dedup_clusters
+    from .stages.dedup_suite import minhash_candidates, verify_jaccard_pairs
+
+    ds = rd.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    cand = minhash_candidates(
+        ds, k=args.shingle_k, text_col=args.text_col, id_col=args.id_col,
+        distinct=False,
+    )
+    verified = verify_jaccard_pairs(
+        cand, ds, threshold=args.threshold, k=args.shingle_k,
+        text_col=args.text_col, id_col=args.id_col,
+    )
+    clusters = dedup_clusters(verified.drop_columns(["jaccard"]))
+    clusters.write_parquet(args.out)
+    n = rd.read_parquet(args.out).count()
+    print(json.dumps({"out": args.out, "clustered_rows": n}))
+
+
+def cmd_sample(args):
+    """Deterministic repeatable sample of a parquet table."""
+    import ray.data as rd
+
+    _init_ray()
+    from .stages.text import hash_sample
+
+    ds = rd.read_parquet(args.docs)
+    out = hash_sample(ds, id_col=args.id_col, rate=args.rate)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out,
+                      "rows": rd.read_parquet(args.out).count()}))
+
+
+def cmd_vocab(args):
+    """Top-N corpus vocabulary (combiner-first token counts)."""
+    import ray.data as rd
+
+    _init_ray()
+    from .stages.text import token_vocab
+
+    ds = rd.read_parquet(args.docs, columns=[args.text_col])
+    for r in token_vocab(ds, text_col=args.text_col, top_n=args.top_n).take_all():
+        print(f"{r['n']}\t{r['token']}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="hikma_engine_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -129,6 +182,28 @@ def main(argv=None):
     ch.add_argument("--dst", required=True)
     ch.add_argument("--max-hops", type=int, default=10)
     ch.set_defaults(fn=cmd_chain)
+
+    d = sub.add_parser("dedup", help="documents parquet → near-dup cluster parquet")
+    d.add_argument("--docs", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--threshold", type=float, default=0.4)
+    d.add_argument("--shingle-k", type=int, default=3)
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.set_defaults(fn=cmd_dedup)
+
+    sm = sub.add_parser("sample", help="deterministic hash sample → parquet")
+    sm.add_argument("--docs", required=True)
+    sm.add_argument("--out", required=True)
+    sm.add_argument("--rate", type=float, default=0.25)
+    sm.add_argument("--id-col", default="doc_id")
+    sm.set_defaults(fn=cmd_sample)
+
+    v = sub.add_parser("vocab", help="top-N corpus vocabulary to stdout")
+    v.add_argument("--docs", required=True)
+    v.add_argument("--top-n", type=int, default=50)
+    v.add_argument("--text-col", default="text")
+    v.set_defaults(fn=cmd_vocab)
 
     args = p.parse_args(argv)
     args.fn(args)
