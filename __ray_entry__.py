@@ -542,6 +542,14 @@ def _q_doc_sample(sf_dir: str):
     return hash_sample(ds, rate=0.25).sort("doc_id")
 
 
+def _q_distinct_sources(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT) with per-block combine."""
+    from hikma_engine_ray.stages.agg import distinct_count
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return distinct_count(ds, ["source"], group_cols=["lang"]).sort("lang")
+
+
 def _q_token_vocab(sf_dir: str):
     """Corpus vocabulary top-100 (combiner-first token counting)."""
     from hikma_engine_ray.stages.text import token_vocab
@@ -731,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "doc_sample": _q_doc_sample,
         "token_vocab": _q_token_vocab,
+        "distinct_sources": _q_distinct_sources,
         "quality_score": _q_quality,
         "exact_dedup": _q_exact_dedup,
         "text_search": _q_text_search,
@@ -843,6 +852,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
             ORDER BY doc_id
+        """,
+        "distinct_sources": """
+            SELECT lang, count(DISTINCT source) :: BIGINT AS n
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "token_vocab": r"""
             SELECT token, count(*) :: BIGINT AS n

@@ -10,6 +10,7 @@ difference between shuffling terabytes and shuffling kilobytes.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 
 
@@ -62,3 +63,48 @@ def grouped_agg(ds, keys: list[str], spec: dict[str, tuple[str, str]],
         partial_agg(keys, spec), batch_format="pyarrow", batch_size=batch_size
     )
     return final_agg(partials, keys, spec)
+
+
+def distinct_count(ds, value_cols: list[str], group_cols: list[str] | None = None,
+                   nbuckets: int = 32):
+    """Exact COUNT(DISTINCT value_cols) [per group_cols], combiner-first:
+    each block collapses to its DISTINCT (group, value) rows before the
+    shuffle, the groupby dedups globally per hash bucket, and a tiny
+    count-per-group aggregate finishes. Shuffle volume = distinct keys
+    per block, never row count. (Swap the exact per-bucket set for an
+    HLL sketch at the same seam when approximate is acceptable.)"""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .dedup import BUCKET_COL, add_bucket_column
+
+    group_cols = group_cols or []
+    cols = group_cols + value_cols
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.select(cols).group_by(cols).aggregate([])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=cols)
+        out = (
+            # dropna=False: SQL GROUP BY keeps the NULL group
+            g.groupby(group_cols, sort=False, dropna=False).size().reset_index(name="n")
+            if group_cols
+            else pd.DataFrame({"n": [len(g)]})
+        )
+        for c in group_cols:  # NaN group key → proper null
+            out[c] = out[c].astype("object").where(pd.notna(out[c]), None)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    bucketed = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket_column(cols, nbuckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    del pc
+    if group_cols:
+        return bucketed.groupby(group_cols).aggregate(Sum("n", alias_name="n"))
+    row = bucketed.aggregate(Sum("n", alias_name="n"))
+    return pd.DataFrame([{"n": int(row["n"] or 0)}])

@@ -98,3 +98,21 @@ def test_function_complexity(ray_session, nodes):
         assert 1 <= r["avg_loc"] <= r["max_loc"]
     langs = {r["lang"] for r in rows}
     assert "typescript" in langs
+
+
+def test_distinct_count(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.agg import distinct_count
+
+    t = pa.table({
+        "g": ["x", "x", "x", "y", "y", None],
+        "v": ["a", "a", "b", "a", None, "a"],
+    })
+    ds = rd.from_arrow(t)
+    grouped = {r["g"]: r["n"] for r in distinct_count(ds, ["v"], ["g"]).take_all()}
+    assert grouped == {"x": 2, "y": 2, None: 1}  # NULL value counts as a key
+    total = distinct_count(ds, ["v"])  # ungrouped → 1-row DataFrame
+    # distinct v values = {a, b, None}
+    assert total["n"].tolist() == [3]
