@@ -461,6 +461,41 @@ def _q_events_keepbest_impl(sf_dir: str):
     )
 
 
+def _q_asof_clicks(sf_dir: str):
+    """As-of join: each purchase paired with the user's most recent
+    click at-or-before it (stages/joins.asof_join; DuckDB ASOF JOIN is
+    the oracle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def side(kind: str, cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind)).select(cols)
+
+        return fn
+
+    purchases = ev.map_batches(side("purchase", ["event_id", "ts", "user_id"]),
+                               batch_format="pyarrow")
+    clicks = ev.map_batches(side("click", ["event_id", "ts", "user_id", "value"]),
+                            batch_format="pyarrow")
+    j = asof_join(purchases, clicks, on="ts", by=["user_id"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "event_id_r": t["event_id_r"],
+            "value_r": pa.array(_r4(t["value_r"].to_numpy(zero_copy_only=False)),
+                                pa.float64()),
+        })
+
+    return j.map_batches(shape, batch_format="pyarrow").sort("event_id")
+
+
 def _q_part_filter(sf_dir: str):
     """Filter pushdown at the read (prune columns + rows at the scan)."""
     import pyarrow.compute as pc
@@ -732,6 +767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "events_keepbest": _q_events_keepbest_impl,
+        "asof_clicks": _q_asof_clicks,
         "part_filter": _q_part_filter,
         # documents / text analysis
         "doc_stats": _q_doc_stats,
@@ -852,6 +888,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
             ORDER BY doc_id
+        """,
+        "asof_clicks": f"""
+            SELECT l.event_id, l.user_id, r.event_id AS event_id_r,
+                   round(r.value, {_ROUND}) AS value_r
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id
         """,
         "distinct_sources": """
             SELECT lang, count(DISTINCT source) :: BIGINT AS n

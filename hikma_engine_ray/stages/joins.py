@@ -107,3 +107,104 @@ def bucketed_join(left, right, on: list[str], nbuckets: int = 32,
         )
 
     return lt.union(rt).groupby("__jbucket").map_groups(merge, batch_format="pyarrow")
+
+
+def asof_join(left, right, on: str, by: list[str], *,
+              suffix: str = "_r", nbuckets: int = 32,
+              allow_exact_matches: bool = True):
+    """As-of (inner, backward) join — an operator Ray Data lacks: each
+    left row pairs with the right row having the greatest ``on`` value
+    ≤ its own, within the same ``by`` group (DuckDB/kdb ASOF JOIN
+    semantics; ``pd.merge_asof`` kernel per bucket).
+
+    PARTITIONING ASSUMPTION (the one this composition relies on): all
+    rows of one ``by`` group land in one shuffle bucket — guaranteed by
+    hashing the ``by`` columns. Group sizes must fit a worker batch;
+    for a pathological group (one user with 10^8 events) pre-split the
+    ``on`` axis into coarse time ranges and replicate the preceding
+    range's tail row, exactly like the windows stage documents."""
+
+    def _fields(ds) -> list[tuple[str, pa.DataType]]:
+        s = ds.schema()
+        return list(zip(s.names, s.types))
+
+    lfields = _fields(left)
+    rfields = _fields(right)
+    lcols = [n for n, _ in lfields]
+    rcols = [n for n, _ in rfields]
+    rren = {n: (n if n in by or n == on else n + suffix) for n in rcols}
+    out_fields = lfields + [
+        (rren[n], t) for n, t in rfields if rren[n] not in set(lcols)
+    ]
+    out_schema = pa.schema(out_fields)
+
+    def tag(side: int, cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            import polars as pl
+            import pyarrow.compute as pc
+
+            n = batch.num_rows
+            if n == 0:
+                buckets = pa.array([], pa.int32())
+            else:
+                combined = pc.binary_join_element_wise(
+                    *[pc.fill_null(pc.cast(batch[c], pa.string()), "None")
+                      for c in by],
+                    "\x1f",
+                )
+                h = pl.Series(pl.from_arrow(combined)).hash(seed=0).to_numpy()
+                buckets = pa.array(
+                    (h % np.uint64(nbuckets)).astype(np.int32), pa.int32()
+                )
+            names, arrays = [], []
+            for name, typ in lfields + [(rn, t) for (n2, t), rn in
+                                        zip(rfields, [rren[c] for c in rcols])
+                                        if rn not in set(lcols)]:
+                names.append(name)
+                src = None
+                if side == 0 and name in batch.column_names:
+                    src = name
+                elif side == 1:
+                    orig = next((c for c in rcols if rren[c] == name), None)
+                    if orig is not None and orig in batch.column_names:
+                        src = orig
+                if src is not None:
+                    arrays.append(batch[src].combine_chunks().cast(typ))
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, typ))
+            names += ["__jbucket", "__side"]
+            arrays += [buckets, pa.array([side] * batch.num_rows, pa.int32())]
+            return pa.table(dict(zip(names, arrays)))
+
+        return fn
+
+    lt = left.map_batches(tag(0, lcols), batch_format="pyarrow")
+    rt = right.map_batches(tag(1, rcols), batch_format="pyarrow")
+    rout = [rren[c] for c in rcols]
+
+    def merge(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ls = g.filter(pc.equal(g["__side"], 0)).select(lcols).to_pandas()
+        rs = g.filter(pc.equal(g["__side"], 1)).select(rout).to_pandas()
+        if not len(ls) or not len(rs):
+            return out_schema.empty_table()
+        ls = ls.sort_values(on, kind="stable")
+        rs = rs.sort_values(on, kind="stable")
+        out = pd.merge_asof(
+            ls, rs, on=on, by=by, direction="backward",
+            allow_exact_matches=allow_exact_matches,
+            suffixes=("", suffix),
+        )
+        # inner semantics: drop left rows with no as-of match
+        probe = next(c for c in rout if c not in by and c != on)
+        out = out[out[probe].notna()]
+        for name, typ in out_fields:  # restore int dtypes NaN degraded
+            if pa.types.is_integer(typ):
+                out[name] = out[name].astype("int64")
+        return pa.Table.from_pandas(
+            out[[n for n, _ in out_fields]], schema=out_schema,
+            preserve_index=False,
+        )
+
+    return lt.union(rt).groupby("__jbucket").map_groups(merge, batch_format="pyarrow")

@@ -263,3 +263,29 @@ def test_adjacency_degree_segmentation(ray_session):
 
     top = degree_stats(adj).take_all()
     assert top[0]["node_id"] == "hub" and top[0]["out_degree"] == n_hub
+
+
+def test_asof_join(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.joins import asof_join
+
+    left = pa.table({
+        "lid": [1, 2, 3, 4],
+        "ts": [10, 20, 30, 5],
+        "u": ["a", "a", "b", "b"],
+    })
+    right = pa.table({
+        "rid": [100, 101, 102],
+        "ts": [10, 25, 40],
+        "u": ["a", "a", "b"],
+    })
+    out = sorted(
+        asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                  on="ts", by=["u"]).take_all(),
+        key=lambda r: r["lid"],
+    )
+    # lid=1: exact match at ts=10; lid=2: rid=100 (25 > 20);
+    # lid=3/4 (user b): right ts=40 is after both → dropped (inner)
+    assert [(r["lid"], r["rid_r"]) for r in out] == [(1, 100), (2, 100)]
