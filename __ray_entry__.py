@@ -496,6 +496,37 @@ def _q_asof_clicks(sf_dir: str):
     return j.map_batches(shape, batch_format="pyarrow").sort("event_id")
 
 
+def _q_range_clicks(sf_dir: str):
+    """Range join: each purchase paired with ALL of the user's clicks
+    in the preceding hour (stages/joins.range_join; DuckDB inequality
+    join is the oracle)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.stages.joins import range_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def side(kind: str, cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind)).select(cols)
+
+        return fn
+
+    purchases = ev.map_batches(side("purchase", ["event_id", "ts", "user_id"]),
+                               batch_format="pyarrow")
+    clicks = ev.map_batches(side("click", ["event_id", "ts", "user_id"]),
+                            batch_format="pyarrow")
+    j = range_join(
+        purchases, clicks, by=["user_id"], left_on="ts", right_on="ts",
+        lo_offset=pd.Timedelta(hours=-1), hi_offset=pd.Timedelta(0),
+    )
+    return j.select_columns(["event_id", "user_id", "event_id_r"]).sort(
+        ["event_id", "event_id_r"]
+    )
+
+
 def _q_part_filter(sf_dir: str):
     """Filter pushdown at the read (prune columns + rows at the scan)."""
     import pyarrow.compute as pc
@@ -768,6 +799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "events_keepbest": _q_events_keepbest_impl,
         "asof_clicks": _q_asof_clicks,
+        "range_clicks": _q_range_clicks,
         "part_filter": _q_part_filter,
         # documents / text analysis
         "doc_stats": _q_doc_stats,
@@ -896,6 +928,14 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
             ORDER BY l.event_id
+        """,
+        "range_clicks": """
+            SELECT l.event_id, l.user_id, r.event_id AS event_id_r
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id
+             AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts
+            ORDER BY l.event_id, event_id_r
         """,
         "distinct_sources": """
             SELECT lang, count(DISTINCT source) :: BIGINT AS n

@@ -208,3 +208,93 @@ def asof_join(left, right, on: str, by: list[str], *,
         )
 
     return lt.union(rt).groupby("__jbucket").map_groups(merge, batch_format="pyarrow")
+
+
+def range_join(left, right, by: list[str], *, left_on: str, right_on: str,
+               lo_offset, hi_offset, suffix: str = "_r", nbuckets: int = 32):
+    """Range (interval) join — the second operator Ray Data lacks: each
+    left row pairs with EVERY right row of the same ``by`` group whose
+    ``right_on`` lies in ``[left_on + lo_offset, left_on + hi_offset]``.
+    One-to-many by construction (an event joined to all events of the
+    preceding hour), unlike ``asof_join``'s one-to-one.
+
+    Same partitioning assumption as ``asof_join``: one ``by`` group ↔
+    one shuffle bucket. Within a bucket the match is a vectorized
+    equi-merge on ``by`` followed by a between-filter — per-group
+    output is inherently up to |L_g|×|R_g|; keep ``by`` selective (the
+    standard range-join caveat, documented here on purpose)."""
+
+    def _fields(ds):
+        s = ds.schema()
+        return list(zip(s.names, s.types))
+
+    lfields = _fields(left)
+    rfields = _fields(right)
+    lcols = [n for n, _ in lfields]
+    rcols = [n for n, _ in rfields]
+    rren = {n: (n if n in by else n + suffix) for n in rcols}
+    out_fields = lfields + [
+        (rren[n], t) for n, t in rfields if rren[n] not in set(lcols)
+    ]
+    out_schema = pa.schema(out_fields)
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            import polars as pl
+            import pyarrow.compute as pc
+
+            n = batch.num_rows
+            if n == 0:
+                buckets = pa.array([], pa.int32())
+            else:
+                combined = pc.binary_join_element_wise(
+                    *[pc.fill_null(pc.cast(batch[c], pa.string()), "None")
+                      for c in by],
+                    "\x1f",
+                )
+                h = pl.Series(pl.from_arrow(combined)).hash(seed=0).to_numpy()
+                buckets = pa.array(
+                    (h % np.uint64(nbuckets)).astype(np.int32), pa.int32()
+                )
+            names, arrays = [], []
+            for name, typ in out_fields:
+                names.append(name)
+                if side == 0 and name in set(lcols):
+                    arrays.append(batch[name].combine_chunks().cast(typ))
+                elif side == 1:
+                    orig = next((c for c in rcols if rren[c] == name), None)
+                    if orig is not None:
+                        arrays.append(batch[orig].combine_chunks().cast(typ))
+                    else:
+                        arrays.append(pa.nulls(n, typ))
+                else:
+                    arrays.append(pa.nulls(n, typ))
+            names += ["__jbucket", "__side"]
+            arrays += [buckets, pa.array([side] * n, pa.int32())]
+            return pa.table(dict(zip(names, arrays)))
+
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pyarrow")
+    rt = right.map_batches(tag(1), batch_format="pyarrow")
+    rout = [rren[c] for c in rcols]
+    r_on = rren[right_on]
+
+    def merge(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ls = g.filter(pc.equal(g["__side"], 0)).select(lcols).to_pandas()
+        rs = g.filter(pc.equal(g["__side"], 1)).select(rout).to_pandas()
+        if not len(ls) or not len(rs):
+            return out_schema.empty_table()
+        out = ls.merge(rs, on=by, how="inner")
+        mask = (out[r_on] >= out[left_on] + lo_offset) & (
+            out[r_on] <= out[left_on] + hi_offset
+        )
+        out = out[mask]
+        return pa.Table.from_pandas(
+            out[[n for n, _ in out_fields]], schema=out_schema,
+            preserve_index=False,
+        )
+
+    return lt.union(rt).groupby("__jbucket").map_groups(merge, batch_format="pyarrow")

@@ -289,3 +289,21 @@ def test_asof_join(ray_session):
     # lid=1: exact match at ts=10; lid=2: rid=100 (25 > 20);
     # lid=3/4 (user b): right ts=40 is after both → dropped (inner)
     assert [(r["lid"], r["rid_r"]) for r in out] == [(1, 100), (2, 100)]
+
+
+def test_range_join(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.joins import range_join
+
+    left = pa.table({"lid": [1, 2], "pos": [10, 50], "u": ["a", "a"]})
+    right = pa.table({"rid": [7, 8, 9], "pos": [4, 9, 48], "u": ["a", "a", "a"]})
+    out = sorted(
+        range_join(rd.from_arrow(left), rd.from_arrow(right), by=["u"],
+                   left_on="pos", right_on="pos",
+                   lo_offset=-6, hi_offset=0).take_all(),
+        key=lambda r: (r["lid"], r["rid_r"]),
+    )
+    # lid=1 (pos 10, window [4,10]): rids 7 and 8; lid=2 (window [44,50]): rid 9
+    assert [(r["lid"], r["rid_r"]) for r in out] == [(1, 7), (1, 8), (2, 9)]
