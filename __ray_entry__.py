@@ -616,6 +616,15 @@ def _q_distinct_sources(sf_dir: str):
     return distinct_count(ds, ["source"], group_cols=["lang"]).sort("lang")
 
 
+def _q_hll_sources(sf_dir: str):
+    """Approximate COUNT(DISTINCT source) via HyperLogLog (rows-only:
+    an estimator has no exact SQL twin; accuracy gated in
+    tests/test_stats.py::test_hll_distinct_accuracy)."""
+    from hikma_engine_ray.stages.agg import hll_distinct
+
+    return hll_distinct(_read(sf_dir, "documents", ["source"]), ["source"])
+
+
 def _q_token_vocab(sf_dir: str):
     """Corpus vocabulary top-100 (combiner-first token counting)."""
     from hikma_engine_ray.stages.text import token_vocab
@@ -808,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _q_doc_sample,
         "token_vocab": _q_token_vocab,
         "distinct_sources": _q_distinct_sources,
+        "hll_sources": _q_hll_sources,
         "quality_score": _q_quality,
         "exact_dedup": _q_exact_dedup,
         "text_search": _q_text_search,
@@ -1014,6 +1024,8 @@ def oracle_sql() -> dict[str, str]:
         #   media_features  binary payload decode stub (tests/test_readside.py)
         #   kg_rag_context  prompt assembly + provider chain digest
         #                   (tests/test_rag.py, deterministic e2e)
+        #   hll_sources     HyperLogLog estimate (no exact SQL twin;
+        #                   accuracy-gated in test_stats.py)
         #   dup_clusters    components over LSH-derived pairs
         #                   (tests/test_components.py: distributed
         #                   star-contraction ≡ union-find)

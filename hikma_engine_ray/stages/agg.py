@@ -108,3 +108,84 @@ def distinct_count(ds, value_cols: list[str], group_cols: list[str] | None = Non
         return bucketed.groupby(group_cols).aggregate(Sum("n", alias_name="n"))
     row = bucketed.aggregate(Sum("n", alias_name="n"))
     return pd.DataFrame([{"n": int(row["n"] or 0)}])
+
+
+# --------------------------------------------------------- HLL sketch
+
+_HLL_P = 14  # 2^14 registers = 16 KiB per group; rel. error ≈ 1.04/√m ≈ 0.8%
+
+
+def _hll_registers(values: pa.Array, p: int = _HLL_P) -> "np.ndarray":
+    """One block's HyperLogLog registers (Flajolet et al. 2007, public
+    algorithm) for a string column — fully vectorized: polars xxhash →
+    top-p bits pick the register, leading-zero count of the rest sets
+    it."""
+    import numpy as np
+    import polars as pl
+    import pyarrow.compute as pc
+
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    h = pl.Series(pl.from_arrow(pc.fill_null(pc.cast(values, pa.string()), "\x00"))
+                  ).hash(seed=0).to_numpy()
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    # pad the low p bits with ones: rest is never 0 and the padding
+    # cannot outrank w's own leading bit, so for the (64-p)-bit suffix w
+    #   rho = (64-p) - bit_length(w) + 1 = 65 - bit_length(rest)
+    # (w == 0 → bit_length(rest) = p → rho = 65-p, the field max). The
+    # frexp exponent IS bit_length for positive integers; float64
+    # rounding can only bump the exponent at the 2^64 boundary where
+    # the true rho is 1 — the clip handles it exactly.
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+    exp = np.frexp(rest.astype(np.float64))[1]
+    rho = np.clip(65 - exp, 1, 65 - p).astype(np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _hll_estimate(regs: "np.ndarray") -> float:
+    """Standard HLL estimator with small-range (linear counting)
+    correction."""
+    import numpy as np
+
+    m = float(len(regs))
+    inv = np.ldexp(1.0, -regs.astype(np.int64))  # 2^-reg
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / inv.sum()
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    return float(est)
+
+
+def hll_distinct(ds, value_cols: list[str], p: int = _HLL_P):
+    """Approximate COUNT(DISTINCT) via HyperLogLog — the sketch variant
+    of ``distinct_count`` for when the distinct set itself is too large
+    to shuffle. Per block: 16 KiB of registers; merge = element-wise
+    max on the driver ((#blocks × 16 KiB) — swap for a tree reduce via
+    ``ds.aggregate`` if block counts ever make that matter). Returns a
+    1-row DataFrame ``{"n": estimate}``; rel. error ≈ 1.04/√2^p."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        combined = (
+            pc.binary_join_element_wise(
+                *[pc.fill_null(pc.cast(t[c], pa.string()), "\x00")
+                  for c in value_cols],
+                "\x1f",
+            )
+            if len(value_cols) > 1
+            else t[value_cols[0]].combine_chunks()
+        )
+        regs = _hll_registers(pa.array(combined) if not isinstance(
+            combined, (pa.Array, pa.ChunkedArray)) else combined, p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for row in ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None).take_all():
+        merged = np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8))
+    return pd.DataFrame([{"n": int(round(_hll_estimate(merged)))}])

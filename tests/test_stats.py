@@ -116,3 +116,20 @@ def test_distinct_count(ray_session):
     total = distinct_count(ds, ["v"])  # ungrouped → 1-row DataFrame
     # distinct v values = {a, b, None}
     assert total["n"].tolist() == [3]
+
+
+def test_hll_distinct_accuracy(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.agg import hll_distinct
+
+    # 20k rows, 7777 distinct values, spread over multiple blocks
+    vals = [f"v{i % 7777}" for i in range(20000)]
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(8)
+    est = int(hll_distinct(ds, ["v"])["n"].iloc[0])
+    assert abs(est - 7777) / 7777 < 0.05  # p=14 → ~0.8% typical error
+    # small-range linear counting path
+    small = rd.from_arrow(pa.table({"v": [f"s{i}" for i in range(50)]}))
+    est2 = int(hll_distinct(small, ["v"])["n"].iloc[0])
+    assert est2 == 50
