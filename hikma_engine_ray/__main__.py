@@ -78,6 +78,19 @@ def cmd_search(args):
         print(f"{r['similarity']:.4f}  {r['node_type']:13s} {r['name']}  ({r['path']})")
 
 
+def cmd_explain(args):
+    """RAG read path: top-k search → assembled prompt → provider chain
+    (reference `hikma-engine search --explain` analog; EchoProvider
+    stands in for the LLM transport — no network here)."""
+    _init_ray()
+    from .pipelines.rag import ProviderManager, rag_query
+
+    nodes = _read_out(args.out, "nodes")
+    row = rag_query(nodes, args.query, k=args.k,
+                    manager=ProviderManager()).to_pylist()[0]
+    print(json.dumps(row, indent=1))
+
+
 def cmd_calls(args):
     _init_ray()
     from .pipelines.graph_query import edges_of
@@ -170,6 +183,12 @@ def main(argv=None):
     q.add_argument("--query", required=True)
     q.add_argument("-k", type=int, default=10)
     q.set_defaults(fn=cmd_search)
+
+    ex = sub.add_parser("explain", help="RAG: search → prompt → provider chain")
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--query", required=True)
+    ex.add_argument("-k", type=int, default=10)
+    ex.set_defaults(fn=cmd_explain)
 
     c = sub.add_parser("calls")
     c.add_argument("--out", required=True)
