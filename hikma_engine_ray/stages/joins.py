@@ -191,17 +191,21 @@ def asof_join(left, right, on: str, by: list[str], *,
             return out_schema.empty_table()
         ls = ls.sort_values(on, kind="stable")
         rs = rs.sort_values(on, kind="stable")
+        # explicit match indicator: a payload column can be legitimately
+        # NULL in a matched right row (and the right side may have no
+        # payload at all), so never probe payload columns for matches
+        rs = rs.assign(__m=np.int8(1))
         out = pd.merge_asof(
             ls, rs, on=on, by=by, direction="backward",
             allow_exact_matches=allow_exact_matches,
             suffixes=("", suffix),
         )
         # inner semantics: drop left rows with no as-of match
-        probe = next(c for c in rout if c not in by and c != on)
-        out = out[out[probe].notna()]
+        out = out[out["__m"].notna()]
         for name, typ in out_fields:  # restore int dtypes NaN degraded
             if pa.types.is_integer(typ):
-                out[name] = out[name].astype("int64")
+                # nullable Int64: matched rows may carry NULL payloads
+                out[name] = out[name].astype("Int64")
         return pa.Table.from_pandas(
             out[[n for n, _ in out_fields]], schema=out_schema,
             preserve_index=False,

@@ -307,3 +307,19 @@ def test_range_join(ray_session):
     )
     # lid=1 (pos 10, window [4,10]): rids 7 and 8; lid=2 (window [44,50]): rid 9
     assert [(r["lid"], r["rid_r"]) for r in out] == [(1, 7), (1, 8), (2, 9)]
+
+
+def test_asof_join_null_payload_kept(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.joins import asof_join
+
+    left = pa.table({"lid": [1], "ts": [10], "u": ["a"]})
+    right = pa.table({"rid": [None], "ts": [5], "u": ["a"]},
+                     schema=pa.schema([("rid", pa.int64()), ("ts", pa.int64()),
+                                       ("u", pa.string())]))
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    on="ts", by=["u"]).take_all()
+    # the match exists even though the right payload is NULL
+    assert len(out) == 1 and out[0]["lid"] == 1 and out[0]["rid_r"] is None
