@@ -482,7 +482,7 @@ def _q_asof_clicks(sf_dir: str):
                                batch_format="pyarrow")
     clicks = ev.map_batches(side("click", ["event_id", "ts", "user_id", "value"]),
                             batch_format="pyarrow")
-    j = asof_join(purchases, clicks, on="ts", by=["user_id"])
+    j = asof_join(purchases, clicks, on="ts", by=["user_id"], tiebreak="event_id")
 
     def shape(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -941,12 +941,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "asof_clicks": f"""
-            SELECT l.event_id, l.user_id, r.event_id AS event_id_r,
-                   round(r.value, {_ROUND}) AS value_r
-            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
-              ON l.user_id = r.user_id AND l.ts >= r.ts
-            ORDER BY l.event_id
+            -- deterministic ASOF: max r.ts <= l.ts, ties broken by max
+            -- r.event_id (mirrors asof_join(tiebreak='event_id'))
+            SELECT event_id, user_id, event_id_r,
+                   round(value_r, {_ROUND}) AS value_r
+            FROM (
+                SELECT l.event_id, l.user_id, r.event_id AS event_id_r,
+                       r.value AS value_r,
+                       row_number() OVER (
+                           PARTITION BY l.event_id
+                           ORDER BY r.ts DESC, r.event_id DESC) AS rn
+                FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+                JOIN (SELECT * FROM events WHERE event_type = 'click') r
+                  ON l.user_id = r.user_id AND r.ts <= l.ts
+            ) WHERE rn = 1
+            ORDER BY event_id
         """,
         "range_clicks": """
             SELECT l.event_id, l.user_id, r.event_id AS event_id_r

@@ -204,9 +204,11 @@ def run_scaling() -> dict:
         best = None
         # best-of-N: this VM shows bursty CPU steal; min wall time is the
         # standard estimator of intrinsic cost under noisy neighbors.
-        # The high level runs ~(hi/lo)× faster, so give it extra repeats
-        # (same noise-rejection per wall-clock spent at both levels).
-        n_rep = repeats if ncpu == min(levels) else repeats + 2
+        # SAME repeat count at BOTH levels: under one-sided noise, extra
+        # repeats at one level pull its min closer to intrinsic cost and
+        # bias the efficiency ratio (round-2 ADVICE) — equal counts keep
+        # the estimator symmetric.
+        n_rep = repeats
         for _ in range(n_rep):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],

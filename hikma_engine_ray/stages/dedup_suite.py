@@ -19,7 +19,6 @@ re-join by doc_id at cluster scale.
 from __future__ import annotations
 
 import hashlib
-import itertools
 import re
 import struct
 import zlib
@@ -54,6 +53,53 @@ def _stable64_memo(data: bytes, seed: int) -> int:
             _hash_memo.clear()
         v = _hash_memo[key] = _stable64(data, seed)
     return v
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count).
+    uint64 wraparound multiply is the standard trick's modulus."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def _capped_pair_indices(subkeys: np.ndarray, cap: int):
+    """Bounded-work pair enumeration for one LSH collision group.
+
+    Yields ``(ia, ib)`` POSITION pairs (ia < ib) over the caller-sorted
+    group. Groups of ≤ ``cap`` members emit every pair via one
+    ``np.triu_indices`` (vectorized — no per-pair Python). Larger
+    groups split hierarchically on ``subkeys`` bits (high → low, the
+    embedding_neardup ``split_pairs`` pattern) so no leaf ever computes
+    more than cap² pairs; pairs crossing a split are dropped — the
+    documented recall trade for pathological buckets (g near-identical
+    boilerplate docs would otherwise emit g²/2 pairs). A leaf whose
+    subkeys are exhausted (identical signatures all the way down — a
+    true near-identical flood) emits STAR pairs (min-position member ×
+    rest): O(g) work that preserves cluster connectivity for downstream
+    clustering/verification."""
+
+    def rec(idx: np.ndarray, depth: int):
+        n = len(idx)
+        if n < 2:
+            return
+        if n <= cap:
+            ia, ib = np.triu_indices(n, 1)
+            yield idx[ia], idx[ib]
+            return
+        if depth >= 64:
+            yield np.full(n - 1, idx[0], dtype=np.int64), idx[1:]
+            return
+        bit = (subkeys[idx] >> np.uint64(63 - depth)) & np.uint64(1)
+        for m in (bit == np.uint64(0), bit == np.uint64(1)):
+            if m.sum() >= 2:
+                yield from rec(idx[m], depth + 1)
+
+    yield from rec(np.arange(len(subkeys), dtype=np.int64), 0)
 
 
 def _hash_occurrences(items: list[bytes], seed: int) -> np.ndarray:
@@ -157,9 +203,16 @@ class MinHashSigs:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_pylist()
-        n = len(texts)
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
         sigs = self.signatures(texts)
+        # shingle-less docs (empty / sub-k-token text) short-circuit out
+        # of banding: their all-max signature would put EVERY empty doc
+        # in the same bucket of every band (an unbounded collision
+        # group). Content-less docs are exact duplicates of each other —
+        # the exact-dedup family's job, not near-dup LSH's.
+        nonempty = ~(sigs == np.iinfo(np.uint64).max).all(axis=1)
+        sigs, ids = sigs[nonempty], ids[nonempty]
+        n = len(ids)
         r = self.rows_per_band
         # band hashes: bands×docs blake2b calls (not shingles×perms)
         out_hash = [
@@ -167,15 +220,27 @@ class MinHashSigs:
             for j in range(n)
             for b in range(self.bands)
         ]
+        # full-signature hash: the sub-split key for oversize collision
+        # groups (_capped_pair_indices) — 64 bits of discrimination that
+        # agree exactly when the whole signature agrees
+        sig_hash = np.fromiter(
+            (
+                struct.unpack(
+                    "<q", hashlib.blake2b(sigs[j].tobytes(), digest_size=8).digest()
+                )[0]
+                for j in range(n)
+            ),
+            dtype=np.int64,
+            count=n,
+        )
         return pa.table(
             {
                 "band": pa.array(
                     np.tile(np.arange(self.bands, dtype=np.int32), n), pa.int32()
                 ),
                 "band_hash": pa.array(out_hash, pa.string()),
-                "doc_id": pa.array(
-                    np.repeat(np.asarray(ids, dtype=np.int64), self.bands), pa.int64()
-                ),
+                "doc_id": pa.array(np.repeat(ids, self.bands), pa.int64()),
+                "sig_hash": pa.array(np.repeat(sig_hash, self.bands), pa.int64()),
             }
         )
 
@@ -188,23 +253,36 @@ _B = _rng.randint(0, 2**63, size=256, dtype=np.int64).astype(np.uint64)
 
 def minhash_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
                        text_col: str = "text", id_col: str = "doc_id",
-                       distinct: bool = True):
+                       distinct: bool = True, group_cap: int = 512):
     """Documents → candidate near-dup pairs (a < b) via banded LSH.
-    The groupby shuffles only (band, hash, id) rows."""
+    The groupby shuffles only (band, hash, id, sig_hash) rows.
+
+    ``group_cap`` bounds per-(band, band_hash) collision-group work:
+    groups under the cap emit all pairs vectorized (np.triu_indices —
+    identical pairs, identical order, to the old combinations loop);
+    oversize groups sub-split hierarchically on full-signature-hash
+    bits and near-identical floods degrade to star pairing (see
+    ``_capped_pair_indices``) — never O(g²) Python."""
 
     def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # only (band, band_hash) groups with a collision can yield pairs —
         # filter them vectorized, loop only over actual collision groups
         g = g[g.duplicated(subset=["band", "band_hash"], keep=False)]
-        out_a: list[int] = []
-        out_b: list[int] = []
+        parts_a: list[np.ndarray] = []
+        parts_b: list[np.ndarray] = []
         for _, sub in g.groupby(["band", "band_hash"], sort=False):
-            ids = sorted(set(sub["doc_id"].tolist()))
-            for x, y in itertools.combinations(ids, 2):
-                out_a.append(x)
-                out_b.append(y)
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64")})
+            sub = sub.drop_duplicates(subset=["doc_id"])
+            ids = sub["doc_id"].to_numpy(dtype=np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            keys = sub["sig_hash"].to_numpy(dtype=np.int64)[order].view(np.uint64)
+            for ia, ib in _capped_pair_indices(keys, group_cap):
+                parts_a.append(ids[ia])
+                parts_b.append(ids[ib])
+        a = np.concatenate(parts_a) if parts_a else np.empty(0, np.int64)
+        b = np.concatenate(parts_b) if parts_b else np.empty(0, np.int64)
+        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
+                             "b": pd.Series(b, dtype="int64")})
 
     # stateless tasks: the only "state" (permutation coefficients _A/_B)
     # is module-level, so warm Ray workers need no actor spin-up
@@ -261,32 +339,55 @@ _VERIFIED_PAIR_SCHEMA = pa.schema(
 
 def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float, k: int = 5,
                          text_col: str = "text", id_col: str = "doc_id",
-                         nbuckets: int = 16):
-    """Broadcast-small-side verification: the CANDIDATE PAIR SET (tiny
-    by construction — it IS the result size) is broadcast via ray.put;
-    one streaming pass over the documents emits (pair, side, text) rows
-    for participating docs only, and ONE shuffle brings each pair's two
-    texts together for the exact Jaccard kernel. The corpus is never
-    materialized anywhere — contrast verify_jaccard (broadcasts all
-    docs; test-scale only) and verify_jaccard_joined (2 shuffle joins;
-    the fallback when even the pair set outgrows a broadcast)."""
+                         nbuckets: int = 16, driver_limit: int = 2_000_000):
+    """Broadcast-small-side verification: the CANDIDATE PAIR SET
+    (usually result-sized) is broadcast via ray.put; one streaming pass
+    over the documents emits (pair, side, text) rows for participating
+    docs only, and ONE shuffle brings each pair's two texts together
+    for the exact Jaccard kernel. The corpus is never materialized
+    anywhere — contrast verify_jaccard (broadcasts all docs; test-scale
+    only) and verify_jaccard_joined (2 shuffle joins).
+
+    LSH candidates have no hard size guarantee on skewed corpora, so
+    past ``driver_limit`` candidate rows this AUTO-SWITCHES to the
+    fully distributed ``verify_jaccard_joined`` path (the same
+    count-guard pattern as ``components.dedup_clusters``) instead of
+    ``take_all()``-ing an unbounded pair set onto the driver."""
     import ray
+
+    # cheap count first (pairs are tiny (a, b) rows; the candidate
+    # pipeline runs once — materialized so the chosen path reuses it)
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() > driver_limit:
+        from .dedup import dedup_exact
+
+        distinct_pairs = dedup_exact(
+            pairs_ds.select_columns(["a", "b"]),
+            key_cols=["a", "b"], sort_cols=["a", "b"],
+        )
+        return verify_jaccard_joined(
+            distinct_pairs, docs_ds, threshold, k=k,
+            text_col=text_col, id_col=id_col,
+        )
 
     # driver-side distinct on the result-sized pair list (a pair can
     # collide in several LSH bands) — cheaper than a distinct shuffle
-    pair_rows = sorted(
-        {(r["a"], r["b"]) for r in pairs_ds.materialize().take_all()}
-    )
-    pair_rows = [{"a": a, "b": b} for a, b in pair_rows]
+    pair_set = sorted({(r["a"], r["b"]) for r in pairs_ds.take_all()})
+    arr_a = np.fromiter((p[0] for p in pair_set), dtype=np.int64, count=len(pair_set))
+    arr_b = np.fromiter((p[1] for p in pair_set), dtype=np.int64, count=len(pair_set))
     # the driver knows the exact pair count — size the verify shuffle so
     # no bucket is empty (empty sort partitions emit schema-less blocks
     # that only produce Ray warnings, and tiny inputs don't need 16-way)
-    nbuckets = max(1, min(nbuckets, (len(pair_rows) + 7) // 8))
+    nbuckets = max(1, min(nbuckets, (len(pair_set) + 7) // 8))
     doc_to_pairs: dict[int, list[tuple[int, int]]] = {}
-    for i, r in enumerate(pair_rows):
-        doc_to_pairs.setdefault(r["a"], []).append((i, 0))
-        doc_to_pairs.setdefault(r["b"], []).append((i, 1))
+    for i, (a, b) in enumerate(pair_set):
+        doc_to_pairs.setdefault(a, []).append((i, 0))
+        doc_to_pairs.setdefault(b, []).append((i, 1))
     ref = ray.put(doc_to_pairs)
+    # pair endpoints as numpy arrays in plasma (zero-copy ray.get) —
+    # NOT captured in the score closure, which would cloudpickle the
+    # whole list into every group task (round-2 ADVICE)
+    pairs_ref = ray.put((arr_a, arr_b))
 
     def emit(batch: pa.Table) -> pa.Table:
         m = ray.get(ref)  # zero-copy plasma fetch, once per worker
@@ -308,6 +409,7 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float, k: int = 5,
         )
 
     def score(g: pd.DataFrame) -> pa.Table:
+        pa_ids, pb_ids = ray.get(pairs_ref)  # zero-copy plasma fetch
         cache: dict[str, set] = {}
 
         def sh(t):
@@ -321,9 +423,8 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float, k: int = 5,
             texts = dict(zip(sub["side"], sub["text"]))
             j = jaccard(sh(texts.get(0, "")), sh(texts.get(1, "")))
             if j >= threshold:
-                r = pair_rows[int(p)]
-                out_a.append(r["a"])
-                out_b.append(r["b"])
+                out_a.append(int(pa_ids[int(p)]))
+                out_b.append(int(pb_ids[int(p)]))
                 out_j.append(j)
         return pa.Table.from_arrays(
             [pa.array(out_a, pa.int64()), pa.array(out_b, pa.int64()),
@@ -457,16 +558,26 @@ def _simhash_band_layout(max_hamming: int) -> list[tuple[int, int]]:
 
 
 def simhash_candidates(ds, max_hamming: int = 3, text_col: str = "text",
-                       id_col: str = "doc_id"):
+                       id_col: str = "doc_id", group_cap: int = 512):
     """Near-dup candidates: docs sharing any sub-band of their simhash
     (band count derived from ``max_hamming`` so the pigeonhole guarantee
     actually covers the requested radius), then exact hamming verify
-    in-group."""
+    in-group — vectorized (popcount over triu index pairs) and bounded
+    per collision group by ``group_cap`` (see ``_capped_pair_indices``;
+    the sub-split key is the simhash itself)."""
     layout = _simhash_band_layout(max_hamming)
 
     def bands(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        hs = simhash64_batch(batch[text_col].to_pylist())
+        texts = batch[text_col].to_pylist()
+        hs = simhash64_batch(texts)
+        # token-less docs short-circuit out of banding (they'd all share
+        # simhash 0 in every band — an unbounded collision group; exact
+        # dedup owns content-less duplicates)
+        has_tok = np.fromiter(
+            (bool(_WORD.search(t or "")) for t in texts), dtype=bool, count=len(texts)
+        )
+        ids, hs = ids[has_tok], hs[has_tok]
         n = len(ids)
         nb = len(layout)
         ob = np.tile(np.arange(nb, dtype=np.int32), n)
@@ -486,19 +597,30 @@ def simhash_candidates(ds, max_hamming: int = 3, text_col: str = "text",
 
     def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g.duplicated(subset=["band", "band_val"], keep=False)]
-        out_a, out_b, out_d = [], [], []
+        parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         for _, sub in g.groupby(["band", "band_val"], sort=False):
-            rows = sorted(set(zip(sub["doc_id"], sub["simhash"])))
-            for (ida, ha), (idb, hb) in itertools.combinations(rows, 2):
-                d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
-                if d <= max_hamming:
-                    out_a.append(ida)
-                    out_b.append(idb)
-                    out_d.append(d)
+            sub = sub.drop_duplicates(subset=["doc_id", "simhash"])
+            ids = sub["doc_id"].to_numpy(dtype=np.int64)
+            hs = sub["simhash"].to_numpy(dtype=np.int64)
+            order = np.lexsort((hs, ids))
+            ids, hs = ids[order], hs[order]
+            # XOR of the sign-shifted int64 views equals XOR of the raw
+            # simhashes (the 2^63 masks cancel), so hamming is exact
+            hu = hs.view(np.uint64)
+            for ia, ib in _capped_pair_indices(hu, group_cap):
+                d = _popcount64(hu[ia] ^ hu[ib])
+                keep = d <= max_hamming
+                parts.append((ids[ia][keep], ids[ib][keep], d[keep]))
+        if parts:
+            a = np.concatenate([p[0] for p in parts])
+            b = np.concatenate([p[1] for p in parts])
+            dd = np.concatenate([p[2] for p in parts])
+        else:
+            a = b = dd = np.empty(0, np.int64)
         return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype="int64"),
-             "b": pd.Series(out_b, dtype="int64"),
-             "hamming": pd.Series(out_d, dtype="int64")}
+            {"a": pd.Series(a, dtype="int64"),
+             "b": pd.Series(b, dtype="int64"),
+             "hamming": pd.Series(dd, dtype="int64")}
         )
 
     from .dedup import BUCKET_COL, add_bucket_column, dedup_exact

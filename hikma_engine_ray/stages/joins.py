@@ -111,7 +111,8 @@ def bucketed_join(left, right, on: list[str], nbuckets: int = 32,
 
 def asof_join(left, right, on: str, by: list[str], *,
               suffix: str = "_r", nbuckets: int = 32,
-              allow_exact_matches: bool = True):
+              allow_exact_matches: bool = True,
+              tiebreak: str | None = None):
     """As-of (inner, backward) join — an operator Ray Data lacks: each
     left row pairs with the right row having the greatest ``on`` value
     ≤ its own, within the same ``by`` group (DuckDB/kdb ASOF JOIN
@@ -122,7 +123,15 @@ def asof_join(left, right, on: str, by: list[str], *,
     hashing the ``by`` columns. Group sizes must fit a worker batch;
     for a pathological group (one user with 10^8 events) pre-split the
     ``on`` axis into coarse time ranges and replicate the preceding
-    range's tail row, exactly like the windows stage documents."""
+    range's tail row, exactly like the windows stage documents.
+
+    ``tiebreak``: optional RIGHT-side column (original name) used as a
+    deterministic secondary sort key — when several right rows share an
+    ``on`` value within a ``by`` group, the row with the MAX tiebreak
+    wins (merge_asof keeps the last sorted row). Without it the winner
+    among ties is whatever order the shuffle delivered (round-2
+    ADVICE); mirror the tie-break in any SQL oracle with
+    ``ORDER BY r.on DESC, r.tiebreak DESC ... rn = 1``."""
 
     def _fields(ds) -> list[tuple[str, pa.DataType]]:
         s = ds.schema()
@@ -181,6 +190,7 @@ def asof_join(left, right, on: str, by: list[str], *,
     lt = left.map_batches(tag(0, lcols), batch_format="pyarrow")
     rt = right.map_batches(tag(1, rcols), batch_format="pyarrow")
     rout = [rren[c] for c in rcols]
+    tb = rren.get(tiebreak) if tiebreak else None
 
     def merge(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -190,7 +200,7 @@ def asof_join(left, right, on: str, by: list[str], *,
         if not len(ls) or not len(rs):
             return out_schema.empty_table()
         ls = ls.sort_values(on, kind="stable")
-        rs = rs.sort_values(on, kind="stable")
+        rs = rs.sort_values([on, tb] if tb else on, kind="stable")
         # explicit match indicator: a payload column can be legitimately
         # NULL in a matched right row (and the right side may have no
         # payload at all), so never probe payload columns for matches

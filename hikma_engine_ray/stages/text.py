@@ -137,15 +137,23 @@ def hash_sample(ds, id_col: str = "doc_id", rate: float = 0.25,
     md5(str(id)) falls under ``rate`` — the standard repeatable-split
     operator for training corpora (same rows on every run/engine, no
     RNG state, no coordination; SQL-replicable so it carries a DuckDB
-    oracle). Pure filter: streams, never shuffles."""
-    threshold = format(int(rate * 256), "02x")
+    oracle). Pure filter: streams, never shuffles.
+
+    ``rate >= 1.0`` short-circuits to a pass-through (the old 2-char-hex
+    string compare against the 3-char '100' silently kept ~1/16 of rows
+    — round-2 ADVICE); the compare is numeric so the threshold never
+    depends on string-length quirks."""
+    if rate >= 1.0:
+        def passthrough(batch: pa.Table) -> pa.Table:
+            return batch.select(keep_cols) if keep_cols else batch
+
+        return ds.map_batches(passthrough, batch_format="pyarrow")
+    threshold = max(0, int(rate * 256))
 
     def fn(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         ids = batch[id_col].to_pylist()
         keep = pa.array(
-            [hashlib.md5(str(i).encode()).hexdigest()[:2] < threshold
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16) < threshold
              for i in ids],
             pa.bool_(),
         )

@@ -208,3 +208,109 @@ def test_embedding_neardup_bucket_cap(ray_session):
     got = {(r["a"], r["b"]) for r in capped}
     assert got <= truth
     assert len(got) > 0
+
+
+# ------------------------------------- round 3: capped collision groups
+
+def test_capped_pair_indices_kernel():
+    """Below the cap: exactly np.triu_indices. Above with identical
+    subkeys: star pairs (O(n)). Above with distinct subkeys: bounded
+    leaves, pairs ⊆ full set, never more than cap²/2 per leaf."""
+    from hikma_engine_ray.stages.dedup_suite import _capped_pair_indices
+
+    # n <= cap → full triu, same order
+    keys = np.arange(10, dtype=np.uint64)
+    got = list(_capped_pair_indices(keys, cap=16))
+    assert len(got) == 1
+    ia, ib = np.triu_indices(10, 1)
+    assert np.array_equal(got[0][0], ia) and np.array_equal(got[0][1], ib)
+
+    # identical subkeys, n > cap → star (n-1 pairs from position 0)
+    keys = np.zeros(1000, dtype=np.uint64)
+    pairs = [(int(a), int(b)) for ia, ib in _capped_pair_indices(keys, cap=8)
+             for a, b in zip(ia, ib)]
+    assert len(pairs) == 999
+    assert all(a == 0 and b > 0 for a, b in pairs)
+
+    # distinct subkeys, n > cap → every pair valid (a<b), bounded count
+    rng = np.random.RandomState(5)
+    keys = rng.randint(0, 2**63, size=200, dtype=np.int64).astype(np.uint64)
+    pairs = [(int(a), int(b)) for ia, ib in _capped_pair_indices(keys, cap=16)
+             for a, b in zip(ia, ib)]
+    assert all(a < b for a, b in pairs)
+    assert 0 < len(pairs) < 200 * 199 // 2
+
+
+def test_popcount64_matches_python():
+    from hikma_engine_ray.stages.dedup_suite import _popcount64
+
+    rng = np.random.RandomState(11)
+    xs = rng.randint(0, 2**63, size=500, dtype=np.int64).astype(np.uint64)
+    xs[:3] = [0, 1, np.iinfo(np.uint64).max]
+    got = _popcount64(xs)
+    assert [int(g) for g in got] == [bin(int(x)).count("1") for x in xs]
+
+
+def test_lsh_flood_bounded(ray_session):
+    """The round-2 scale-killer: 10k identical + 10k empty docs. Old
+    pairs_bucket emitted g²/2 Python pairs per band (≈1.6e9 total);
+    capped groups must finish fast, keep identical docs connected
+    (star pairing), and emit NOTHING for content-less docs."""
+    import time
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.dedup_suite import (
+        minhash_candidates,
+        simhash_candidates,
+    )
+
+    n = 10_000
+    texts = ["license boilerplate text repeated verbatim in every file"] * n + [""] * n
+    t = pa.table({"doc_id": pa.array(range(2 * n), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    t0 = time.monotonic()
+    mh = minhash_candidates(rd.from_arrow(t), num_perm=64, bands=16, k=3,
+                            group_cap=64).take_all()
+    sh = simhash_candidates(rd.from_arrow(t), max_hamming=3, group_cap=64).take_all()
+    wall = time.monotonic() - t0
+    assert wall < 120, f"flood took {wall:.0f}s — group cap not effective"
+
+    for rows in (mh, sh):
+        ids = {r["a"] for r in rows} | {r["b"] for r in rows}
+        # no empty doc ever appears in a candidate pair
+        assert all(i < n for i in ids), "content-less docs entered banding"
+        # star pairing keeps the identical-doc flood in ONE component
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            parent[find(r["a"])] = find(r["b"])
+        assert len({find(i) for i in range(n)}) == 1
+        # bounded output: orders of magnitude below g²/2
+        assert len(rows) < 5_000_000
+
+
+def test_verify_jaccard_autoswitch_matches_driver_path(ray_session):
+    """A tiny driver_limit forces the joined fallback; results must be
+    identical to the broadcast driver path (same pairs, same scores)."""
+    from hikma_engine_ray.stages.dedup_suite import (
+        minhash_candidates,
+        verify_jaccard_pairs,
+    )
+
+    ds = _docs(ray_session)
+    cand = minhash_candidates(ds, num_perm=64, bands=16, k=3,
+                              distinct=False).materialize()
+    driver = verify_jaccard_pairs(cand, ds, threshold=0.4, k=3).take_all()
+    joined = verify_jaccard_pairs(cand, ds, threshold=0.4, k=3,
+                                  driver_limit=1).take_all()
+    as_set = lambda rows: {(r["a"], r["b"], round(r["jaccard"], 9)) for r in rows}
+    assert as_set(driver) == as_set(joined)
+    assert len(driver) > 0

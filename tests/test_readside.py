@@ -323,3 +323,24 @@ def test_asof_join_null_payload_kept(ray_session):
                     on="ts", by=["u"]).take_all()
     # the match exists even though the right payload is NULL
     assert len(out) == 1 and out[0]["lid"] == 1 and out[0]["rid_r"] is None
+
+
+def test_asof_join_tiebreak_deterministic(ray_session):
+    """Several right rows share the as-of ts: with ``tiebreak`` the MAX
+    tiebreak value wins deterministically (round-2 ADVICE — without it
+    the winner depended on shuffle arrival order)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.joins import asof_join
+
+    left = pa.table({"lid": [1], "ts": [10], "u": ["a"]})
+    right = pa.table({
+        "rid": [104, 101, 103, 102],
+        "ts": [5, 5, 5, 5],
+        "u": ["a", "a", "a", "a"],
+    })
+    for _ in range(3):
+        out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                        on="ts", by=["u"], tiebreak="rid").take_all()
+        assert [(r["lid"], r["rid_r"]) for r in out] == [(1, 104)]

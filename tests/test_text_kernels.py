@@ -110,3 +110,18 @@ def test_token_vocab_counts(ray_session):
     t = pa.table({"text": ["a b b", "B c! c,c", None, ""]})
     out = {r["token"]: r["n"] for r in token_vocab(rd.from_arrow(t)).take_all()}
     assert out == {"a": 1, "b": 3, "c": 3}
+
+
+def test_hash_sample_full_rate_passthrough(ray_session):
+    """rate >= 1.0 keeps EVERY row (the old 2-char-hex string compare
+    against '100' silently kept ~1/16 — round-2 ADVICE)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.text import hash_sample
+
+    t = pa.table({"doc_id": list(range(500)), "lang": ["en"] * 500})
+    full = hash_sample(rd.from_arrow(t), rate=1.0).take_all()
+    assert len(full) == 500
+    none = hash_sample(rd.from_arrow(t), rate=0.0).take_all()
+    assert len(none) == 0
