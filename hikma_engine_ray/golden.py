@@ -87,6 +87,22 @@ Entity extraction (1-based lines, 0-based cols = indentation width):
       EXPORTS when NAME resolves; inline `export function/class/const`
       marks the entity exported (EXPORTS triple, no separate node)
       (enhanced-ast-parser.ts:470-546).
+  E8b. named re-export: `export { a, b as c } from 'spec'` (the
+      from-clause must end on the closing-brace line; list may span
+      lines like E8) → one Export node per statement (name =
+      comma-joined EXPORTED names — the reference marks these
+      isReExport with sourceModule, enhanced-ast-parser.ts:475-494).
+      Names are NOT resolved same-file and emit NO EXPORTS triple
+      (there is no same-file entity); instead the statement records
+      re-export pairs (exported_name ← source_name, spec) consumed by
+      L1b. The statement emits no IMPORTS triple (reference parity:
+      processExportDeclaration creates no IMPORTS edge).
+  E8c. star re-export: `export * from 'spec'` → NO entity (the
+      reference's NamedExports-only branch skips it,
+      enhanced-ast-parser.ts:475) but records a star re-export
+      (every symbol of the resolved target, L1b). `export * as ns
+      from` is out of spec (skipped). External (bare) specs record
+      nothing resolvable — consumers dangle as no-such-symbol.
   E9. every non-File entity → DEFINED_IN(entity → file)
       (ast-parser.ts:354-368).
 
@@ -106,12 +122,35 @@ Call extraction (ast-parser.ts:374-396 — same-file, by name):
       the linking shuffle — external specifiers resolve to nothing
       there and land in the dangling report (no-such-module), matching
       J7; else dangling.
+  C2b. namespace-member calls: `NS.member(` where NS is a namespace
+      import local (`import * as NS from 'spec'`) and NS is not
+      preceded by [letter, digit, _, $, ., @] → mention(kind='call',
+      module=spec, symbol=member) attributed like C1; col = position
+      of NS (the reference records the call expression start,
+      enhanced-ast-parser.ts:577-604, and takes the PROPERTY name as
+      the callee, :582-585 — resolution through the IMPORTS edge is
+      the latent stage we implement). Only direct two-part member
+      calls (`a.b.c(` emits nothing); non-namespace locals keep the
+      dotted-call exclusion of C2.
 
 Cross-file linking (the latent J4 stage — enhanced-ast-parser.ts:588-604
 leaves keys '{fileId}#{name}#unknown'; we resolve them):
   L1. definitions: per (repo, module_path, symbol) exported from the
       max-commit version of that path → entity_id. A symbol='' row maps
       the module path itself to its file_id (for IMPORTS).
+  L1b. re-export chains: when (repo, module, symbol) has no direct
+      definition, follow the latest version's re-export records
+      breadth-first — named pairs route symbol → (target, source);
+      star routes symbol → (target, symbol). Specs resolve like E7
+      (resolve_module against the repo path set; unresolvable specs
+      contribute nothing). SHALLOWEST chain wins; among equal-depth
+      hits the tie-break is (statement line of the LAST edge, then
+      entity id ascending). Depth-capped at 8 hops; cycles are
+      visited-set guarded. Local definitions always shadow (direct
+      hit short-circuits at depth 0). A symbol a star target exports
+      under its declared name is re-exported under that name (our
+      spec keys definitions by declared name — the ES 'default'
+      nuance does not arise, see L1).
   L2. mention kind='call' + function-like definition → CALLS(src →
       def); if the caller is a TestCase also TESTED_BY(def → caller).
   L3. kind='extends' → EXTENDS(src → def); kind='implements' →
@@ -161,9 +200,17 @@ IMPORT_RE = re.compile(r"^(\s*)import\s+(?:(.+?)\s+from\s+)?['\"]([^'\"]+)['\"]"
 IMPORT_START_RE = re.compile(r"^(\s*)import\b", re.U)
 EXPORT_LIST_RE = re.compile(r"^(\s*)export\s+\{([^}]*)\}", re.U)
 EXPORT_LIST_START_RE = re.compile(r"^(\s*)export\s+\{", re.U)
+EXPORT_FROM_RE = re.compile(
+    r"^(\s*)export\s+\{([^}]*)\}\s*from\s*['\"]([^'\"]+)['\"]", re.U
+)
+EXPORT_STAR_RE = re.compile(
+    r"^(\s*)export\s+\*\s+from\s+['\"]([^'\"]+)['\"]", re.U
+)
 EXPORT_DEFAULT_RE = re.compile(rf"^(\s*)export\s+default\s+({NAME})\s*;?\s*$", re.U)
 DECORATOR_RE = re.compile(rf"^(\s*)@({NAME})", re.U)
 CALL_RE = re.compile(rf"(?<![\w$.@])({NAME})\s*\(", re.U)
+MEMBER_CALL_RE = re.compile(rf"(?<![\w$.@])({NAME})\.({NAME})\s*\(", re.U)
+MAX_REEXPORT_DEPTH = 8  # L1b chain hop cap (cycle-safe either way)
 MAX_JOIN = 20  # bound on physical lines joined into one logical statement
 
 CALL_KEYWORDS = frozenset(
@@ -351,9 +398,12 @@ def parse_file(repo: str, path: str, commit: str, content: str):
     mentions: list[dict] = []
     triples: list[tuple] = []
     import_map: dict[str, str] = {}  # local name -> spec
+    ns_map: dict[str, str] = {}  # namespace-import local -> spec (C2b)
     import_specs: list[tuple[str, int, int]] = []  # (spec, line, col)
     export_names: list[tuple[str, int, int, bool]] = []  # (name, line, col, is_default)
     inline_exported: set[str] = set()
+    # E8b/E8c: (spec, {exported: source} | '*', stmt_line)
+    reexports: list[tuple] = []
     pending_dec: list[str] = []
 
     def _attach_dec(e: Entity):
@@ -397,6 +447,8 @@ def parse_file(repo: str, path: str, commit: str, content: str):
             if clause:
                 for part in _import_locals(clause):
                     import_map[part] = spec
+                for part in _import_ns_locals(clause):
+                    ns_map[part] = spec
             for k in range(idx, idx + consumed):
                 depth = _depth_after(depth, brace_lines[k])
             idx += consumed
@@ -409,18 +461,42 @@ def parse_file(repo: str, path: str, commit: str, content: str):
                 line, consumed = joined, njoin
         if m:
             pending_dec.clear()
-            names = [n.strip().split(" as ")[-1].strip() for n in m.group(2).split(",") if n.strip()]
             col = len(m.group(1))
-            joined_names = ",".join(names)
-            e = Entity("Export", joined_names, lineno, col, lineno + consumed - 1,
-                       line.strip().rstrip(";"))
-            e.eid = entity_id(fid, "Export", joined_names, lineno, col)
-            entities.append(e)
-            for n in names:
-                export_names.append((n, lineno, col, False))
+            mf = EXPORT_FROM_RE.match(line)
+            if mf:
+                # E8b: names are re-export pairs, never same-file
+                pairs: dict[str, str] = {}
+                for part in mf.group(2).split(","):
+                    part = part.strip()
+                    if not part:
+                        continue
+                    bits = [b.strip() for b in part.split(" as ")]
+                    pairs[bits[-1]] = bits[0]
+                joined_names = ",".join(pairs)
+                e = Entity("Export", joined_names, lineno, col,
+                           lineno + consumed - 1, line.strip().rstrip(";"))
+                e.eid = entity_id(fid, "Export", joined_names, lineno, col)
+                entities.append(e)
+                reexports.append((mf.group(3), pairs, lineno))
+            else:
+                names = [n.strip().split(" as ")[-1].strip() for n in m.group(2).split(",") if n.strip()]
+                joined_names = ",".join(names)
+                e = Entity("Export", joined_names, lineno, col, lineno + consumed - 1,
+                           line.strip().rstrip(";"))
+                e.eid = entity_id(fid, "Export", joined_names, lineno, col)
+                entities.append(e)
+                for n in names:
+                    export_names.append((n, lineno, col, False))
             for k in range(idx, idx + consumed):
                 depth = _depth_after(depth, brace_lines[k])
             idx += consumed
+            continue
+        m = EXPORT_STAR_RE.match(line)
+        if m:
+            pending_dec.clear()
+            reexports.append((m.group(2), "*", lineno))  # E8c: no entity
+            depth = _depth_after(depth, brace_lines[idx])
+            idx += 1
             continue
         m = EXPORT_DEFAULT_RE.match(line)
         if m:
@@ -652,6 +728,16 @@ def parse_file(repo: str, path: str, commit: str, content: str):
                              path, lineno, m.start(1))
                 )
             # unresolved: dangling
+        if ns_map:
+            # C2b: NS.member( through a namespace import
+            for m in MEMBER_CALL_RE.finditer(line):
+                spec = ns_map.get(m.group(1))
+                if spec is None:
+                    continue
+                mentions.append(
+                    _mention(repo, spec, m.group(2), "call", owner,
+                             path, lineno, m.start(1))
+                )
 
     # ---- IMPORTS mentions (resolved to file targets in linking)
     for spec, lineno, col in import_specs:
@@ -692,7 +778,7 @@ def parse_file(repo: str, path: str, commit: str, content: str):
             if found:
                 e.props["docstring"] = found
 
-    return entities, triples, mentions, exported_syms
+    return entities, triples, mentions, exported_syms, reexports
 
 
 def _mention(repo, spec, symbol, kind, src: Entity, src_file, line=None, col=None):
@@ -707,6 +793,22 @@ def _mention(repo, spec, symbol, kind, src: Entity, src_file, line=None, col=Non
         "line": line if line is not None else src.start_line,
         "col": col if col is not None else src.start_col,
     }
+
+
+def _import_ns_locals(clause: str) -> list[str]:
+    """Namespace locals only (`* as X`) — the subset of _import_locals
+    that C2b member-call resolution applies to."""
+    rest = clause.strip()
+    m = re.search(r"\{[^}]*\}", rest)
+    if m:
+        rest = (rest[: m.start()] + rest[m.end():]).strip().strip(",").strip()
+    for part in rest.split(","):
+        part = part.strip()
+        if part.startswith("* as "):
+            nm = part[5:].strip()
+            if nm:
+                return [nm]
+    return []
 
 
 def _import_locals(clause: str) -> list[str]:
@@ -765,6 +867,8 @@ def golden_extract(corpus: pa.Table):
     seen_repos: set[str] = set()
     seen_commits: set[tuple[str, str]] = set()
     definitions: dict[tuple[str, str, str], tuple[str, str]] = {}  # (repo,module,symbol) -> (eid, kind)
+    # L1b: (repo, path) -> [(spec, {exported: source} | '*', stmt_line)]
+    reexports_map: dict[tuple[str, str], list] = {}
 
     for r in rows:
         repo, path, commit, content = r["repo"], r["path"], r["commit"], r["content"]
@@ -792,7 +896,7 @@ def golden_extract(corpus: pa.Table):
         triples.add((fid, "MODIFIED_IN", commit_id(commit)))
         if detect_language(path) not in PARSED_LANGS:
             continue
-        entities, local_triples, file_mentions, exported = parse_file(
+        entities, local_triples, file_mentions, exported, file_reex = parse_file(
             repo, path, commit, content
         )
         for e in entities:
@@ -813,8 +917,43 @@ def golden_extract(corpus: pa.Table):
             definitions[(repo, path, "")] = (fid, "File")
             for name, ent in exported.items():
                 definitions[(repo, path, name)] = (ent.eid, ent.kind)
+            if file_reex:
+                reexports_map[(repo, path)] = file_reex
 
     # ---- linking
+    def _via_reexports(repo: str, module: str, symbol: str):
+        """L1b: BFS over re-export records from `module` looking for a
+        definition of `symbol`. Shallowest chain wins; equal-depth ties
+        break on (line of the last edge, entity id). Depth-capped,
+        cycle-guarded. Returns (eid, kind) or None."""
+        paths = repo_paths.get(repo, set())
+        visited = {(module, symbol)}
+        frontier = [(module, symbol)]
+        for _ in range(MAX_REEXPORT_DEPTH):
+            hits: list[tuple[int, str, str]] = []
+            nxt: list[tuple[str, str]] = []
+            for mod, sym in frontier:
+                for spec, pairs, lineno in reexports_map.get((repo, mod), ()):
+                    routed = sym if pairs == "*" else pairs.get(sym)
+                    if routed is None:
+                        continue
+                    target = resolve_module(mod, spec, paths)
+                    if not target:
+                        continue
+                    d = definitions.get((repo, target, routed))
+                    if d is not None:
+                        hits.append((lineno, d[0], d[1]))
+                    if (target, routed) not in visited:
+                        visited.add((target, routed))
+                        nxt.append((target, routed))
+            if hits:
+                hits.sort()
+                return hits[0][1], hits[0][2]
+            if not nxt:
+                return None
+            frontier = nxt
+        return None
+
     dangling = []
     for m in mentions:
         target = resolve_module(m["src_file"], m["module"], repo_paths.get(m["repo"], set()))
@@ -822,6 +961,8 @@ def golden_extract(corpus: pa.Table):
             dangling.append(m)
             continue
         d = definitions.get((m["repo"], target, m["symbol"]))
+        if d is None and m["symbol"]:
+            d = _via_reexports(m["repo"], target, m["symbol"])
         if d is None:
             dangling.append(m)
             continue

@@ -36,6 +36,8 @@ from ..stages.linking import (
     explode_mentions,
     find_hot_keys_exact,
     link_bucket,
+    link_prescan,
+    synthesize_reexports,
 )
 from ..stages.parser import ParseFiles
 
@@ -265,9 +267,15 @@ def build_graph_from_tagged(
     _t = [_time.monotonic()]
     # ---- entity linking (J4): one salted shuffle into bounded buckets.
     # Hot keys come from the parser's folded per-batch partial counts —
-    # exact, one cheap pass, no mention sampling (stages/linking.py).
-    hot = find_hot_keys_exact(tagged, hot_threshold)
-    _tick("find_hot_keys", _t)
+    # exact, one cheap pass, no mention sampling; the same pass collects
+    # the re-export base set (stages/linking.py).
+    hot, reex_bases = link_prescan(tagged, hot_threshold)
+    _tick("link_prescan", _t)
+    if reex_bases:
+        # L1b: re-export chains synthesize definition rows (metadata-
+        # sized, grouped by repo) that join the linking shuffle unchanged
+        defs = defs.union(synthesize_reexports(tagged, reex_bases))
+        _tick("synthesize_reexports", _t)
     link_buckets = max(nbuckets, 64)
     m_keyed = mentions.map_batches(
         explode_mentions(hot, nsalt, link_buckets), batch_format="pyarrow"

@@ -462,42 +462,376 @@ def _linked_df(rows: list[dict]) -> pa.Table:
     return _dedup_bucket_triples(pa.Table.from_pylist(rows, schema=LINKED_SCHEMA))
 
 
-def find_hot_keys_exact(tagged_ds, hot_threshold: int) -> set[str]:
-    """EXACT heavy-hitter detection from the parser's folded per-batch
-    'keycount' rows (stages/parser.py emits one partial count per
-    (repo, base) per batch): one cheap filter pass over the materialized
-    parse output + a tiny groupby over partials — no mention sampling,
-    no extra corpus pass, no prefix bias."""
+# --------------------------------------------------------------------------
+# L1b: re-export chain resolution (golden.py E8b/E8c/L1b twin).
+#
+# The parser emits one tagged 'reexport' row per routed name per
+# `export {a as b} from` / `export * from` statement. Chains never cross
+# repositories (resolve_module is repo-internal), so REPO is the natural
+# partition key: definitions relevant to any re-export (file defs whose
+# candidate base matches a re-export spec, plus symbol tables of those
+# modules) are pre-filtered in ONE vectorized pass against a broadcast
+# base set (metadata-sized: distinct re-export (dir, spec) combos), then
+# one groupby(repo).map_groups resolves each repo's chains with the
+# golden-equivalent wildcard BFS. Output = synthetic definition rows
+# that join the normal linking shuffle unchanged — link_bucket needs no
+# modification. Per-group memory is bounded by a repo's re-export
+# metadata + its barrel targets' export tables (documented assumption:
+# ≪ corpus; a monorepo of barrels bounds one group, never the driver).
+
+MAX_REEXPORT_DEPTH = 8  # golden.MAX_REEXPORT_DEPTH twin
+
+REEX_COLS = ["repo", "path", "module", "symbol", "name", "commit", "line"]
+
+_REEX_SHUFFLE_SCHEMA = pa.schema(
+    [
+        ("side", pa.string()),  # r = reexport | f = file def | s = symbol def
+        ("repo", pa.string()),
+        ("path", pa.string()),    # r: origin file path
+        ("module", pa.string()),  # r: raw spec | f/s: definition module
+        ("symbol", pa.string()),  # r: exported name or '*' | s: symbol
+        ("name", pa.string()),    # r: source name or '*'
+        ("commit", pa.string()),
+        ("line", pa.int32()),
+        ("base", pa.string()),    # f: matched candidate base
+        ("pri", pa.int32()),      # f: candidate priority
+        ("obj", pa.string()),     # f: file id | s: entity id
+        ("def_kind", pa.string()),
+    ]
+)
+
+DEF_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("module", pa.string()),
+        ("symbol", pa.string()),
+        ("obj", pa.string()),
+        ("def_kind", pa.string()),
+        ("commit", pa.string()),
+    ]
+)
+
+
+def reex_base_scan(tagged_ds) -> set[str]:
+    """One cheap filter pass over the tagged parse output: the distinct
+    ``repo␟base`` keys every re-export spec could resolve through, plus
+    the origin paths themselves (for latest-commit + shadow lookups).
+    Empty set ⇒ the corpus has no re-exports and the whole L1b stage is
+    skipped. Per-block distinct; driver sees only the union set."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], "reexport"))
+        out: set[str] = set()
+        for repo, path, spec in zip(
+            t["repo"].to_pylist(), t["path"].to_pylist(), t["module"].to_pylist()
+        ):
+            out.add(f"{repo}{SEP}{mention_base(path, spec)}")
+            out.add(f"{repo}{SEP}{path}")
+        return pa.table({"rb": pa.array(sorted(out), pa.string())})
+
+    bases: set[str] = set()
+    for b in tagged_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        bases.update(b["rb"].to_pylist())
+    return bases
+
+
+def filter_defs_for_reex(base_set: set[str]):
+    """map_batches fn over definition rows: keep only rows a re-export
+    chain could touch. File defs (symbol='') emit one row per matching
+    (candidate base, priority) variant — the resolution needs to know
+    WHICH base matched; symbol defs emit one row when any variant of
+    their module is in the base set."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        is_file = (df["symbol"] == "").to_numpy()
+        frames = []
+        fd = df[is_file]
+        p_all = df["module"].astype(object)
+        sym_mask = np.zeros(len(df), dtype=bool)
+        for suf, pri in [("", 0)] + _STRIP_SUFFIXES + _INDEX_SUFFIXES:
+            if suf:
+                m = p_all.str.endswith(suf)
+                if not m.any():
+                    continue
+                base = p_all[m].str[: -len(suf)]
+                sel = m.to_numpy()
+            else:
+                base = p_all
+                sel = np.ones(len(df), dtype=bool)
+            rb = df["repo"][sel].astype(object) + SEP + base
+            hit = rb.isin(base_set).to_numpy()
+            idx = np.flatnonzero(sel)
+            sym_mask[idx[hit]] = True
+            fhit = hit & is_file[sel]
+            if fhit.any():
+                sub = df.iloc[idx[fhit]]
+                frames.append(pd.DataFrame({
+                    "side": "f", "repo": sub["repo"].to_numpy(),
+                    "path": "", "module": sub["module"].to_numpy(),
+                    "symbol": "", "name": "",
+                    "commit": sub["commit"].to_numpy(), "line": np.int32(0),
+                    "base": base[hit & is_file[sel]].to_numpy()
+                    if suf else sub["module"].to_numpy(),
+                    "pri": np.int32(pri), "obj": sub["obj"].to_numpy(),
+                    "def_kind": sub["def_kind"].to_numpy(),
+                }))
+        shit = sym_mask & ~is_file
+        if shit.any():
+            sub = df[shit]
+            frames.append(pd.DataFrame({
+                "side": "s", "repo": sub["repo"].to_numpy(), "path": "",
+                "module": sub["module"].to_numpy(),
+                "symbol": sub["symbol"].to_numpy(), "name": "",
+                "commit": sub["commit"].to_numpy(), "line": np.int32(0),
+                "base": "", "pri": np.int32(-1),
+                "obj": sub["obj"].to_numpy(),
+                "def_kind": sub["def_kind"].to_numpy(),
+            }))
+        if not frames:
+            return _REEX_SHUFFLE_SCHEMA.empty_table()
+        out = pd.concat(frames, ignore_index=True)
+        out["line"] = out["line"].astype("int32")
+        out["pri"] = out["pri"].astype("int32")
+        return pa.Table.from_pandas(
+            out[_REEX_SHUFFLE_SCHEMA.names], schema=_REEX_SHUFFLE_SCHEMA,
+            preserve_index=False,
+        )
+
+    return fn
+
+
+def reex_rows_to_shuffle(batch: pa.Table) -> pa.Table:
+    """map_batches fn: tagged 'reexport' rows → shuffle-schema rows."""
+    n = batch.num_rows
+    return pa.table(
+        {
+            "side": pa.array(["r"] * n, pa.string()),
+            "repo": batch["repo"].cast(pa.string()),
+            "path": batch["path"].cast(pa.string()),
+            "module": batch["module"].cast(pa.string()),
+            "symbol": batch["symbol"].cast(pa.string()),
+            "name": batch["name"].cast(pa.string()),
+            "commit": batch["commit"].cast(pa.string()),
+            "line": batch["line"].cast(pa.int32()),
+            "base": pa.array([""] * n, pa.string()),
+            "pri": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "obj": pa.array([""] * n, pa.string()),
+            "def_kind": pa.array([""] * n, pa.string()),
+        }
+    )
+
+
+def reex_repo_group(g: pd.DataFrame) -> pa.Table:
+    """Resolve one repo's re-export chains (golden L1b semantics).
+
+    Eager wildcard BFS: seeds are post-first-edge states; a hit at
+    round d is a chain of d edges whose tie-break is (line of the last
+    edge, entity id) — exactly golden's query-driven BFS, enumerated
+    over every symbol the chains can synthesize (equivalence argued in
+    tests/test_reexports.py and property-tested engine≡golden)."""
+    side = g["side"].to_numpy()
+    reex = g[side == "r"]
+    fdef = g[side == "f"]
+    sdef = g[side == "s"]
+    if len(reex) == 0 or len(fdef) == 0:
+        return DEF_SCHEMA.empty_table()
+    repo = g["repo"].iloc[0]
+
+    # latest commit per module path — over ALL matched variant rows
+    # (a module reached only via a stripped-suffix base has no exact
+    # pri-0 row; every version emits the same variants, so the per-
+    # module max commit is complete either way)
+    latest = fdef.groupby("module")["commit"].max().to_dict()
+
+    # base resolution: min priority, then max commit
+    fr = fdef.sort_values(
+        ["base", "pri", "commit"], ascending=[True, True, False], kind="stable"
+    ).drop_duplicates(subset=["base"], keep="first")
+    resolve = {b: m for b, m in zip(fr["base"], fr["module"])}
+
+    # symbol tables at each module's latest version
+    sd = sdef[sdef["commit"].to_numpy() == sdef["module"].map(latest).to_numpy()]
+    symtab: dict[tuple[str, str], tuple[str, str]] = {}
+    sym_by_module: dict[str, dict[str, tuple[str, str]]] = {}
+    for mod, sym, obj, dk in zip(sd["module"], sd["symbol"], sd["obj"], sd["def_kind"]):
+        symtab[(mod, sym)] = (obj, dk)
+        sym_by_module.setdefault(mod, {})[sym] = (obj, dk)
+
+    # edges from the LATEST version of each origin only (golden L1b)
+    keep = reex["commit"].to_numpy() == reex["path"].map(latest).to_numpy()
+    reex = reex[keep]
+    edges: dict[str, list[tuple[str, str, str, int]]] = {}
+    for path, spec, exp, src, line in zip(
+        reex["path"], reex["module"], reex["symbol"], reex["name"], reex["line"]
+    ):
+        tgt = resolve.get(mention_base(path, spec))
+        if tgt is None:
+            continue  # unresolvable spec contributes nothing (golden E8c)
+        edges.setdefault(path, []).append((exp, src, tgt, int(line)))
+
+    if not edges:
+        return DEF_SCHEMA.empty_table()
+
+    # local definitions always shadow: pre-resolve every directly-defined
+    # symbol of an origin module with a sentinel so no chain overrides it
+    SHADOW = (None, None, None)
+    resolved: dict[tuple[str, str], tuple] = {}
+    for origin in edges:
+        for s in sym_by_module.get(origin, ()):  # direct syms shadow
+            resolved[(origin, s)] = SHADOW
+
+    frontier: set[tuple] = set()
+    for origin, elist in edges.items():
+        for exp, src, tgt, line in elist:
+            if exp == "*":
+                frontier.add((origin, "*", tgt, "*", line))
+            elif (origin, exp) not in resolved:
+                frontier.add((origin, exp, tgt, src, line))
+
+    for _ in range(MAX_REEXPORT_DEPTH):
+        if not frontier:
+            break
+        hits: dict[tuple[str, str], tuple] = {}
+        nxt: set[tuple] = set()
+        for origin, out_sym, cur, sym, line in frontier:
+            if sym == "*":
+                for s, (eid, dk) in sym_by_module.get(cur, {}).items():
+                    key = (origin, s)
+                    if key in resolved:
+                        continue
+                    cand = (line, eid, dk)
+                    if key not in hits or cand < hits[key]:
+                        hits[key] = cand
+                for exp, src, tgt, eline in edges.get(cur, ()):
+                    if exp == "*":
+                        nxt.add((origin, "*", tgt, "*", eline))
+                    elif (origin, exp) not in resolved:
+                        nxt.add((origin, exp, tgt, src, eline))
+            else:
+                hit = symtab.get((cur, sym))
+                key = (origin, out_sym)
+                if hit is not None and key not in resolved:
+                    cand = (line, hit[0], hit[1])
+                    if key not in hits or cand < hits[key]:
+                        hits[key] = cand
+                for exp, src, tgt, eline in edges.get(cur, ()):
+                    if exp == "*":
+                        nxt.add((origin, out_sym, tgt, sym, eline))
+                    elif exp == sym:
+                        nxt.add((origin, out_sym, tgt, src, eline))
+        resolved.update(hits)
+        frontier = {
+            r for r in nxt if r[1] == "*" or (r[0], r[1]) not in resolved
+        }
+
+    rows = [
+        (repo, origin, out_sym, eid, dk, latest.get(origin, ""))
+        for (origin, out_sym), (line, eid, dk) in sorted(resolved.items())
+        if eid is not None
+    ]
+    if not rows:
+        return DEF_SCHEMA.empty_table()
+    cols = list(zip(*rows))
+    return pa.table(
+        {n: pa.array(list(c), pa.string())
+         for n, c in zip(DEF_SCHEMA.names, cols)}
+    )
+
+
+def synthesize_reexports(tagged_ds, base_set: set[str]):
+    """Synthetic definition rows from re-export chains: one vectorized
+    filter pass over the tagged output + a tiny groupby(repo) shuffle
+    of metadata-sized rows. Returns a Dataset with DEF_SCHEMA columns
+    (union it into the definitions stream before explode_definitions)."""
+    import pyarrow.compute as pc
+
+    def _reex_filter(t: pa.Table) -> pa.Table:
+        return reex_rows_to_shuffle(
+            t.filter(pc.equal(t["kind"], "reexport")).select(REEX_COLS)
+        )
+
+    def _def_filter(t: pa.Table) -> pa.Table:
+        return filter_defs_for_reex(base_set)(
+            t.filter(pc.equal(t["kind"], "definition")).select(
+                ["repo", "module", "symbol", "obj", "def_kind", "commit"]
+            )
+        )
+
+    reex_ds = tagged_ds.map_batches(_reex_filter, batch_format="pyarrow")
+    defs_ds = tagged_ds.map_batches(_def_filter, batch_format="pyarrow")
+    return (
+        reex_ds.union(defs_ds)
+        .groupby("repo")
+        .map_groups(reex_repo_group, batch_format="pandas")
+    )
+
+
+def link_prescan(tagged_ds, hot_threshold: int) -> tuple[set[str], set[str]]:
+    """ONE cheap pass over the tagged parse output yielding both link
+    prescan artifacts: (hot link keys, re-export base set).
+
+    Hot keys: EXACT heavy-hitter detection from the parser's folded
+    per-batch 'keycount' rows — no mention sampling, no extra corpus
+    pass, no prefix bias. Re-export bases: the distinct ``repo␟base``
+    keys every re-export spec could resolve through plus origin paths
+    (empty ⇒ L1b skipped entirely). Both are metadata-sized."""
+    import pyarrow.compute as pc
 
     def partials(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["kind"], "keycount"))
         # second-level combine inside the scan task: collapse this
-        # block's per-batch partials so the driver sees one row per key
-        # per block
-        rb = pc.binary_join_element_wise(t["repo"], t["module"], SEP)
+        # block's per-batch keycount partials so the driver sees one row
+        # per key per block
+        k = t.filter(pc.equal(t["kind"], "keycount"))
+        rb = pc.binary_join_element_wise(k["repo"], k["module"], SEP)
         g = (
-            pa.table({"rb": rb, "n": pc.cast(t["line"], pa.int64())})
+            pa.table({"rb": rb, "n": pc.cast(k["line"], pa.int64())})
             .group_by(["rb"])
             .aggregate([("n", "sum")])
         )
-        return g.rename_columns(["rb", "n"])
+        r = t.filter(pc.equal(t["kind"], "reexport"))
+        bases: set[str] = set()
+        for repo, path, spec in zip(
+            r["repo"].to_pylist(), r["path"].to_pylist(), r["module"].to_pylist()
+        ):
+            bases.add(f"{repo}{SEP}{mention_base(path, spec)}")
+            bases.add(f"{repo}{SEP}{path}")
+        counts = pa.table(
+            {"rb": g["rb"].cast(pa.string()), "n": g["n_sum"].cast(pa.int64())}
+        )
+        if not bases:
+            return counts
+        base_rows = pa.table(
+            {"rb": pa.array(sorted(bases), pa.string()),
+             "n": pa.array([-1] * len(bases), pa.int64())}
+        )
+        return pa.concat_tables([counts, base_rows])
 
     # batch_size=None: combine at BLOCK granularity (each block spans
-    # many parse batches) so the driver sees one row per key per block
+    # many parse batches) so the driver sees one row per key per block.
+    # Re-export bases ride in the same pass flagged with n = -1.
     partial_df = tagged_ds.map_batches(
         partials, batch_format="pyarrow", batch_size=None
     ).to_pandas()
+    if "rb" not in partial_df.columns:  # empty corpus → column-less frame
+        return set(), set()
+    is_base = partial_df["n"] < 0
+    bases = set(partial_df["rb"][is_base])
+    counts = partial_df[~is_base]
     # final combine on the driver, vectorized: rows = (#keys × #blocks)
     # partials — small next to the corpus. (If the key cardinality ever
     # made this a driver hazard, swap for groupby('rb').aggregate(Sum);
     # same semantics, one extra small shuffle.)
-    del Sum  # documented alternative above
-    if "rb" not in partial_df.columns:  # empty corpus → column-less frame
-        return set()
-    totals = partial_df.groupby("rb", sort=False)["n"].sum()
-    return set(totals.index[totals > int(hot_threshold)])
+    totals = counts.groupby("rb", sort=False)["n"].sum()
+    return set(totals.index[totals > int(hot_threshold)]), bases
+
+
+def find_hot_keys_exact(tagged_ds, hot_threshold: int) -> set[str]:
+    """Back-compat wrapper: hot keys only (see link_prescan)."""
+    return link_prescan(tagged_ds, hot_threshold)[0]
 
 
 def find_hot_keys_sampled(mentions_ds, hot_threshold: int,

@@ -36,7 +36,8 @@ from ..functions.rules import PARSED_LANGS
 
 TAGGED_SCHEMA = pa.schema(
     [
-        ("kind", pa.string()),  # node | triple | mention | definition
+        ("kind", pa.string()),  # node | triple | mention | definition |
+                                # reexport | keycount
         # node fields
         ("node_id", pa.string()),
         ("node_type", pa.string()),
@@ -322,12 +323,23 @@ class ParseFiles:
         self.re_import_start = re.compile(r"^(\s*)import\b", U)
         self.re_export_list = re.compile(r"^(\s*)export\s+\{([^}]*)\}", U)
         self.re_export_list_start = re.compile(r"^(\s*)export\s+\{", U)
+        # SPEC E8b/E8c (golden.py): re-export forms. Named re-exports are
+        # never same-file resolved; star re-exports emit no entity.
+        self.re_export_from = re.compile(
+            r"^(\s*)export\s+\{([^}]*)\}\s*from\s*['\"]([^'\"]+)['\"]", U
+        )
+        self.re_export_star = re.compile(
+            r"^(\s*)export\s+\*\s+from\s+['\"]([^'\"]+)['\"]", U
+        )
         self.re_export_default = re.compile(
             rf"^(\s*)export\s+default\s+({n})\s*;?\s*$", U
         )
         self.re_decorator = re.compile(rf"^(\s*)@({n})", U)
         # '@' in the lookbehind: decorator invocations are not call sites
         self.re_call = re.compile(rf"(?<![\w$.@])({n})\s*\(", U)
+        # SPEC C2b: direct two-part member calls `NS.member(` — the
+        # lookbehind excludes `a.b.c(` chains; golden.MEMBER_CALL_RE twin
+        self.re_member_call = re.compile(rf"(?<![\w$.@])({n})\.({n})\s*\(", U)
         self.max_join = 20  # physical lines joined into one logical stmt
         self.call_keywords = frozenset(
             "if for while switch catch function return new typeof await else do "
@@ -420,10 +432,13 @@ class ParseFiles:
         # (kind, name, line1, col, end1, sig, exported, props)
         ents: list[list] = []
         imports: dict[str, str] = {}
+        ns_imports: dict[str, str] = {}  # namespace local -> spec (C2b)
         import_stmts: list[tuple[str, int, int]] = []
         export_lists: list[tuple[list[str], int, int]] = []
         export_defaults: list[tuple[str, int, int]] = []
         inline_exported: set[str] = set()
+        # E8b/E8c: (spec, {exported: source} | '*', stmt_line)
+        reexports: list[tuple] = []
         class_idx: list[int] = []
         pending_dec: list[str] = []
 
@@ -443,9 +458,9 @@ class ParseFiles:
                 res = (
                     self._dispatch(
                         out, lines, brace_lines, bidx, idx, line, depth,
-                        is_test, ents, imports, import_stmts, export_lists,
-                        export_defaults, inline_exported, class_idx,
-                        pending_dec,
+                        is_test, ents, imports, ns_imports, import_stmts,
+                        export_lists, export_defaults, inline_exported,
+                        reexports, class_idx, pending_dec,
                     )
                     if tok in _DISPATCH
                     else 0
@@ -650,6 +665,32 @@ class ParseFiles:
                             module=imports[callee], symbol=callee, mkind="call",
                             src_id=eids[owner], src_kind=oent[0],
                             line=line1, col=m.start(1))
+            if ns_imports:
+                # C2b: NS.member( through a namespace import — the callee
+                # is the PROPERTY name (enhanced-ast-parser.ts:582-585),
+                # resolved through the import's module in linking
+                for m in self.re_member_call.finditer(line):
+                    spec = ns_imports.get(m.group(1))
+                    if spec is None:
+                        continue
+                    self._count_key(repo, path, spec)
+                    out.row("mention", repo=repo, path=path,
+                            module=spec, symbol=m.group(2), mkind="call",
+                            src_id=eids[owner], src_kind=oent[0],
+                            line=line1, col=m.start(1))
+
+        # ---- E8b/E8c re-export records → one tagged row per routed pair
+        # (star = one '*' row); consumed by linking.synthesize_reexports.
+        # Metadata-sized: one row per re-export name per statement.
+        for spec, pairs, line1 in reexports:
+            if pairs == "*":
+                out.row("reexport", repo=repo, path=path, module=spec,
+                        symbol="*", name="*", commit=commit, line=line1)
+            else:
+                for exported, source in pairs.items():
+                    out.row("reexport", repo=repo, path=path, module=spec,
+                            symbol=exported, name=source, commit=commit,
+                            line=line1)
 
         # ---- IMPORTS: internal → mention; external → triple
         for spec, line1, col in import_stmts:
@@ -716,9 +757,9 @@ class ParseFiles:
         return buf, k
 
     def _dispatch(self, out, lines, brace_lines, bidx, idx, line, depth,
-                  is_test, ents, imports, import_stmts, export_lists,
-                  export_defaults, inline_exported, class_idx,
-                  pending_dec) -> int:
+                  is_test, ents, imports, ns_imports, import_stmts,
+                  export_lists, export_defaults, inline_exported,
+                  reexports, class_idx, pending_dec) -> int:
         """Handle one (possibly multi-line) statement; returns the number
         of physical lines consumed (0 = not handled)."""
         line1 = idx + 1
@@ -749,6 +790,8 @@ class ParseFiles:
             if clause:
                 for local in self._import_locals(clause):
                     imports[local] = spec
+                for local in self._import_ns_locals(clause):
+                    ns_imports[local] = spec
             return consumed
         m = self.re_export_list.match(line)
         if m is None and self.re_export_list_start.match(line):
@@ -758,14 +801,36 @@ class ParseFiles:
                 line, consumed = joined, njoin
         if m:
             pending_dec.clear()
+            col = len(m.group(1))
+            mf = self.re_export_from.match(line)
+            if mf:
+                # E8b: named re-export — exported names are routed pairs,
+                # never same-file resolved; no EXPORTS triple
+                pairs: dict[str, str] = {}
+                for part in mf.group(2).split(","):
+                    part = part.strip()
+                    if not part:
+                        continue
+                    bits = [b.strip() for b in part.split(" as ")]
+                    pairs[bits[-1]] = bits[0]
+                joined_names = ",".join(pairs)
+                ents.append(["Export", joined_names, line1, col,
+                             line1 + consumed - 1, line.strip().rstrip(";"),
+                             False, {}])
+                reexports.append((mf.group(3), pairs, line1))
+                return consumed
             names = [x.strip().split(" as ")[-1].strip()
                      for x in m.group(2).split(",") if x.strip()]
-            col = len(m.group(1))
             ents.append(["Export", ",".join(names), line1, col,
                          line1 + consumed - 1, line.strip().rstrip(";"),
                          False, {}])
             export_lists.append((names, line1, col))
             return consumed
+        m = self.re_export_star.match(line)
+        if m:
+            pending_dec.clear()
+            reexports.append((m.group(2), "*", line1))  # E8c: no entity
+            return 1
         m = self.re_export_default.match(line)
         if m:
             pending_dec.clear()
@@ -857,6 +922,22 @@ class ParseFiles:
         seg = line[col:]
         i = seg.find(stop)
         return (seg[:i] if i >= 0 else seg).rstrip()
+
+    @staticmethod
+    def _import_ns_locals(clause: str) -> list[str]:
+        """Namespace locals only (`* as X`) — the subset of _import_locals
+        that C2b member-call resolution applies to (golden twin)."""
+        rest = clause.strip()
+        m = re.search(r"\{[^}]*\}", rest)
+        if m:
+            rest = (rest[: m.start()] + rest[m.end():]).strip().strip(",").strip()
+        for part in rest.split(","):
+            part = part.strip()
+            if part.startswith("* as "):
+                nm = part[5:].strip()
+                if nm:
+                    return [nm]
+        return []
 
     @staticmethod
     def _import_locals(clause: str) -> list[str]:

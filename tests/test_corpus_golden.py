@@ -46,7 +46,7 @@ def test_parse_file_spot_checks():
             "export { foo, baz };",
         ]
     )
-    ents, triples, mentions, exported = parse_file("r/r", "src/m.ts", "c1", src)
+    ents, triples, mentions, exported, _ = parse_file("r/r", "src/m.ts", "c1", src)
     by = {(e.kind, e.name): e for e in ents}
     foo = by[("Function", "foo")]
     assert (foo.start_line, foo.end_line, foo.start_col) == (3, 5, 0)
@@ -72,7 +72,7 @@ def test_parse_file_spot_checks():
 
 
 def test_test_file_yields_testcase():
-    ents, _, _, _ = parse_file(
+    ents, _, _, _, _ = parse_file(
         "r/r", "src/__tests__/a.test.ts", "c1", "function test_x() {\n  return 1;\n}\n"
     )
     assert [e.kind for e in ents] == ["TestCase"]
@@ -129,7 +129,7 @@ def test_spec_v2_constructs():
             "};",
         ]
     )
-    ents, triples, mentions, exported = parse_file("r/r", "src/svc.ts", "c1", src)
+    ents, triples, mentions, exported, _ = parse_file("r/r", "src/svc.ts", "c1", src)
     by = {(e.kind, e.name): e for e in ents}
 
     # multi-line import parsed: one Import entity, locals recorded

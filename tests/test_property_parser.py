@@ -90,7 +90,7 @@ def source_file(draw):
 @given(source_file())
 def test_engine_matches_golden_per_file(src):
     repo, path, commit = "p/q", "src/gen.ts", "c1"
-    gold_ents, gold_triples, gold_mentions, _ = parse_file(repo, path, commit, src)
+    gold_ents, gold_triples, gold_mentions, _, _ = parse_file(repo, path, commit, src)
     gold_spo = {(t[0], t[1], t[2]) for t in gold_triples}
     gold_m = {
         (m["module"], m["symbol"], m["kind"], m["src_id"]) for m in gold_mentions
