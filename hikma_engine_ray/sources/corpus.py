@@ -60,24 +60,35 @@ def _module_content(j: int, rng: random.Random, pkg: int, n_mods: int) -> str:
     exercises imports, functions, arrows, classes, interfaces, exports."""
     parts: list[str] = []
     hot = rng.random() < 0.8
+    ns_hot = hot and rng.random() < 0.25  # namespace form (SPEC C2b)
     if hot:
         utils = sorted(rng.sample(range(N_UTILS), 2))
-        parts.append(
-            f"import {{ util{utils[0]}, util{utils[1]} }} from '../lib/utils';"
-        )
+        if ns_hot:
+            parts.append(f"import * as U_{j} from '../lib/utils';")
+        else:
+            parts.append(
+                f"import {{ util{utils[0]}, util{utils[1]} }} from '../lib/utils';"
+            )
     dep = None
     if n_mods > 1 and rng.random() < 0.6:
         dep = rng.randrange(n_mods)
         if dep == j:
             dep = (dep + 1) % n_mods
         dep_pkg = dep % 4
-        spec = f"./mod_{dep}" if dep_pkg == pkg else f"../pkg{dep_pkg}/mod_{dep}"
-        if rng.random() < 0.3:  # multi-line import clause (SPEC E7)
-            parts.append("import {")
-            parts.append(f"  f_{dep}_0,")
-            parts.append(f"}} from '{spec}';")
+        via_barrel = rng.random() < 0.3  # resolve through pkg barrel (L1b)
+        if via_barrel:
+            # first_{p} is the barrel's named alias re-export (E8b)
+            parts.append(
+                f"import {{ f_{dep}_0, first_{dep_pkg} }} from '../pkg{dep_pkg}';"
+            )
         else:
-            parts.append(f"import {{ f_{dep}_0 }} from '{spec}';")
+            spec = f"./mod_{dep}" if dep_pkg == pkg else f"../pkg{dep_pkg}/mod_{dep}"
+            if rng.random() < 0.3:  # multi-line import clause (SPEC E7)
+                parts.append("import {")
+                parts.append(f"  f_{dep}_0,")
+                parts.append(f"}} from '{spec}';")
+            else:
+                parts.append(f"import {{ f_{dep}_0 }} from '{spec}';")
     parts.append("import fs from 'fs';")
     parts.append("")
     if rng.random() < 0.3:  # block comment with hostile text (SPEC P0)
@@ -88,13 +99,23 @@ def _module_content(j: int, rng: random.Random, pkg: int, n_mods: int) -> str:
     parts.append(f"const rate_{j} = 0.{(j % 9) + 1}5;")
     parts.append("")
     # f_{j}_0 calls util (if hot), f_{j}_1 (same file) and maybe the dep.
+    if rng.random() < 0.3:  # JSDoc docstring (SPEC P7)
+        parts.append("/**")
+        parts.append(f" * Combines two values through module {j}'s scale.")
+        parts.append(f" * @param a base value")
+        parts.append(" */")
     parts.append(f"function f_{j}_0(a, b) {{")
     if hot:
-        parts.append(f"  const t = util{utils[0]}(a);")
+        if ns_hot:
+            parts.append(f"  const t = U_{j}.util{utils[0]}(a);")
+        else:
+            parts.append(f"  const t = util{utils[0]}(a);")
     else:
         parts.append("  const t = a * 2;")
     if dep is not None:
         parts.append(f"  const u = f_{dep}_0(t, b);")
+        if via_barrel:
+            parts.append(f"  const w = first_{dep_pkg}(u);")
         parts.append(f"  return f_{j}_1(u) + b;")
     else:
         parts.append(f"  return f_{j}_1(t) + b;")
@@ -207,6 +228,14 @@ def generate_corpus(n_files: int = 200, seed: int = 42, n_repos: int | None = No
                     "typescript",
                     _test_content(j, pkg),
                 )
+        # per-pkg barrel: star re-exports every module (E8c) plus one
+        # named alias re-export (E8b) that modules import via '../pkgN'
+        for p in range(min(4, n_mods)):
+            mods_in_pkg = [j for j in range(n_mods) if j % 4 == p]
+            lines = [f"export {{ f_{p}_0 as first_{p} }} from './mod_{p}';"]
+            lines += [f"export * from './mod_{j}';" for j in mods_in_pkg]
+            add(repo, f"src/pkg{p}/index.ts", shas[0], "typescript",
+                "\n".join(lines) + "\n")
         add(repo, "package.json", shas[0], "unknown", '{\n  "name": "%s"\n}\n' % repo)
         add(
             repo,

@@ -195,3 +195,28 @@ def test_pull_requests(built_graph, small_corpus):
     commit_ids = {n["node_id"] for n in nodes if n["node_type"] == "Commit"}
     pr_ids = {n["node_id"] for n in pr_nodes}
     assert all(t["subj"] in pr_ids and t["obj"] in commit_ids for t in inc)
+
+
+def test_jsdoc_reaches_built_graph_props(built_graph):
+    """P7 end-to-end: the fixture corpus now emits /** */ blocks, so
+    docstrings must appear in node props_json after the full pipeline."""
+    import json
+
+    docs = [
+        json.loads(r["props_json"]).get("docstring")
+        for r in built_graph["nodes"].take_all()
+        if r["node_type"] == "Function" and r["props_json"]
+    ]
+    with_doc = [d for d in docs if d]
+    assert len(with_doc) > 10
+    assert any("@param a base value" in d for d in with_doc)
+
+
+def test_barrel_imports_resolve_in_built_graph(built_graph):
+    """L1b end-to-end: mentions routed through pkg barrels (star + alias
+    re-exports) resolve — no no-such-symbol dangling rows for them."""
+    bad = [
+        r for r in built_graph["dangling"].take_all()
+        if r["module"].rstrip("/").endswith(tuple(f"pkg{p}" for p in range(4)))
+    ]
+    assert bad == []
