@@ -763,26 +763,40 @@ def _q_embed_neardup(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    """REAL pure-numpy decode of codec-free payloads (netpbm images,
+    WAV PCM16): per-row pixel/sample statistics extracted from the
+    feature layout (stages/multimodal.py image_features/audio_features)."""
     import ray.data as rd
 
-    from hikma_engine_ray.stages.multimodal import extract_features, synthesize_media_table
+    from hikma_engine_ray.stages.multimodal import (
+        extract_features,
+        synthesize_decodable_media_table,
+    )
 
-    ds = rd.from_arrow(synthesize_media_table(96))
+    ds = rd.from_arrow(synthesize_decodable_media_table(96))
     feats = extract_features(ds)
     import pyarrow as pa
 
-    def norms(t: pa.Table) -> pa.Table:
+    def stats(t: pa.Table) -> pa.Table:
         import numpy as np
-        import pyarrow.compute as pc
 
-        mats = np.asarray(t["feature"].to_pylist(), dtype=np.float32)
-        nrm = np.round(np.linalg.norm(mats, axis=1).astype(np.float64), 3) if len(mats) else np.array([])
+        m = np.asarray(t["feature"].to_pylist(), dtype=np.float32)
+        if not len(m):
+            m = np.zeros((0, 32), np.float32)
+        is_img = m[:, 0] == 1.0
+        r6 = lambda c: pa.array(np.round(c.astype(np.float64), 6), pa.float64())
         return pa.table(
             {"media_id": t["media_id"], "kind": t["kind"],
-             "feat_norm": pa.array(nrm, pa.float64())}
+             "width": pa.array(np.where(is_img, m[:, 1], 0).astype(np.int32), pa.int32()),
+             "height": pa.array(np.where(is_img, m[:, 2], 0).astype(np.int32), pa.int32()),
+             "px_mean": r6(np.where(is_img, m[:, 3], np.nan)),
+             "px_std": r6(np.where(is_img, m[:, 4], np.nan)),
+             "dur_s": r6(np.where(is_img, np.nan, m[:, 3])),
+             "rms": r6(np.where(is_img, np.nan, m[:, 4])),
+             "peak": r6(np.where(is_img, np.nan, m[:, 5]))}
         )
 
-    return feats.map_batches(norms, batch_format="pyarrow")
+    return feats.map_batches(stats, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------- registry

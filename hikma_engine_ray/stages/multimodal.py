@@ -1,19 +1,22 @@
 """Multimodal column plumbing (images / audio / video as opaque binary).
 
-The decode step itself is STUBBED — image/audio codecs are not in this
-container — but everything Ray-side is real and tested: binary column
-schema, typed metadata, actor-pool stage shape, small-batch sizing for
-wide rows, deterministic fake feature extraction so downstream stages
-(similarity, dedup) can be exercised end-to-end.
+Codec-free formats decode FOR REAL with pure numpy: binary netpbm
+images (P6 RGB / P5 gray) and RIFF/WAVE PCM16 audio — header parse,
+pixel/sample statistics, histogram features. Formats that genuinely
+need a codec (JPEG/PNG/MP3/MP4 — no codec libs in this container)
+remain behind the documented stub: deterministic fake features so
+downstream stages (similarity, dedup) stay exercisable end-to-end, or
+``strict=True`` for the honest NotImplementedError.
 
-Swap ``DecodeStub`` for a real decoder (PIL / torchaudio / PyAV) by
-overriding ``_decode`` only; `media_batch_size` stays the knob that
+Swap ``DecodeStub`` for a richer decoder (PIL / torchaudio / PyAV) by
+overriding ``_decode`` only; `MEDIA_BATCH_SIZE` stays the knob that
 keeps batch × concurrency within worker heap for multi-MB payloads.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
 
 import numpy as np
@@ -49,23 +52,173 @@ def synthesize_media_table(n: int = 64, seed: int = 42, payload_bytes: int = 409
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
 
 
+def synthesize_decodable_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic REAL payloads (P6 gradients, P5 checkerboards, WAV
+    sines) with closed-form statistics, so decode tests can assert exact
+    pixel/sample values rather than plumbing shape alone."""
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(n):
+        m = i % 3
+        if m == 0:  # P6 RGB horizontal gradient
+            w, h = 32 + (i % 4) * 16, 24 + (i % 3) * 8
+            ramp = np.linspace(0, 255, w).astype(np.uint8)
+            img = np.stack(
+                [np.tile(ramp, (h, 1)),
+                 np.tile(ramp[::-1], (h, 1)),
+                 np.full((h, w), (i * 7) % 256, np.uint8)], axis=2
+            )
+            payload, kind, dur = encode_ppm(img), "image", 0
+        elif m == 1:  # P5 gray checkerboard (mean exactly 127.5)
+            w = h = 16 + (i % 5) * 8
+            yy, xx = np.indices((h, w))
+            img = np.where((yy + xx) % 2 == 0, 0, 255).astype(np.uint8)
+            payload, kind, dur = encode_ppm(img), "image", 0
+        else:  # WAV sine, amp 0.5, 440*k Hz
+            rate = 8000
+            dur_s = 0.25 + (i % 4) * 0.125
+            t = np.arange(int(rate * dur_s)) / rate
+            s = (0.5 * 32767 * np.sin(2 * np.pi * 440 * (1 + i % 3) * t))
+            payload = encode_wav(s.astype(np.int16), rate)
+            kind, dur, (w, h) = "audio", int(dur_s * 1000), (0, 0)
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["meta_width"].append(w)
+        rows["meta_height"].append(h)
+        rows["meta_duration_ms"].append(dur)
+    return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------- codecs
+# Pure-numpy encode/decode for the two container formats that need no
+# external codec: binary netpbm (P5/P6) and RIFF/WAVE PCM16.
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 (h, w) → P5 gray; (h, w, 3) → P6 RGB."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        magic = b"P5"
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {a.shape}")
+    h, w = a.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 → uint8 (h, w, 3); P5 → uint8 (h, w). Tolerates comment lines
+    and arbitrary whitespace in the header per the netpbm spec."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm payload")
+    # header = 3 whitespace-separated ints after the magic, '#' comments
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    nch = 3 if magic == b"P6" else 1
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * nch, offset=pos)
+    return raster.reshape((h, w, 3)) if nch == 3 else raster.reshape((h, w))
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """int16 (n,) mono or (n, ch) → minimal RIFF/WAVE PCM16."""
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    ch = 1 if s.ndim == 1 else s.shape[1]
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 → (int16 (n, ch) samples, sample_rate). Walks the
+    chunk list, so extra chunks (LIST/fact) are skipped correctly."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, ch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            _, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16:
+        raise ValueError("only PCM16 supported")
+    s = np.frombuffer(data, dtype="<i2")
+    return s.reshape(-1, ch), int(rate)
+
+
+_N_HIST = 16  # histogram bins in the feature layout below
+
+
+def image_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """[tag=1, w, h, mean, std, min, max, 16-bin luma histogram, 0-pad]."""
+    luma = img.astype(np.float32).mean(axis=2) if img.ndim == 3 else img.astype(np.float32)
+    hist = np.histogram(luma, bins=_N_HIST, range=(0, 256))[0]
+    v = np.zeros(max(dim, 7 + _N_HIST), dtype=np.float32)
+    v[:7] = [1.0, img.shape[1], img.shape[0], luma.mean(), luma.std(),
+             luma.min(), luma.max()]
+    v[7 : 7 + _N_HIST] = hist / max(1, luma.size)
+    return v[:dim]
+
+
+def audio_features(samples: np.ndarray, rate: int, dim: int) -> np.ndarray:
+    """[tag=2, rate, n, dur_s, rms, peak, zcr, 16-bin |amp| hist, 0-pad]."""
+    x = samples.astype(np.float32).mean(axis=1) / 32768.0  # downmix
+    n = len(x)
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    hist = np.histogram(np.abs(x), bins=_N_HIST, range=(0, 1))[0]
+    v = np.zeros(max(dim, 7 + _N_HIST), dtype=np.float32)
+    v[:7] = [2.0, rate, n, n / rate, float(np.sqrt(np.mean(x**2))) if n else 0.0,
+             float(np.abs(x).max()) if n else 0.0, zcr]
+    v[7 : 7 + _N_HIST] = hist / max(1, n)
+    return v[:dim]
+
+
 class DecodeStub:
     """Actor-pool stage: binary payload → fixed-dim feature vector.
 
-    A real decoder loads its codec/model here in ``__init__`` (once per
-    actor). The stub derives a deterministic feature from the payload
-    bytes so the full pipeline shape is testable. Set ``strict=True`` to
-    get the honest NotImplementedError instead of fake features."""
+    Codec-free containers decode for real (netpbm P5/P6 → pixel stats,
+    RIFF/WAVE PCM16 → sample stats, both pure numpy). Other payloads
+    fall back to a deterministic fake feature so the pipeline shape
+    stays testable — or raise honestly with ``strict=True``. A heavier
+    decoder loads its codec/model in ``__init__`` (once per actor)."""
 
     def __init__(self, dim: int = 32, strict: bool = False):
         self.dim = dim
         self.strict = strict
 
     def _decode(self, payload: bytes, kind: str) -> np.ndarray:
+        if payload[:2] in (b"P5", b"P6"):
+            return image_features(decode_ppm(payload), self.dim)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return audio_features(*decode_wav(payload), self.dim)
         if self.strict:
             raise NotImplementedError(
-                "media decode requires an image/audio codec not present in "
-                "this environment; subclass DecodeStub and override _decode"
+                "payload is not a codec-free format (netpbm/WAV); decoding "
+                "it requires an image/audio codec not present in this "
+                "environment — subclass DecodeStub and override _decode"
             )
         seed = zlib.crc32(hashlib.md5(payload).digest())
         rng = np.random.RandomState(seed)

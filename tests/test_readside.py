@@ -344,3 +344,52 @@ def test_asof_join_tiebreak_deterministic(ray_session):
         out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
                         on="ts", by=["u"], tiebreak="rid").take_all()
         assert [(r["lid"], r["rid_r"]) for r in out] == [(1, 104)]
+
+
+def test_real_ppm_wav_decode_values(ray_session):
+    """Codec-free decode is REAL: closed-form pixel/sample statistics."""
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.multimodal import (
+        DecodeStub,
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+        extract_features,
+        synthesize_decodable_media_table,
+    )
+
+    # round-trip exactness
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    gray = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    assert np.array_equal(decode_ppm(encode_ppm(gray)), gray)
+    s = (1000 * np.sin(np.arange(800))).astype(np.int16)
+    dec, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000 and np.array_equal(dec[:, 0], s)
+
+    # header tolerance: comments + multi-whitespace
+    manual = b"P5\n# a comment\n 2  2 \n255\n" + bytes([0, 255, 255, 0])
+    assert decode_ppm(manual).tolist() == [[0, 255], [255, 0]]
+
+    # feature stats: checkerboard mean 127.5, std 127.5; sine rms a/sqrt(2)
+    d = DecodeStub(dim=32, strict=True)  # strict DECODES real formats
+    yy, xx = np.indices((8, 8))
+    board = np.where((yy + xx) % 2 == 0, 0, 255).astype(np.uint8)
+    v = d._decode(encode_ppm(board), "image")
+    assert v[0] == 1.0 and (v[1], v[2]) == (8, 8)
+    assert abs(v[3] - 127.5) < 1e-3 and abs(v[4] - 127.5) < 1e-3
+    t = np.arange(8000) / 8000.0
+    sine = (0.5 * 32767 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    va = d._decode(encode_wav(sine, 8000), "audio")
+    assert va[0] == 2.0 and va[1] == 8000 and abs(va[3] - 1.0) < 1e-6
+    assert abs(va[4] - 0.5 / np.sqrt(2)) < 1e-3  # rms
+    assert abs(va[5] - 0.5) < 1e-3  # peak
+
+    # end-to-end through the actor-pool stage on the decodable table
+    feats = extract_features(
+        rd.from_arrow(synthesize_decodable_media_table(12))
+    ).take_all()
+    tags = {round(f["feature"][0]) for f in feats}
+    assert tags == {1, 2}  # every row really decoded (no fake fallback)
