@@ -37,8 +37,28 @@ def _rd():
     return rd
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    return _rd().read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+def _read(sf_dir: str, table: str, columns: list[str] | None = None,
+          filter=None):
+    """Column-pruned parquet read with the schema's pandas metadata
+    stripped: the driver-written files carry b'pandas' key metadata,
+    which makes every downstream block schema unhashable (dict inside)
+    and defeats Ray's concat schema-dedup fast path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = pq.read_schema(path).remove_metadata()
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    kwargs = {"filter": filter} if filter is not None else {}
+    # a sub-32MiB file is one read task, not cpus*2 mostly-empty blocks:
+    # empty read blocks are pure overhead, and Ray's Project (e.g.
+    # rename_columns) passes empty blocks through UNPROJECTED, emitting
+    # mixed-schema bundles (executor divergence warning). Large files
+    # keep Ray's default size-based splitting.
+    if os.path.getsize(path) < 32 * 1024 * 1024:
+        kwargs["override_num_blocks"] = 1
+    return _rd().read_parquet(path, schema=schema, columns=columns, **kwargs)
 
 
 _KG_CACHE: dict[str, dict] = {}
@@ -346,17 +366,24 @@ def _q_region_nation_customer(sf_dir: str):
 
     from hikma_engine_ray.stages.joins import bucketed_join
 
+    # rename via the logical Project op (not a map_batches lambda): the
+    # schema stays statically known, so the join's schema probe never
+    # partially executes the read pipeline
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).map_batches(
-        lambda t: t.rename_columns(["n_regionkey", "r_name"]), batch_format="pyarrow"
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).rename_columns(
+        {"r_regionkey": "n_regionkey"}
     )
     nr = bucketed_join(nation, region, on=["n_regionkey"], nbuckets=4)
-    cust = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
-        lambda t: t.rename_columns(["n_nationkey"]), batch_format="pyarrow"
+    cust = _read(sf_dir, "customer", ["c_nationkey"]).rename_columns(
+        {"c_nationkey": "n_nationkey"}
     )
     full = bucketed_join(cust, nr.select_columns(["n_nationkey", "r_name"]),
                          on=["n_nationkey"], nbuckets=8)
-    return full.groupby("r_name").aggregate(Count(alias_name="n_customers"))
+    # r_name has only 5 distinct values: one reduce partition, else the
+    # sampled sort boundaries repeat and emit schema-less empty blocks
+    return full.repartition(1).groupby("r_name").aggregate(
+        Count(alias_name="n_customers")
+    )
 
 
 def _q_top_orders(sf_dir: str):
@@ -445,7 +472,11 @@ def _q_events_keepbest_impl(sf_dir: str):
     """Dedup-keep-best (T4): per user keep the highest-value event."""
     import pandas as pd
 
-    from hikma_engine_ray.stages.dedup import BUCKET_COL, add_bucket_column
+    from hikma_engine_ray.stages.dedup import (
+        BUCKET_COL,
+        add_bucket_column,
+        blocks_for_keys,
+    )
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
 
@@ -456,6 +487,7 @@ def _q_events_keepbest_impl(sf_dir: str):
 
     return (
         ds.map_batches(add_bucket_column(["user_id"], 16), batch_format="pyarrow")
+        .repartition(blocks_for_keys(16))
         .groupby(BUCKET_COL)
         .map_groups(per_bucket, batch_format="pandas")
     )
@@ -470,18 +502,21 @@ def _q_asof_clicks(sf_dir: str):
 
     from hikma_engine_ray.stages.joins import asof_join
 
-    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
-
-    def side(kind: str, cols: list[str]):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.filter(pc.equal(t["event_type"], kind)).select(cols)
-
-        return fn
-
-    purchases = ev.map_batches(side("purchase", ["event_id", "ts", "user_id"]),
-                               batch_format="pyarrow")
-    clicks = ev.map_batches(side("click", ["event_id", "ts", "user_id", "value"]),
-                            batch_format="pyarrow")
+    # row filter at the scan (predicate pushdown) instead of a lambda
+    # filter stage: prunes at the read AND keeps the plan's schema
+    # statically known, so the join's schema probe never partially
+    # executes the pipeline (the probe's limit-1 run emits a schema-less
+    # empty tail bundle that trips the executor's divergence warning)
+    # event_type must be in the scan schema for the filter to bind;
+    # the Project (select_columns) then drops it without executing
+    purchases = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type"],
+        filter=(pc.field("event_type") == "purchase"),
+    ).select_columns(["event_id", "ts", "user_id"])
+    clicks = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "value", "event_type"],
+        filter=(pc.field("event_type") == "click"),
+    ).select_columns(["event_id", "ts", "user_id", "value"])
     j = asof_join(purchases, clicks, on="ts", by=["user_id"], tiebreak="event_id")
 
     def shape(t: pa.Table) -> pa.Table:
@@ -506,18 +541,15 @@ def _q_range_clicks(sf_dir: str):
 
     from hikma_engine_ray.stages.joins import range_join
 
-    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-
-    def side(kind: str, cols: list[str]):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.filter(pc.equal(t["event_type"], kind)).select(cols)
-
-        return fn
-
-    purchases = ev.map_batches(side("purchase", ["event_id", "ts", "user_id"]),
-                               batch_format="pyarrow")
-    clicks = ev.map_batches(side("click", ["event_id", "ts", "user_id"]),
-                            batch_format="pyarrow")
+    # scan-level row filter + static schema (see _q_asof_clicks)
+    purchases = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type"],
+        filter=(pc.field("event_type") == "purchase"),
+    ).select_columns(["event_id", "ts", "user_id"])
+    clicks = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type"],
+        filter=(pc.field("event_type") == "click"),
+    ).select_columns(["event_id", "ts", "user_id"])
     j = range_join(
         purchases, clicks, by=["user_id"], left_on="ts", right_on="ts",
         lo_offset=pd.Timedelta(hours=-1), hi_offset=pd.Timedelta(0),
@@ -531,8 +563,8 @@ def _q_part_filter(sf_dir: str):
     """Filter pushdown at the read (prune columns + rows at the scan)."""
     import pyarrow.compute as pc
 
-    ds = _rd().read_parquet(
-        os.path.join(sf_dir, "part.parquet"),
+    ds = _read(
+        sf_dir, "part",
         columns=["p_partkey", "p_type", "p_size", "p_retailprice"],
         filter=(pc.field("p_size") >= 25),
     )

@@ -276,7 +276,10 @@ def build_graph_from_tagged(
         # sized, grouped by repo) that join the linking shuffle unchanged
         defs = defs.union(synthesize_reexports(tagged, reex_bases))
         _tick("synthesize_reexports", _t)
-    link_buckets = max(nbuckets, 64)
+    # 4x buckets per reduce partition (reducers = the repartition(nbuckets)
+    # below): sampled shuffle boundaries then never land on the same
+    # bucket id, which would create empty zero-schema reduce blocks
+    link_buckets = max(nbuckets * 4, 64)
     m_keyed = mentions.map_batches(
         explode_mentions(hot, nsalt, link_buckets), batch_format="pyarrow"
     )
@@ -510,12 +513,20 @@ def repo_stats(commits_df):
 
 def graph_stats(graph: dict) -> dict:
     """Grouped stats (SURVEY.md §2.5 A3/A4): counts by node_type / pred."""
-    node_counts = {
-        r["node_type"]: r["count()"]
-        for r in graph["nodes"].groupby("node_type").count().take_all()
-    }
-    pred_counts = {
-        r["pred"]: r["count()"]
-        for r in graph["triples"].groupby("pred").count().take_all()
-    }
+    # combiner-first: one partial count row per key per block crosses the
+    # shuffle (never the table), and the tiny final groupby runs in a
+    # single reduce partition — node_type/pred have ~a dozen distinct
+    # values, so more reducers only yield empty zero-schema blocks
+    from hikma_engine_ray.stages.agg import final_agg, partial_agg
+
+    def _counts(ds, key: str) -> dict:
+        spec = {"count()": (key, "count")}
+        partials = ds.map_batches(partial_agg([key], spec), batch_format="pyarrow")
+        return {
+            r[key]: r["count()"]
+            for r in final_agg(partials.repartition(1), [key], spec).take_all()
+        }
+
+    node_counts = _counts(graph["nodes"], "node_type")
+    pred_counts = _counts(graph["triples"], "pred")
     return {"nodes_by_type": node_counts, "triples_by_pred": pred_counts}

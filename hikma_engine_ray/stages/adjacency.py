@@ -195,9 +195,16 @@ def build_adjacency(triples_ds, nbuckets: int = 64,
         # blocks so the per-batch combiner sees enough rows per node to
         # actually compress the shuffle
         triples_ds.map_batches(
-            _emit_partials(nbuckets, hot), batch_format="pyarrow",
+            # 4x buckets per reduce partition: the shuffle's sampled
+            # range boundaries then never repeat (repeats → empty
+            # zero-schema reduce blocks), while reduce parallelism stays
+            # at the input block count pinned below
+            _emit_partials(nbuckets * 4, hot), batch_format="pyarrow",
             batch_size=131072,
         )
+        # coalesce the partial blocks: reducers = input block count, and
+        # dozens of full blocks beat hundreds of tiny ones in sort cost
+        .repartition(nbuckets)
         .groupby("__bucket")
         .map_groups(_assemble, batch_format="pyarrow")
     )

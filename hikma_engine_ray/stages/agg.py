@@ -76,7 +76,7 @@ def distinct_count(ds, value_cols: list[str], group_cols: list[str] | None = Non
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    from .dedup import BUCKET_COL, add_bucket_column
+    from .dedup import BUCKET_COL, add_bucket_column, blocks_for_keys
 
     group_cols = group_cols or []
     cols = group_cols + value_cols
@@ -100,12 +100,37 @@ def distinct_count(ds, value_cols: list[str], group_cols: list[str] | None = Non
     bucketed = (
         ds.map_batches(partial, batch_format="pyarrow")
         .map_batches(add_bucket_column(cols, nbuckets), batch_format="pyarrow")
+        .repartition(blocks_for_keys(nbuckets))
         .groupby(BUCKET_COL)
         .map_groups(per_bucket, batch_format="pandas")
     )
     del pc
     if group_cols:
-        return bucketed.groupby(group_cols).aggregate(Sum("n", alias_name="n"))
+        # final per-group sum via the same hash-bucket seam rather than
+        # ds.groupby(group_cols): the bucket id is an int and never
+        # null, whereas Ray's sort-based groupby cannot range-partition
+        # a null group key (None < str raises in find_partition_index)
+        def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            out = (
+                g.groupby(group_cols, sort=False, dropna=False)["n"]
+                .sum().reset_index()
+            )
+            for c in group_cols:
+                out[c] = out[c].astype("object").where(pd.notna(out[c]), None)
+            out["n"] = out["n"].astype("int64")
+            return out
+
+        nb2 = max(1, nbuckets // 4)
+        return (
+            bucketed.map_batches(add_bucket_column(group_cols, nb2),
+                                 batch_format="pyarrow")
+            .repartition(blocks_for_keys(nb2))
+            .groupby(BUCKET_COL)
+            .map_groups(
+                lambda g: sum_bucket(g.drop(columns=[BUCKET_COL])),
+                batch_format="pandas",
+            )
+        )
     row = bucketed.aggregate(Sum("n", alias_name="n"))
     return pd.DataFrame([{"n": int(row["n"] or 0)}])
 

@@ -22,6 +22,21 @@ import pyarrow as pa
 BUCKET_COL = "__bucket"
 
 
+def blocks_for_keys(nkeys: int) -> int:
+    """Input block count for a groupby over a ~``nkeys``-distinct key.
+
+    Ray's sort-based shuffle sizes reducers to the INPUT block count and
+    samples range boundaries from the key column; once reducers approach
+    the distinct-key count the sampled quantiles repeat and the empty
+    ranges materialize as zero-column blocks (ArrowBlockAccessor
+    ``_empty_table()`` carries no schema), tripping the executor's
+    schema-divergence warning and defeating concat schema-dedup. With a
+    coarse B-bucket key the group parallelism is intrinsically ≤ B, so
+    capping blocks at B/4 costs nothing and keeps every range nonempty;
+    at scale, raise ``nbuckets`` and the block count follows."""
+    return max(1, nkeys // 4)
+
+
 def add_bucket_column(key_cols: list[str], nbuckets: int):
     """map_batches fn: append hash(key_cols)%nbuckets as __bucket.
 
@@ -33,6 +48,12 @@ def add_bucket_column(key_cols: list[str], nbuckets: int):
         import polars as pl
         import pyarrow.compute as pc
 
+        if batch.schema.metadata:
+            # blocks converted from pandas (map_groups pandas output,
+            # from_pandas) carry b'pandas' schema metadata; a schema
+            # with metadata is unhashable and defeats Ray's shuffle
+            # concat schema-dedup (transform_pyarrow warns per block)
+            batch = batch.replace_schema_metadata(None)
         if batch.num_rows == 0:
             return batch.append_column(BUCKET_COL, pa.array([], pa.int32()))
         combined = pc.binary_join_element_wise(
@@ -73,6 +94,7 @@ def dedup_exact(ds, key_cols: list[str], nbuckets: int = 64, sort_cols: list[str
 
     return (
         ds.map_batches(add_bucket_column(key_cols, nbuckets), batch_format="pyarrow")
+        .repartition(blocks_for_keys(nbuckets))
         .groupby(BUCKET_COL)
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -110,6 +132,7 @@ def bucketed_map_groups(ds, key_cols: list[str], per_key_fn, nbuckets: int = 64,
 
     return (
         ds.map_batches(add_bucket_column(key_cols, nbuckets), batch_format="pyarrow")
+        .repartition(blocks_for_keys(nbuckets))
         .groupby(BUCKET_COL)
         .map_groups(per_bucket_wrap, batch_format=batch_format)
     )

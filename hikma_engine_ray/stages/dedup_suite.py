@@ -123,7 +123,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", nbuckets: in
     """Keep the min-id row per exact text match (hash-partition +
     per-group first — the north-rule pattern). Output sorted columns:
     the surviving rows."""
-    from .dedup import add_bucket_column, BUCKET_COL
+    from .dedup import add_bucket_column, blocks_for_keys, BUCKET_COL
 
     def add_hash(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -138,6 +138,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", nbuckets: in
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
         .map_batches(add_bucket_column(["content_md5"], nbuckets), batch_format="pyarrow")
+        .repartition(blocks_for_keys(nbuckets))
         .groupby(BUCKET_COL)
         .map_groups(per_bucket, batch_format="pandas")
     )
@@ -288,10 +289,11 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
     # is module-level, so warm Ray workers need no actor spin-up
     sig = MinHashSigs(num_perm, bands, k, text_col, id_col)
     sigs = ds.map_batches(sig.__call__, batch_format="pyarrow")
-    from .dedup import BUCKET_COL, add_bucket_column, dedup_exact
+    from .dedup import BUCKET_COL, add_bucket_column, blocks_for_keys, dedup_exact
 
     cand = (
         sigs.map_batches(add_bucket_column(["band", "band_hash"], 32), batch_format="pyarrow")
+        .repartition(blocks_for_keys(32))
         .groupby(BUCKET_COL)
         .map_groups(
             lambda g: pairs_bucket(g.drop(columns=[BUCKET_COL])),
@@ -358,6 +360,8 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float, k: int = 5,
     # cheap count first (pairs are tiny (a, b) rows; the candidate
     # pipeline runs once — materialized so the chosen path reuses it)
     pairs_ds = pairs_ds.materialize()
+    from .dedup import blocks_for_keys
+
     if pairs_ds.count() > driver_limit:
         from .dedup import dedup_exact
 
@@ -434,6 +438,7 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float, k: int = 5,
 
     return (
         docs_ds.map_batches(emit, batch_format="pyarrow")
+        .repartition(blocks_for_keys(nbuckets))
         .groupby("__b")
         .map_groups(score, batch_format="pandas")
     )
@@ -623,11 +628,12 @@ def simhash_candidates(ds, max_hamming: int = 3, text_col: str = "text",
              "hamming": pd.Series(dd, dtype="int64")}
         )
 
-    from .dedup import BUCKET_COL, add_bucket_column, dedup_exact
+    from .dedup import BUCKET_COL, add_bucket_column, blocks_for_keys, dedup_exact
 
     cand = (
         ds.map_batches(bands, batch_format="pyarrow")
         .map_batches(add_bucket_column(["band", "band_val"], 32), batch_format="pyarrow")
+        .repartition(blocks_for_keys(32))
         .groupby(BUCKET_COL)
         .map_groups(
             lambda g: pairs_bucket(g.drop(columns=[BUCKET_COL])),
@@ -735,8 +741,12 @@ def embedding_neardup(ds, threshold: float = 0.95, nplanes: int = 8,
             pa.concat_tables(tables) if tables else _EMBED_PAIR_SCHEMA.empty_table()
         )
 
+    from .dedup import blocks_for_keys
+
     cand = (
         ds.map_batches(bucket, batch_format="pyarrow")
+        # key cardinality: nbands bands x 2^nplanes signatures (capped)
+        .repartition(min(64, blocks_for_keys(nbands << nplanes)))
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )

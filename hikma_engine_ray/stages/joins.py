@@ -16,6 +16,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .dedup import blocks_for_keys
+
 
 def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner"):
     import ray
@@ -101,12 +103,16 @@ def bucketed_join(left, right, on: list[str], nbuckets: int = 32,
         out = ls.merge(rs, on=on, how=how)
         # pinned schema: an empty merge must not degrade string columns
         # to null type (it would poison a downstream join's union schema)
+        # strip the pandas schema metadata from_pandas attaches: it makes
+        # the schema unhashable, defeating Ray's concat schema-dedup fast
+        # path (transform_pyarrow unify_schemas hashes schemas into a set)
         return pa.Table.from_pandas(
             out[[n for n, _ in union_fields]], schema=out_schema,
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
-    return lt.union(rt).groupby("__jbucket").map_groups(merge, batch_format="pyarrow")
+    return (lt.union(rt).repartition(blocks_for_keys(nbuckets))
+            .groupby("__jbucket").map_groups(merge, batch_format="pyarrow"))
 
 
 def asof_join(left, right, on: str, by: list[str], *,
@@ -219,9 +225,10 @@ def asof_join(left, right, on: str, by: list[str], *,
         return pa.Table.from_pandas(
             out[[n for n, _ in out_fields]], schema=out_schema,
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
-    return lt.union(rt).groupby("__jbucket").map_groups(merge, batch_format="pyarrow")
+    return (lt.union(rt).repartition(blocks_for_keys(nbuckets))
+            .groupby("__jbucket").map_groups(merge, batch_format="pyarrow"))
 
 
 def range_join(left, right, by: list[str], *, left_on: str, right_on: str,
@@ -309,6 +316,7 @@ def range_join(left, right, by: list[str], *, left_on: str, right_on: str,
         return pa.Table.from_pandas(
             out[[n for n, _ in out_fields]], schema=out_schema,
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
-    return lt.union(rt).groupby("__jbucket").map_groups(merge, batch_format="pyarrow")
+    return (lt.union(rt).repartition(blocks_for_keys(nbuckets))
+            .groupby("__jbucket").map_groups(merge, batch_format="pyarrow"))

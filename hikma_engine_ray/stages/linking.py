@@ -347,7 +347,7 @@ def link_bucket(g: pd.DataFrame) -> pa.Table:
     df["col"] = df["col"].astype("int32")
     out = pa.Table.from_pandas(
         df[LINKED_SCHEMA.names], schema=LINKED_SCHEMA, preserve_index=False
-    )
+    ).replace_schema_metadata(None)  # pandas metadata → unhashable schema
     return _dedup_bucket_triples(out)
 
 
@@ -599,7 +599,7 @@ def filter_defs_for_reex(base_set: set[str]):
         return pa.Table.from_pandas(
             out[_REEX_SHUFFLE_SCHEMA.names], schema=_REEX_SHUFFLE_SCHEMA,
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     return fn
 
@@ -765,6 +765,10 @@ def synthesize_reexports(tagged_ds, base_set: set[str]):
     defs_ds = tagged_ds.map_batches(_def_filter, batch_format="pyarrow")
     return (
         reex_ds.union(defs_ds)
+        # metadata-sized rows grouped by a low-cardinality key: a handful
+        # of reduce partitions is plenty, and keeping reducers well under
+        # the repo count avoids empty zero-schema reduce blocks
+        .repartition(4)
         .groupby("repo")
         .map_groups(reex_repo_group, batch_format="pandas")
     )

@@ -19,6 +19,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .dedup import blocks_for_keys
+
 
 def _tag_ids(col: str, tag: str, nbuckets: int):
     def fn(t: pa.Table) -> pa.Table:
@@ -59,7 +61,8 @@ def orphan_edge_objs(nodes_ds, triples_ds, nbuckets: int = 32):
     ).union(
         internal_objs.map_batches(_tag_ids("obj", "e", nbuckets), batch_format="pyarrow")
     )
-    return tagged.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+    return (tagged.repartition(blocks_for_keys(nbuckets))
+            .groupby("__bucket").map_groups(per_bucket, batch_format="pandas"))
 
 
 def duplicate_node_ids(nodes_ds, nbuckets: int = 32):

@@ -84,7 +84,7 @@ def sessionize(ds, key: str, ts_col: str, timeout_sec: int, nbuckets: int = 16):
 
     Output: key, session_start (µs), session_end (µs), n_events.
     """
-    from .dedup import BUCKET_COL, add_bucket_column
+    from .dedup import BUCKET_COL, add_bucket_column, blocks_for_keys
 
     gap = timeout_sec * 1_000_000
 
@@ -118,6 +118,7 @@ def sessionize(ds, key: str, ts_col: str, timeout_sec: int, nbuckets: int = 16):
     return (
         ds.map_batches(to_us, batch_format="pyarrow")
         .map_batches(add_bucket_column([key], nbuckets), batch_format="pyarrow")
+        .repartition(blocks_for_keys(nbuckets))
         .groupby(BUCKET_COL)
         .map_groups(
             lambda g: per_bucket(g.drop(columns=[BUCKET_COL])),
