@@ -133,6 +133,36 @@ Call extraction (ast-parser.ts:374-396 — same-file, by name):
       calls (`a.b.c(` emits nothing); non-namespace locals keep the
       dotted-call exclusion of C2.
 
+JSX (SPEC P8 — `.tsx`/`.jsx` files only; the reference passes the
+file PATH to ts.createSourceFile, enhanced-ast-parser.ts:53-58, so
+ScriptKind is inferred from the extension and JSX parses; its visitor
+only reacts to CallExpression-and-friends, so JSX syntax itself emits
+nothing — calls count only inside expression containers):
+  P8. In the P0 lexer a `<` at EXPRESSION POSITION followed by an
+      ASCII letter, `_`, `$` or `>` (fragment) opens a JSX element.
+      Expression position: the significant scan text so far (masked
+      chars are blank; a completed JSX element reads as a value)
+      rstripped either is empty, ends with one of `( [ { , ; = ? : &
+      | !`, ends with `=>`, or ends with a word in {return case do
+      else typeof await yield in of}. Otherwise `<` is an operator /
+      generic and JSX lexing does not engage (TS itself requires
+      `<T,>` for generic arrows in .tsx — bare `<T>(…)=>` at
+      expression position is out of spec).
+      Inside JSX, ALL of tag syntax (names, attribute names, `<` `>`
+      `</name>` `/>`), quoted attribute values (no backslash escapes,
+      HTML-style; may span lines) and JSX text are masked in BOTH
+      views. `{…}` expression containers re-enter full JS lexing
+      (comments, strings, templates, nested JSX elements, real JS
+      braces tracked so the container's own closing brace is found at
+      depth 0); the container's OWN braces are masked in both views
+      (JSX punctuation, not block braces) and the container opens at
+      expression position. `{/* … */}` is therefore an ordinary
+      (masked) comment. Elements nest; closing a tag returns to the
+      enclosing text / container / statement. Unterminated JSX masks
+      to EOF. Line structure is preserved throughout. Files without
+      the extension are lexed exactly as before (P0), so `<` stays an
+      operator there.
+
 Cross-file linking (the latent J4 stage — enhanced-ast-parser.ts:588-604
 leaves keys '{fileId}#{name}#unknown'; we resolve them):
   L1. definitions: per (repo, module_path, symbol) exported from the
@@ -252,89 +282,208 @@ def _norm_jsdoc(raw: str) -> str:
     return "\n".join(out).strip()
 
 
-def preprocess(content: str) -> tuple[list[str], list[str], dict[int, tuple[int, str]]]:
-    """P0 lexer (slow, obviously-correct per-char state machine).
+_EXPR_KEYWORDS = frozenset("return case do else typeof await yield in of".split())
+_EXPR_TAIL_RE = re.compile(r"([A-Za-z_$][\w$]*)$")
+
+
+def _expr_pos(sig: str) -> bool:
+    """SPEC P8: would a `<` here be at expression position? ``sig`` is
+    the significant scan text emitted so far (tail suffices; masked
+    chars are spaces, a finished JSX element appears as `X`)."""
+    t = sig.rstrip()
+    if not t:
+        return True
+    if t.endswith("=>"):
+        return True
+    if t[-1] in "([{,;=?:&|!":
+        return True
+    m = _EXPR_TAIL_RE.search(t)
+    return bool(m) and m.group(1) in _EXPR_KEYWORDS
+
+
+def preprocess(
+    content: str, jsx: bool = False
+) -> tuple[list[str], list[str], dict[int, tuple[int, str]]]:
+    """P0/P8 lexer (slow, obviously-correct per-char state machine).
 
     Returns (scan_lines, brace_lines, jsdocs): comments and
     template-literal contents masked in both views; quoted-string
     contents masked only in the brace view. Line structure is preserved
     exactly. ``jsdocs`` maps a JSDoc block's 0-based end line to
-    (start line, normalized text) — SPEC P7."""
-    CODE, SQ, DQ, TPL, LINEC, BLOCKC = range(6)
+    (start line, normalized text) — SPEC P7. With ``jsx`` (P8,
+    .tsx/.jsx files) JSX tags/text/attribute-strings are masked in
+    BOTH views and `{…}` expression containers re-enter JS lexing."""
+    CODE, SQ, DQ, TPL, LINEC, BLOCKC, JSXTAG, JSXTEXT = range(8)
     state = CODE
     block_start = -1
     jsdoc_spans: list[tuple[int, int]] = []
     scan: list[str] = []
     brace: list[str] = []
+    # P8 state: stack frames are ["elem"] (an open element whose text we
+    # are in) or ["expr", ret_state, js_brace_depth] (an expression
+    # container). ``sig`` mirrors the scan view's significant tail for
+    # the expression-position test.
+    jstack: list[list] = []
+    sig = ""
+
+    def _emit(s: str, b: str) -> None:
+        nonlocal sig
+        scan.append(s)
+        brace.append(b)
+        sig += s
+        if len(sig) > 160:
+            sig = sig[-80:]
+
+    def _elem_done() -> int:
+        """A JSX element just closed: resume enclosing context."""
+        nonlocal sig
+        if jstack and jstack[-1][0] == "elem":
+            return JSXTEXT
+        sig += " X"  # the element reads as a value in CODE
+        return CODE
+
     i, n = 0, len(content)
     while i < n:
         ch = content[i]
         if ch == "\n":
             if state in (SQ, DQ, LINEC):  # strings/line comments end at EOL
                 state = CODE
-            scan.append("\n")
-            brace.append("\n")
+            _emit("\n", "\n")
             i += 1
             continue
         if state == CODE:
             nxt = content[i + 1] if i + 1 < n else ""
             if ch == "/" and nxt == "/":
                 state = LINEC
-                scan.append("  ")
-                brace.append("  ")
+                _emit("  ", "  ")
                 i += 2
                 continue
             if ch == "/" and nxt == "*":
                 state = BLOCKC
                 block_start = i
-                scan.append("  ")
-                brace.append("  ")
+                _emit("  ", "  ")
                 i += 2
                 continue
+            if (
+                jsx
+                and ch == "<"
+                and (nxt in ">_$" or "a" <= nxt <= "z" or "A" <= nxt <= "Z")
+                and _expr_pos(sig)
+            ):
+                state = JSXTAG
+                _emit(" ", " ")
+                i += 1
+                continue
+            if jsx and jstack and jstack[-1][0] == "expr":
+                if ch == "{":
+                    jstack[-1][2] += 1
+                elif ch == "}":
+                    if jstack[-1][2] == 0:  # container closes
+                        frame = jstack.pop()
+                        state = frame[1]
+                        _emit(" ", " ")
+                        i += 1
+                        continue
+                    jstack[-1][2] -= 1
             if ch == "'":
                 state = SQ
             elif ch == '"':
                 state = DQ
             elif ch == "`":
                 state = TPL
-            scan.append(ch)
-            brace.append(ch)
+            _emit(ch, ch)
+            i += 1
+            continue
+        if state == JSXTAG:
+            nxt = content[i + 1] if i + 1 < n else ""
+            if ch in "'\"":  # attribute value: mask to the matching quote
+                _emit(" ", " ")
+                i += 1
+                while i < n and content[i] != ch:
+                    _emit("\n" if content[i] == "\n" else " ",
+                          "\n" if content[i] == "\n" else " ")
+                    i += 1
+                if i < n:
+                    _emit(" ", " ")
+                    i += 1
+                continue
+            if ch == "{":
+                jstack.append(["expr", JSXTAG, 0])
+                state = CODE
+                _emit(" ", " ")
+                sig += " ("  # container opens at expression position
+                i += 1
+                continue
+            if ch == "/" and nxt == ">":  # self-closing
+                _emit("  ", "  ")
+                i += 2
+                state = _elem_done()
+                continue
+            if ch == ">":
+                jstack.append(["elem"])
+                state = JSXTEXT
+                _emit(" ", " ")
+                i += 1
+                continue
+            _emit(" ", " ")
+            i += 1
+            continue
+        if state == JSXTEXT:
+            nxt = content[i + 1] if i + 1 < n else ""
+            if ch == "{":
+                jstack.append(["expr", JSXTEXT, 0])
+                state = CODE
+                _emit(" ", " ")
+                sig += " ("
+                i += 1
+                continue
+            if ch == "<" and nxt == "/":  # closing tag: mask `</name>`
+                while i < n and content[i] != ">":
+                    _emit("\n" if content[i] == "\n" else " ",
+                          "\n" if content[i] == "\n" else " ")
+                    i += 1
+                if i < n:
+                    _emit(" ", " ")
+                    i += 1
+                if jstack and jstack[-1][0] == "elem":
+                    jstack.pop()
+                state = _elem_done()
+                continue
+            if ch == "<":
+                state = JSXTAG
+                _emit(" ", " ")
+                i += 1
+                continue
+            _emit(" ", " ")
             i += 1
             continue
         if state in (SQ, DQ):
             quote = "'" if state == SQ else '"'
             if ch == "\\" and i + 1 < n and content[i + 1] != "\n":
-                scan.append(content[i : i + 2])
-                brace.append("  ")
+                _emit(content[i : i + 2], "  ")
                 i += 2
                 continue
             if ch == quote:
                 state = CODE
-                scan.append(ch)
-                brace.append(ch)
+                _emit(ch, ch)
             else:
-                scan.append(ch)
-                brace.append(" ")
+                _emit(ch, " ")
             i += 1
             continue
         if state == TPL:
             if ch == "\\" and i + 1 < n and content[i + 1] != "\n":
-                scan.append("  ")
-                brace.append("  ")
+                _emit("  ", "  ")
                 i += 2
                 continue
             if ch == "`":
                 state = CODE
-                scan.append(ch)
-                brace.append(ch)
+                _emit(ch, ch)
             else:
-                scan.append(" ")
-                brace.append(" ")
+                _emit(" ", " ")
             i += 1
             continue
         if state == LINEC:
-            scan.append(" ")
-            brace.append(" ")
+            _emit(" ", " ")
             i += 1
             continue
         # BLOCKC
@@ -342,12 +491,10 @@ def preprocess(content: str) -> tuple[list[str], list[str], dict[int, tuple[int,
             state = CODE
             if content.startswith("/**", block_start) and i + 2 - block_start > 4:
                 jsdoc_spans.append((block_start, i + 2))
-            scan.append("  ")
-            brace.append("  ")
+            _emit("  ", "  ")
             i += 2
             continue
-        scan.append(" ")
-        brace.append(" ")
+        _emit(" ", " ")
         i += 1
     jsdocs: dict[int, tuple[int, str]] = {}
     for a, b in jsdoc_spans:
@@ -392,7 +539,9 @@ def parse_file(repo: str, path: str, commit: str, content: str):
     dicts with keys repo/module/symbol/kind/src_id/src_kind/src_file/line/col.
     """
     fid = file_id(repo, commit, path)
-    lines, brace_lines, jsdocs = preprocess(content)
+    lines, brace_lines, jsdocs = preprocess(
+        content, jsx=path.endswith((".tsx", ".jsx"))  # SPEC P8
+    )
     test_file = is_test_path(path)
     entities: list[Entity] = []
     mentions: list[dict] = []

@@ -159,6 +159,62 @@ def _module_content(j: int, rng: random.Random, pkg: int, n_mods: int) -> str:
     return "\n".join(parts)
 
 
+def _component_content(j: int, rng: random.Random, pkg: int) -> str:
+    """A ``.tsx`` component module (SPEC P8): calls count only inside
+    JSX expression containers; tags, text and attribute strings are
+    inert. View_{j} calls f_{j}_0 cross-file (linking) and fmt_{j}
+    same-file (CALLS); pseudo_call_{j} in JSX text and the <Card_{j}>
+    tag must extract nothing."""
+    parts = [f"import {{ f_{j}_0 }} from './mod_{j}';", ""]
+    parts.append(f"function fmt_{j}(x) {{")
+    parts.append(f"  return x * {(j % 5) + 2};")
+    parts.append("}")
+    parts.append("")
+    parts.append(f"export function View_{j}(props) {{")
+    parts.append(f"  const n = f_{j}_0(props.a, {j % 7});")
+    parts.append("  return (")
+    parts.append(f'    <div className="view-{j}" data-k={{n}}>')
+    parts.append(f"      <span>pseudo_call_{j}(n) never counts</span>")
+    parts.append(f"      {{fmt_{j}(n)}}")
+    if rng.random() < 0.5:  # attribute containers + inline arrow
+        parts.append(
+            f"      <Card_{j} value={{f_{j}_0(n, 1)}} on={{() => fmt_{j}(n)}} />"
+        )
+    parts.append("      {props.items.map((x) => (")
+    parts.append(f"        <li key={{x}}>{{fmt_{j}(x)}}</li>")
+    parts.append("      ))}")
+    if rng.random() < 0.5:  # comparison + nested element in a container
+        parts.append(f"      {{n > {j % 3} && <em>{{props.label}}</em>}}")
+    parts.append(f"      {{/* note: masked_call_{j}(1) */}}")
+    parts.append("    </div>")
+    parts.append("  );")
+    parts.append("}")
+    parts.append("")
+    parts.append(f"const Card_{j} = (props) => {{")
+    parts.append(f'  return <b title="a > b">{{props.value}}</b>;')
+    parts.append("};")
+    parts.append("")
+    parts.append(f"export {{ Card_{j} }};")
+    parts.append("")
+    return "\n".join(parts)
+
+
+def _jsx_app_content(r: int) -> str:
+    """A ``.jsx`` file (javascript branch of SPEC P8)."""
+    return "\n".join(
+        [
+            f"function render_{r}(x) {{",
+            f"  return <p data-x={{x}}>app {r}</p>;",
+            "}",
+            "",
+            f"const app_{r} = (x) => render_{r}(x);",
+            "",
+            f"export {{ render_{r}, app_{r} }};",
+            "",
+        ]
+    )
+
+
 def _test_content(j: int, pkg: int) -> str:
     return "\n".join(
         [
@@ -220,6 +276,14 @@ def generate_corpus(n_files: int = 200, seed: int = 42, n_repos: int | None = No
                 # per version and the max-commit definition-dedup rule.
                 later = shas[2] if j % 3 != 2 else shas[1]
                 add(repo, path, later, "typescript", content + _v2_suffix(j))
+            if rng.random() < 0.15:  # companion .tsx component (SPEC P8)
+                add(
+                    repo,
+                    f"src/pkg{pkg}/View_{j}.tsx",
+                    shas[j % 3],
+                    "typescript",
+                    _component_content(j, rng, pkg),
+                )
             if j % 4 == 0:
                 add(
                     repo,
@@ -236,6 +300,7 @@ def generate_corpus(n_files: int = 200, seed: int = 42, n_repos: int | None = No
             lines += [f"export * from './mod_{j}';" for j in mods_in_pkg]
             add(repo, f"src/pkg{p}/index.ts", shas[0], "typescript",
                 "\n".join(lines) + "\n")
+        add(repo, f"src/app_{r}.jsx", shas[0], "javascript", _jsx_app_content(r))
         add(repo, "package.json", shas[0], "unknown", '{\n  "name": "%s"\n}\n' % repo)
         add(
             repo,
@@ -264,6 +329,14 @@ def generate_corpus(n_files: int = 200, seed: int = 42, n_repos: int | None = No
         "function café(x) {\n  return x;\n}\n",
     )
     add(repo0, "src/pkg0/junk.ts", shas0[0], "typescript", "}}{{ ((( \x00\x01 not code ]]]\n")
+    add(  # hostile JSX: comparisons stay operators; unterminated JSX masks to EOF
+        repo0,
+        "src/pkg0/hostile.tsx",
+        shas0[0],
+        "typescript",
+        "function gen(a, b) {\n  return a < b && b > gen(a, 1);\n}\n"
+        "const bad = () => <div unterminated\n",
+    )
 
     return pa.Table.from_arrays(
         [

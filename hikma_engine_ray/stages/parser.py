@@ -170,6 +170,180 @@ def _preprocess(content: str) -> tuple[list[str], list[str], dict[int, tuple[int
     return scan_text.split("\n"), "".join(brace).split("\n"), jsdocs
 
 
+_JSX_CODE = re.compile(r"//|/\*|['\"`]|[<{}]")
+_JSX_TAG = re.compile(r"['\"{>]|/>")
+_JSX_TEXT = re.compile(r"[{<]")
+_JSX_NAMEISH = re.compile(r"[A-Za-z_$>]")
+_JSX_EXPR_TAIL = re.compile(r"([A-Za-z_$][\w$]*)\s*$")
+_JSX_EXPR_KW = frozenset("return case do else typeof await yield in of".split())
+
+
+def _jsx_expr_pos(sig: str) -> bool:
+    """SPEC P8: is a `<` at expression position given the significant
+    emitted text so far? (Engine twin of golden's ``_expr_pos``.)"""
+    t = sig.rstrip()
+    if not t:
+        return True
+    if t.endswith("=>") or t[-1] in "([{,;=?:&|!":
+        return True
+    m = _JSX_EXPR_TAIL.search(t)
+    return bool(m) and m.group(1) in _JSX_EXPR_KW
+
+
+def _preprocess_jsx(content: str) -> tuple[list[str], list[str], dict[int, tuple[int, str]]]:
+    """SPEC P0+P8 lexer for .tsx/.jsx (engine variant: span jumps
+    between interesting tokens per state, masking whole spans at once —
+    same output as golden's per-char machine, property-tested against
+    it). JSX tag syntax, attribute strings and text are masked in BOTH
+    views; `{…}` containers re-enter JS lexing (real JS braces tracked
+    per container so its closing brace is found at depth 0); container
+    braces themselves are masked in both views."""
+    scan = list(content)
+    str_spans: list[tuple[int, int]] = []  # masked in brace view only
+    jsdoc_spans: list[tuple[int, int]] = []
+    sig_parts: list[str] = []  # significant tail for expression position
+    jstack: list[list] = []  # ["elem"] | ["expr", ret_state, js_depth]
+    pos, n = 0, len(content)
+    state = "code"
+
+    def _elem_done() -> str:
+        if jstack and jstack[-1][0] == "elem":
+            return "text"
+        sig_parts.append(" X")  # a finished element reads as a value
+        return "code"
+
+    while pos < n:
+        if state == "code":
+            m = _JSX_CODE.search(content, pos)
+            if m is None:
+                break
+            tok, start = m.group(0), m.start()
+            sig_parts.append(content[pos:start])
+            if len(sig_parts) > 24:
+                del sig_parts[:-12]
+            if tok == "//":
+                end = content.find("\n", start)
+                end = n if end < 0 else end
+                _mask(scan, start, end)
+                sig_parts.append(" ")
+                pos = end + 1
+            elif tok == "/*":
+                close = content.find("*/", start + 2)
+                end = n if close < 0 else close + 2
+                if content.startswith("/**", start) and end - start > 4:
+                    jsdoc_spans.append((start, end))
+                _mask(scan, start, end)
+                sig_parts.append(" ")
+                pos = end
+            elif tok == "`":
+                b = _TPL_BODY.match(content, start + 1)
+                end = b.end() if b else n
+                _mask(scan, start + 1, max(start + 1, end - 1))
+                sig_parts.append("``")
+                pos = end
+            elif tok in ("'", '"'):
+                b = (_SQ_BODY if tok == "'" else _DQ_BODY).match(content, start + 1)
+                if b:
+                    str_spans.append((start + 1, b.end() - 1))
+                    sig_parts.append(content[start : b.end()])
+                    pos = b.end()
+                else:
+                    eol = content.find("\n", start)
+                    eol = n if eol < 0 else eol
+                    str_spans.append((start + 1, eol))
+                    sig_parts.append(content[start:eol])
+                    pos = eol + 1
+            elif tok == "<":
+                nxt = content[start + 1 : start + 2]
+                if nxt and _JSX_NAMEISH.match(nxt) and _jsx_expr_pos("".join(sig_parts)):
+                    _mask(scan, start, start + 1)
+                    state = "tag"
+                else:
+                    sig_parts.append("<")
+                pos = start + 1
+            elif tok == "{":
+                if jstack and jstack[-1][0] == "expr":
+                    jstack[-1][2] += 1
+                sig_parts.append("{")
+                pos = start + 1
+            else:  # "}"
+                if jstack and jstack[-1][0] == "expr" and jstack[-1][2] == 0:
+                    fr = jstack.pop()
+                    state = fr[1]
+                    _mask(scan, start, start + 1)
+                else:
+                    if jstack and jstack[-1][0] == "expr":
+                        jstack[-1][2] -= 1
+                    sig_parts.append("}")
+                pos = start + 1
+        elif state == "tag":
+            m = _JSX_TAG.search(content, pos)
+            if m is None:
+                _mask(scan, pos, n)
+                break
+            tok, start = m.group(0), m.start()
+            _mask(scan, pos, start)
+            if tok in ("'", '"'):  # attribute value: no escapes, may span lines
+                close = content.find(tok, start + 1)
+                end = n if close < 0 else close + 1
+                _mask(scan, start, end)
+                pos = end
+            elif tok == "{":
+                jstack.append(["expr", "tag", 0])
+                _mask(scan, start, start + 1)
+                sig_parts.append(" (")
+                state = "code"
+                pos = start + 1
+            elif tok == "/>":
+                _mask(scan, start, start + 2)
+                state = _elem_done()
+                pos = start + 2
+            else:  # ">" — element body opens
+                jstack.append(["elem"])
+                _mask(scan, start, start + 1)
+                state = "text"
+                pos = start + 1
+        else:  # "text"
+            m = _JSX_TEXT.search(content, pos)
+            if m is None:
+                _mask(scan, pos, n)
+                break
+            tok, start = m.group(0), m.start()
+            _mask(scan, pos, start)
+            if tok == "{":
+                jstack.append(["expr", "text", 0])
+                _mask(scan, start, start + 1)
+                sig_parts.append(" (")
+                state = "code"
+                pos = start + 1
+            elif content.startswith("</", start):  # closing tag
+                close = content.find(">", start)
+                end = n if close < 0 else close + 1
+                _mask(scan, start, end)
+                if jstack and jstack[-1][0] == "elem":
+                    jstack.pop()
+                state = _elem_done()
+                pos = end
+            else:  # child element opens
+                _mask(scan, start, start + 1)
+                state = "tag"
+                pos = start + 1
+    scan_text = "".join(scan)
+    brace = list(scan_text)
+    for a, b_ in str_spans:
+        _mask(brace, a, b_)
+    jsdocs: dict[int, tuple[int, str]] = {}
+    if jsdoc_spans:
+        import bisect
+
+        nl = [m.start() for m in re.finditer("\n", content)]
+        for a, b_ in jsdoc_spans:
+            start_line = bisect.bisect_right(nl, a - 1)
+            end_line = bisect.bisect_right(nl, b_ - 1)
+            jsdocs[end_line] = (start_line, _norm_jsdoc(content[a:b_]))
+    return scan_text.split("\n"), "".join(brace).split("\n"), jsdocs
+
+
 def _try_treesitter():
     """tree-sitter grammars are not shipped in this container; the regex
     scanner below is the real implementation. If tree_sitter + grammars
@@ -424,8 +598,12 @@ class ParseFiles:
         content: str = cols["content"][i]
         is_test = bool(cols["is_test"][i])
         # SPEC P0: scan view for regexes/signatures/calls, brace view for
-        # nesting (comments, templates, string braces never count)
-        lines, brace_lines, jsdocs = _preprocess(content)
+        # nesting (comments, templates, string braces never count).
+        # SPEC P8: .tsx/.jsx paths go through the JSX-aware lexer.
+        if path.endswith((".tsx", ".jsx")):
+            lines, brace_lines, jsdocs = _preprocess_jsx(content)
+        else:
+            lines, brace_lines, jsdocs = _preprocess(content)
         nlines = len(lines)
         bidx = _BraceIndex(brace_lines)
 

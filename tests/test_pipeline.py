@@ -220,3 +220,25 @@ def test_barrel_imports_resolve_in_built_graph(built_graph):
         if r["module"].rstrip("/").endswith(tuple(f"pkg{p}" for p in range(4)))
     ]
     assert bad == []
+
+
+def test_jsx_components_in_built_graph(built_graph):
+    """P8 end-to-end: .tsx components flow through the full pipeline —
+    View_* Function nodes exist, their cross-file f_*_0 calls resolve,
+    and nothing from JSX tag/text ever becomes a node or call."""
+    nodes = built_graph["nodes"].take_all()
+    views = [r for r in nodes if r["node_type"] == "Function"
+             and r["name"].startswith("View_")]
+    assert len(views) > 0
+    names = {r["name"] for r in nodes}
+    assert not {n for n in names if n.startswith(("pseudo_call", "masked_call"))}
+    view_ids = {r["node_id"] for r in views}
+    by_id = {r["node_id"]: r["name"] for r in nodes}
+    callees = {
+        by_id.get(t["obj"], "")
+        for t in built_graph["triples"].take_all()
+        if t["pred"] == "CALLS" and t["subj"] in view_ids
+    }
+    # same-file fmt_* always called; cross-file f_*_0 resolves via linking
+    assert any(c.startswith("fmt_") for c in callees)
+    assert any(c.startswith("f_") and "_0" in c for c in callees)

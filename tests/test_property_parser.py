@@ -144,3 +144,86 @@ gold_docs_kinds = frozenset(
     ["Function", "ArrowFunction", "Method", "TestCase", "Class",
      "Interface", "Variable"]
 )
+
+
+@st.composite
+def tsx_source_file(draw):
+    """Randomized .tsx component files (SPEC P8): JSX tags/text/attr
+    strings must be inert, expression containers live, `<` comparisons
+    untouched, nesting arbitrary."""
+    lines = []
+    fnames = draw(st.lists(name, min_size=1, max_size=3, unique=True))
+    for fn in fnames:
+        lines.append(f"function {fn}(x) {{")
+        lines.append("  return x + 1;")
+        lines.append("}")
+    comp = draw(name)
+    callee = draw(st.sampled_from(fnames))
+    lines.append(f"export function C{comp}(props) {{")
+    if draw(st.booleans()):  # a `<` comparison before any JSX
+        lines.append(f"  const ok = props.a < props.b && {callee}(props.a);")
+    lines.append("  return (")
+    attr = draw(st.sampled_from(
+        ['className="x"', 'title="a > b < c"', f"data-k={{{callee}(1)}}",
+         f"on={{() => {callee}(2)}}", ""]))
+    tag = draw(st.sampled_from(["div", "Widget", "ns_tag"]))
+    lines.append(f"    <{tag} {attr}>")
+    body = draw(st.sampled_from([
+        f"      fake_{comp}(9) plain text",
+        f"      {{{callee}(3)}}",
+        f"      {{props.xs.map((v) => <li key={{v}}>{{{callee}(v)}}</li>)}}",
+        f"      {{props.n > 0 && <em>{{{callee}(4)}}</em>}}",
+        f"      {{/* comment_call(5) */}}",
+        f"      <Inner a={{{{k: 1}}}} />",
+        "      <>{props.t}</>",
+    ]))
+    lines.append(body)
+    lines.append(f"    </{tag}>")
+    lines.append("  );")
+    lines.append("}")
+    if draw(st.booleans()):  # self-closing component after the return
+        lines.append(f"const tiny{comp} = () => <hr data-q={{{callee}(6)}} />;")
+    if draw(st.booleans()):  # hostile tail
+        lines.append(draw(st.sampled_from(
+            ["const bad = () => <div unterminated",
+             "}}{{",
+             f"const cmp = (a, b) => a < b;",
+             "/* unterminated block"])))
+    return "\n".join(lines) + "\n"
+
+
+@settings(max_examples=60, deadline=None)
+@given(tsx_source_file())
+def test_engine_matches_golden_tsx(src):
+    """SPEC P8: engine ≡ golden on randomized JSX files."""
+    repo, path, commit = "p/q", "src/gen.tsx", "c1"
+    gold_ents, gold_triples, gold_mentions, _, _ = parse_file(repo, path, commit, src)
+    gold_spo = {(t[0], t[1], t[2]) for t in gold_triples}
+    gold_m = {
+        (m["module"], m["symbol"], m["kind"], m["src_id"])
+        for m in gold_mentions
+        if m["kind"] != "import"
+    }
+    t = pa.Table.from_pylist(
+        [{"repo": repo, "path": path, "commit": commit, "lang": "typescript",
+          "content": src}],
+        schema=CORPUS,
+    )
+    out = _PARSER(file_meta_batch(t)).to_pylist()
+    from hikma_engine_ray.ids import repo_id
+
+    rid = repo_id(repo)
+    eng_spo = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in out
+        if r["kind"] == "triple"
+        and r["pred"] not in {"MODIFIED_IN", "HAS_COMMIT"}
+        and not (r["pred"] == "CONTAINS" and r["subj"] == rid)
+    }
+    eng_m = {
+        (r["module"], r["symbol"], r["mkind"], r["src_id"])
+        for r in out
+        if r["kind"] == "mention" and r["mkind"] != "import"
+    }
+    assert eng_spo == gold_spo, (eng_spo ^ gold_spo, src)
+    assert eng_m == gold_m, (eng_m ^ gold_m, src)
