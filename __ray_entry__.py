@@ -776,6 +776,46 @@ def _q_dup_clusters(sf_dir: str):
     )
 
 
+_JACCARD_CACHE: dict[str, Any] = {}
+
+
+def _q_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram-Jaccard similarity self-join (prefix filtering,
+    stages/setsim.py) — unlike minhash_pairs this is deterministic and
+    complete, so it carries a brute-force DuckDB oracle. k=5 shingles /
+    t=0.8 over the documents table. Materialized+memoized: the cluster
+    query consumes the same pairs."""
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.stages.setsim import jaccard_self_join
+
+    got = _JACCARD_CACHE.get(sf_dir)
+    if got is None:
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        pairs = jaccard_self_join(ds, threshold=0.8, k=5)
+        got = pairs.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("jaccard"), "jaccard",
+                pc.round(t["jaccard"], 6),
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        _JACCARD_CACHE[sf_dir] = got
+    return got.sort(["a", "b"])
+
+
+def _q_jaccard_clusters(sf_dir: str):
+    """Connected components over the EXACT jaccard pairs — fully
+    SQL-checkable end-to-end (pairs via the brute-force join, closure
+    via a recursive CTE), unlike dup_clusters whose LSH-derived input
+    has no SQL twin."""
+    from hikma_engine_ray.stages.components import dedup_clusters
+
+    return dedup_clusters(
+        _q_jaccard_pairs(sf_dir).drop_columns(["jaccard"])
+    ).sort(["node", "root"])
+
+
 def _q_simhash_pairs(sf_dir: str):
     from hikma_engine_ray.stages.dedup_suite import simhash_candidates
 
@@ -883,6 +923,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "minhash_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "jaccard_clusters": _q_jaccard_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "embed_neardup": _q_embed_neardup,
         # multimodal plumbing
@@ -1065,6 +1107,79 @@ def oracle_sql() -> dict[str, str]:
                    WHEN es = greatest(en, de, es, fr) THEN 'es'
                    ELSE 'fr' END AS lang_pred
             FROM s
+        """,
+        # brute-force twin of the prefix-filter join: explode distinct
+        # 5-token shingles, count pair intersections via a token join,
+        # derive jaccard from |A|+|B|-|A∩B| (empty-text docs — none in
+        # these tables, and skipped by both sides — have no rows here)
+        "jaccard_pairs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')), '\S+') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct([array_to_string(toks[i:i+4], ' ')
+                                         for i in range(1, len(toks) - 3)])
+                END AS sh
+              FROM t
+            ), e AS (
+              SELECT doc_id, unnest(sh) AS g FROM s
+            ), sz AS (
+              SELECT doc_id, len(sh) AS n FROM s
+            ), inter AS (
+              SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS i
+              FROM e e1 JOIN e e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b, round(i / (na.n + nb.n - i) :: DOUBLE, 6) AS jaccard
+            FROM inter
+            JOIN sz na ON na.doc_id = a
+            JOIN sz nb ON nb.doc_id = b
+            WHERE i / (na.n + nb.n - i) :: DOUBLE >= 0.8
+            ORDER BY a, b
+        """,
+        # transitive closure over the exact pairs; root = min reachable
+        # id; roots/singletons excluded (dedup_clusters contract)
+        "jaccard_clusters": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')), '\S+') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct([array_to_string(toks[i:i+4], ' ')
+                                         for i in range(1, len(toks) - 3)])
+                END AS sh
+              FROM t
+            ), e0 AS (
+              SELECT doc_id, unnest(sh) AS g FROM s
+            ), sz AS (
+              SELECT doc_id, len(sh) AS n FROM s
+            ), inter AS (
+              SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS i
+              FROM e0 e1 JOIN e0 e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT a, b FROM inter
+              JOIN sz na ON na.doc_id = a
+              JOIN sz nb ON nb.doc_id = b
+              WHERE i / (na.n + nb.n - i) :: DOUBLE >= 0.8
+            ), edges AS (
+              SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs
+            ), reach AS (
+              SELECT x, y FROM edges
+              UNION
+              SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+            )
+            SELECT x AS node, least(min(y), x) AS root
+            FROM reach GROUP BY x
+            HAVING least(min(y), x) <> x
+            ORDER BY node
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding :: DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

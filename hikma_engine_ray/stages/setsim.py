@@ -1,0 +1,155 @@
+"""Exact n-gram-Jaccard set-similarity SELF-JOIN via prefix filtering
+(public algorithm: Bayardo, Ma, Srikant — "Scaling Up All Pairs
+Similarity Search", WWW 2007). Unlike the minhash/simhash LSH family
+in ``dedup_suite.py`` (probabilistic candidate generation), this join
+is EXACT: every pair with shingle-Jaccard >= threshold surfaces.
+
+The reference engine has no similarity join at all — this belongs to
+the training-data-pipeline suite the Ray port adds as first-class
+(same family as dedup_suite.py; shares its shingle kernel so the
+"similar" relation is identical across exact and approximate paths).
+
+Scale shape (one shuffle + the verify join; no all-pairs anywhere):
+
+  docs --map_batches--> prefix rows (g = u64 shingle hash, doc_id, n)
+       --hash-bucket groupby(g)--> candidate pairs, size-ratio filtered
+       --dedup_exact(a, b)--> distinct candidates
+       --verify_jaccard_joined--> exact (a, b, jaccard >= t)
+
+Prefix-filter lemma (the pruning guarantee): order the shingle
+universe by a fixed total order (here: a 64-bit stable hash). If
+J(A, B) >= t then |A ∩ B| >= ceil(t·|A|), so B must contain one of
+the first |A| - ceil(t·|A|) + 1 elements of A in that order — and
+symmetrically — hence the two PREFIXES intersect and the pair lands
+in some shingle group. Every non-surfaced pair is a true negative.
+At t = 0.8 each doc ships ~20% of its shingles into the shuffle.
+
+Partitioning assumptions, documented per the north rule:
+  * Collision groups are per PREFIX-shingle. Exact-duplicate floods
+    (g identical docs) genuinely have g²/2 qualifying pairs — an
+    exact join's OUTPUT is O(g²) there by definition; run
+    ``exact_dedup`` first if that flood is unwanted. Pair expansion
+    itself is vectorized (np.triu_indices), never per-pair Python.
+  * Shingles are compared through 64-bit hashes; a cross-doc hash
+    collision can only ADD a candidate (verified away later), and a
+    within-doc collision shortens one prefix by one slot — with
+    blake2b-64 over per-doc shingle sets (thousands of elements) the
+    probability is negligible; this is the standard trick in
+    published all-pairs systems.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .dedup import BUCKET_COL, add_bucket_column, blocks_for_keys, dedup_exact
+from .dedup_suite import (
+    _hash_occurrences,
+    _shingles,
+    verify_jaccard_joined,
+)
+
+_PREFIX_SEED = 11  # fixed: the shingle total order must be global
+
+_PREFIX_SCHEMA = pa.schema(
+    [("g", pa.uint64()), ("doc_id", pa.int64()), ("n", pa.int32())]
+)
+
+
+def prefix_rows(threshold: float, k: int = 5, text_col: str = "text",
+                id_col: str = "doc_id"):
+    """map_batches fn: docs -> one row per PREFIX shingle
+    ``(g, doc_id, n)`` where n = |shingle set| (the size-ratio filter
+    input). Shingle-less docs emit nothing (the same empty-doc
+    short-circuit as the LSH stages — content-less rows belong to
+    exact dedup, and J(∅, ∅) pairs would otherwise flood one group)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        all_sh: list[bytes] = []
+        lens = np.empty(len(texts), dtype=np.int64)
+        for j, t in enumerate(texts):
+            sh = _shingles(t or "", k)
+            lens[j] = len(sh)
+            all_sh.extend(sh)
+        h = _hash_occurrences(all_sh, _PREFIX_SEED)
+        doc_idx = np.repeat(np.arange(len(texts)), lens)
+        # sort each doc's hashes ascending (one global lexsort — no
+        # per-doc Python); _shingles returns a SET so values are
+        # already unique within a doc (modulo 64-bit collisions)
+        order = np.lexsort((h, doc_idx))
+        h, doc_idx = h[order], doc_idx[order]
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        rank = np.arange(len(h)) - np.repeat(starts, lens)
+        # prefix length p = n - ceil(t*n) + 1  (lemma above)
+        p = lens - np.ceil(threshold * lens).astype(np.int64) + 1
+        keep = rank < np.repeat(p, lens)
+        return pa.Table.from_arrays(
+            [
+                pa.array(h[keep], pa.uint64()),
+                pa.array(ids[doc_idx[keep]], pa.int64()),
+                pa.array(lens[doc_idx[keep]].astype(np.int32), pa.int32()),
+            ],
+            schema=_PREFIX_SCHEMA,
+        )
+
+    return fn
+
+
+def _pairs_from_groups(threshold: float):
+    """Per-bucket kernel: expand each shingle group's candidate pairs
+    (vectorized triu), keeping only size-compatible pairs — J >= t
+    forces min(n_a, n_b) >= t · max(n_a, n_b)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated(subset=["g"], keep=False)]
+        parts_a: list[np.ndarray] = []
+        parts_b: list[np.ndarray] = []
+        for _, sub in g.groupby("g", sort=False):
+            sub = sub.drop_duplicates(subset=["doc_id"])
+            if len(sub) < 2:
+                continue
+            ids = sub["doc_id"].to_numpy(dtype=np.int64)
+            ns = sub["n"].to_numpy(dtype=np.int64)
+            o = np.argsort(ids, kind="stable")
+            ids, ns = ids[o], ns[o]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            ok = np.minimum(ns[ia], ns[ib]) >= threshold * np.maximum(
+                ns[ia], ns[ib]
+            )
+            parts_a.append(ids[ia[ok]])
+            parts_b.append(ids[ib[ok]])
+        a = np.concatenate(parts_a) if parts_a else np.empty(0, np.int64)
+        b = np.concatenate(parts_b) if parts_b else np.empty(0, np.int64)
+        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
+                             "b": pd.Series(b, dtype="int64")})
+
+    return fn
+
+
+def jaccard_self_join(docs_ds, threshold: float = 0.8, k: int = 5,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      nbuckets: int = 32):
+    """Exact all-pairs (a < b, jaccard >= threshold) over a document
+    dataset. Returns Dataset[(a: i64, b: i64, jaccard: f64)]."""
+    assert 0.0 < threshold <= 1.0
+    pref = docs_ds.map_batches(
+        prefix_rows(threshold, k, text_col, id_col), batch_format="pyarrow"
+    )
+    cand = (
+        pref.map_batches(add_bucket_column(["g"], nbuckets), batch_format="pyarrow")
+        .repartition(blocks_for_keys(nbuckets))
+        .groupby(BUCKET_COL)
+        .map_groups(
+            lambda g: _pairs_from_groups(threshold)(g.drop(columns=[BUCKET_COL])),
+            batch_format="pandas",
+        )
+    )
+    cand = dedup_exact(cand, key_cols=["a", "b"], sort_cols=["a", "b"])
+    return verify_jaccard_joined(
+        cand, docs_ds, threshold, k=k, text_col=text_col, id_col=id_col,
+        nbuckets=nbuckets,
+    )

@@ -1,0 +1,102 @@
+"""Exact prefix-filter similarity join (stages/setsim.py) vs an
+in-process brute force — completeness is the whole contract, so the
+fixture stacks the hostile cases: exact duplicate floods, short
+(<k-token) docs, empty docs, singletons, unicode."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from hikma_engine_ray.stages.dedup_suite import _shingles, jaccard
+from hikma_engine_ray.stages.setsim import jaccard_self_join, prefix_rows
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill and the rain keeps falling"
+)
+
+
+def _corpus():
+    rows = []
+    # 6 exact duplicates: every pair qualifies (jaccard 1.0)
+    for i in range(6):
+        rows.append((i, BASE))
+    # near-dup: one word swapped
+    rows.append((10, BASE.replace("rain", "snow")))
+    # disjoint doc
+    rows.append((20, "völlig anderer text ohne überschneidung überhaupt "
+                     "nichts gemeinsam mit den anderen dokumenten hier"))
+    # short docs (<5 tokens → single joined shingle)
+    rows.append((30, "alpha beta gamma"))
+    rows.append((31, "alpha beta gamma"))
+    rows.append((32, "alpha beta"))
+    # empty / whitespace-only: no shingles, never paired
+    rows.append((40, ""))
+    rows.append((41, "   \n\t "))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
+def _brute(table: pa.Table, t: float, k: int = 5):
+    sh = {r["doc_id"]: _shingles(r["text"] or "", k) for r in table.to_pylist()}
+    ids = sorted(sh)
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if not sh[a] and not sh[b]:
+                continue  # empty docs: excluded by both engine and SQL
+            if jaccard(sh[a], sh[b]) >= t:
+                out.add((a, b))
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8, 0.95])
+def test_exact_join_matches_bruteforce(ray_session, threshold):
+    import ray.data as rd
+
+    table = _corpus()
+    got = {
+        (r["a"], r["b"])
+        for r in jaccard_self_join(rd.from_arrow(table), threshold=threshold).take_all()
+    }
+    assert got == _brute(table, threshold)
+
+
+def test_jaccard_values_exact(ray_session):
+    import ray.data as rd
+
+    table = _corpus()
+    res = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_self_join(rd.from_arrow(table), threshold=0.5).take_all()
+    }
+    sh = {r["doc_id"]: _shingles(r["text"] or "") for r in table.to_pylist()}
+    for (a, b), v in res.items():
+        assert v == pytest.approx(jaccard(sh[a], sh[b]))
+    # the duplicate flood really is all-pairs at 1.0
+    assert all(res[(a, b)] == 1.0 for a in range(6) for b in range(a + 1, 6))
+
+
+def test_prefix_rows_lengths():
+    """Prefix length = n - ceil(t*n) + 1, per the all-pairs lemma; empty
+    docs emit nothing."""
+    table = _corpus()
+    out = prefix_rows(0.8)( table)
+    ids = out["doc_id"].to_pylist()
+    assert 40 not in ids and 41 not in ids
+    import collections
+    cnt = collections.Counter(ids)
+    ns = {r["doc_id"]: len(_shingles(r["text"] or "")) for r in table.to_pylist()}
+    for did, c in cnt.items():
+        n = ns[did]
+        assert c == n - int(np.ceil(0.8 * n)) + 1
+
+
+def test_size_ratio_filter_cuts_candidates():
+    """Docs whose sizes alone forbid jaccard >= t never pair — the short
+    doc 32 shares no qualifying partner at t=0.95 with 30/31."""
+    table = _corpus()
+    assert (30, 32) not in _brute(table, 0.95)
