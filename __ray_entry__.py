@@ -740,6 +740,53 @@ def _q_ann_ivf(sf_dir: str):
     return idx.search(assigned, _query_vec(sf_dir), k=10, nprobe=8)
 
 
+def _q_orders_semi(sf_dir: str):
+    """Bloom-accelerated EXACT semi join: orders whose customer is in
+    the BUILDING segment. The Bloom bitmap (tree-OR reduced, broadcast
+    once) prunes definite misses before the shuffle join vs distinct
+    right keys (stages/bloom.py)."""
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.stages.bloom import semi_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        .select(["c_custkey"])
+        .rename_columns(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    res = semi_join(orders, cust, on=["o_custkey"], num_bits=1 << 17)
+    return res.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("o_totalprice"), "o_totalprice",
+            pc.round(t["o_totalprice"], _ROUND),
+        ),
+        batch_format="pyarrow",
+    ).sort("o_orderkey")
+
+
+def _q_customers_no_urgent(sf_dir: str):
+    """Bloom-accelerated EXACT anti join: customers with no URGENT
+    order. Bloom misses bypass the shuffle entirely; hits (members +
+    the FPR sliver) take the exact join and unmatched rows are
+    recovered."""
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.stages.bloom import anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        .select(["o_custkey"])
+        .rename_columns(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    return anti_join(cust, urgent, on=["c_custkey"], num_bits=1 << 17).sort(
+        "c_custkey"
+    )
+
+
 _MINHASH_CACHE: dict[str, Any] = {}
 
 
@@ -902,6 +949,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "events_keepbest": _q_events_keepbest_impl,
+        "orders_semi": _q_orders_semi,
+        "customers_no_urgent": _q_customers_no_urgent,
         "asof_clicks": _q_asof_clicks,
         "range_clicks": _q_range_clicks,
         "part_filter": _q_part_filter,
@@ -1027,6 +1076,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
             ORDER BY doc_id
+        """,
+        "orders_semi": f"""
+            SELECT o_orderkey, o_custkey,
+                   round(o_totalprice, {_ROUND}) AS o_totalprice
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_mktsegment = 'BUILDING')
+            ORDER BY o_orderkey
+        """,
+        "customers_no_urgent": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey
         """,
         "asof_clicks": f"""
             -- deterministic ASOF: max r.ts <= l.ts, ties broken by max
