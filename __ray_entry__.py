@@ -740,6 +740,57 @@ def _q_ann_ivf(sf_dir: str):
     return idx.search(assigned, _query_vec(sf_dir), k=10, nprobe=8)
 
 
+def _q_lineitem_quantiles(sf_dir: str):
+    """EXACT per-group discrete quantiles (median, p90) via the
+    distributed value-count histogram (agg.grouped_quantiles) — the
+    shuffle carries one row per (group, distinct value), never rows."""
+    from hikma_engine_ray.stages.agg import grouped_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_quantiles(
+        li, ["l_returnflag"], "l_quantity", [0.5, 0.9]
+    ).sort("l_returnflag")
+
+
+def _q_qty_price_corr(sf_dir: str):
+    """Per-group Pearson correlation via the six-moment combiner
+    (agg.grouped_corr); ties out to SQL corr()."""
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.stages.agg import grouped_corr
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    res = grouped_corr(li, ["l_returnflag"], "l_quantity", "l_extendedprice")
+    return res.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("corr"), "corr", pc.round(t["corr"], _ROUND)
+        ),
+        batch_format="pyarrow",
+    ).sort("l_returnflag")
+
+
+def _q_top_orders_per_priority(sf_dir: str):
+    """Grouped top-k with the per-block combiner (agg.grouped_topk):
+    each block forwards at most k rows per key, the reduce never sees a
+    whole group."""
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.stages.agg import grouped_topk
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderpriority", "o_orderkey", "o_totalprice"])
+    res = grouped_topk(orders, ["o_orderpriority"], "o_totalprice", 3,
+                       descending=True, tiebreak=["o_orderkey"])
+    return res.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("o_totalprice"), "o_totalprice",
+            pc.round(t["o_totalprice"], _ROUND),
+        ),
+        batch_format="pyarrow",
+    ).sort(["o_orderpriority", "o_orderkey"])
+
+
 def _q_orders_semi(sf_dir: str):
     """Bloom-accelerated EXACT semi join: orders whose customer is in
     the BUILDING segment. The Bloom bitmap (tree-OR reduced, broadcast
@@ -949,6 +1000,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "events_keepbest": _q_events_keepbest_impl,
+        "lineitem_quantiles": _q_lineitem_quantiles,
+        "qty_price_corr": _q_qty_price_corr,
+        "top_orders_per_priority": _q_top_orders_per_priority,
         "orders_semi": _q_orders_semi,
         "customers_no_urgent": _q_customers_no_urgent,
         "asof_clicks": _q_asof_clicks,
@@ -1076,6 +1130,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
             ORDER BY doc_id
+        """,
+        "lineitem_quantiles": """
+            SELECT l_returnflag,
+                   quantile_disc(l_quantity, 0.5) AS q50,
+                   quantile_disc(l_quantity, 0.9) AS q90
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "qty_price_corr": f"""
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), {_ROUND}) AS corr
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "top_orders_per_priority": f"""
+            SELECT o_orderpriority, o_orderkey,
+                   round(o_totalprice, {_ROUND}) AS o_totalprice
+            FROM orders
+            QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY o_totalprice DESC, o_orderkey) <= 3
+            ORDER BY o_orderpriority, o_orderkey
         """,
         "orders_semi": f"""
             SELECT o_orderkey, o_custkey,

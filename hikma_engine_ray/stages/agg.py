@@ -239,3 +239,148 @@ def hll_distinct(ds, value_cols: list[str], p: int = _HLL_P,
     for row in regs_ds.take_all():  # ≤ fanin rows of 16 KiB
         merged = np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8))
     return pd.DataFrame([{"n": int(round(_hll_estimate(merged)))}])
+
+
+# ------------------------------------------------------- exact quantiles
+
+def grouped_quantiles(ds, keys: list[str], value_col: str,
+                      qs: list[float], nbuckets: int = 16):
+    """EXACT per-group discrete quantiles via distributed value counts.
+
+    Shape: per-block ``(keys, value, n)`` partials (pyarrow C++
+    group_by — the combiner), a final sum-shuffle over partials, then
+    one tiny ``map_groups`` per key that walks the value distribution's
+    cumulative counts. Nothing row-sized ever shuffles; the reduce
+    group for a key holds its DISTINCT-value histogram, not its rows.
+
+    Partitioning assumption (documented per the north rule): the
+    per-key distinct-value count fits one reduce block — right for
+    discrete/measure columns (quantities, sizes, scores); for
+    continuous doubles at 100 TB pre-discretize or use a sketch.
+
+    Quantile semantics = SQL ``quantile_disc``: the element at 1-based
+    index ceil(q*n) of the sorted values (value-hash parity with the
+    DuckDB oracle is the test)."""
+    import numpy as np
+
+    partials = ds.map_batches(
+        partial_agg(keys + [value_col], {"n": (value_col, "count")}),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Sum
+
+    counts = partials.groupby(keys + [value_col]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col, kind="stable")
+        vals = g[value_col].to_numpy()
+        cum = g["n"].to_numpy().cumsum()
+        total = cum[-1]
+        row = {k: g[k].iloc[0] for k in keys}
+        for q in qs:
+            # round-then-ceil: ceil(q*n) under exact arithmetic (float
+            # q*n can land an ulp above the true integer)
+            idx = int(np.ceil(np.round(q * total, 9)))
+            idx = min(max(idx, 1), total)
+            row[f"q{int(q * 100)}"] = vals[np.searchsorted(cum, idx)]
+        return pd.DataFrame([row])
+
+    return (
+        counts.repartition(nbuckets)
+        .groupby(keys)
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------- correlation
+
+def grouped_corr(ds, keys: list[str], x_col: str, y_col: str,
+                 out_col: str = "corr"):
+    """Per-group Pearson correlation via the moment combiner: each
+    block contributes (n, Σx, Σy, Σx², Σy², Σxy); the final shuffle
+    carries six numbers per key per block. Matches SQL ``corr`` (the
+    n-1 sample factors cancel in the ratio)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [(k, t.schema.field(k).type) for k in keys]
+                + [(c, pa.float64()) for c in
+                   ("n", "sx", "sy", "sxx", "syy", "sxy")]
+            ).empty_table()
+        x = pc.cast(t[x_col], pa.float64())
+        y = pc.cast(t[y_col], pa.float64())
+        aux = pa.table({
+            **{k: t[k] for k in keys},
+            "n": pa.array(np.ones(t.num_rows)),
+            "sx": x, "sy": y,
+            "sxx": pc.multiply(x, x), "syy": pc.multiply(y, y),
+            "sxy": pc.multiply(x, y),
+        })
+        return aux.group_by(keys).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+        ).rename_columns(keys + ["n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    from ray.data.aggregate import Sum
+
+    moments = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        keys
+    ).aggregate(*[Sum(c, alias_name=c) for c in
+                  ("n", "sx", "sy", "sxx", "syy", "sxy")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = np.asarray(t["n"])
+        sx, sy = np.asarray(t["sx"]), np.asarray(t["sy"])
+        sxx, syy, sxy = np.asarray(t["sxx"]), np.asarray(t["syy"]), np.asarray(t["sxy"])
+        cov = n * sxy - sx * sy
+        den = np.sqrt(np.maximum(n * sxx - sx * sx, 0.0)) * np.sqrt(
+            np.maximum(n * syy - sy * sy, 0.0)
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where(den > 0, cov / den, np.nan)
+        return t.select(keys).append_column(out_col, pa.array(r, pa.float64()))
+
+    return moments.map_batches(finish, batch_format="pyarrow")
+
+
+# -------------------------------------------------------- grouped top-k
+
+def grouped_topk(ds, keys: list[str], sort_col: str, k: int,
+                 descending: bool = True,
+                 tiebreak: list[str] | None = None, nbuckets: int = 16):
+    """Per-group top-k via the combiner pattern: every block keeps at
+    most k rows per key it sees (vectorized pandas sort+head), so the
+    final per-key reduce receives ≤ k·#blocks-containing-the-key rows,
+    never the group. Deterministic under ties via ``tiebreak``
+    (ascending) — mirror it in any SQL oracle's ORDER BY."""
+
+    order_cols = [sort_col] + (tiebreak or [])
+    ascending = [not descending] + [True] * len(tiebreak or [])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return (
+            df.sort_values(order_cols, ascending=ascending, kind="stable")
+            .groupby(keys, sort=False)
+            .head(k)
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(order_cols, ascending=ascending, kind="stable")
+            .head(k)
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return (
+        partials.repartition(nbuckets)
+        .groupby(keys)
+        .map_groups(final, batch_format="pandas")
+    )
