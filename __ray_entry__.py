@@ -34,6 +34,9 @@ def _r4(arr):
 def _rd():
     import ray.data as rd
 
+    from hikma_engine_ray.tuning import apply_context_defaults
+
+    apply_context_defaults()
     return rd
 
 
@@ -51,13 +54,16 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None,
     if columns:
         schema = pa.schema([schema.field(c) for c in columns])
     kwargs = {"filter": filter} if filter is not None else {}
-    # a sub-32MiB file is one read task, not cpus*2 mostly-empty blocks:
-    # empty read blocks are pure overhead, and Ray's Project (e.g.
-    # rename_columns) passes empty blocks through UNPROJECTED, emitting
-    # mixed-schema bundles (executor divergence warning). Large files
-    # keep Ray's default size-based splitting.
+    # block count from ROW count (≥512 rows per block, ≤32 blocks):
+    # never emits empty read blocks (Ray's Project passes empty blocks
+    # through UNPROJECTED → mixed-schema bundles / executor divergence
+    # warnings), yet CPU-heavy downstream kernels (minhash/simhash
+    # signatures) still parallelize. The former sub-32MiB → 1 block pin
+    # serialized those kernels onto one core. Files past the cap keep
+    # Ray's default size-based splitting.
+    nrows = pq.read_metadata(path).num_rows
     if os.path.getsize(path) < 32 * 1024 * 1024:
-        kwargs["override_num_blocks"] = 1
+        kwargs["override_num_blocks"] = max(1, min(32, nrows // 512))
     return _rd().read_parquet(path, schema=schema, columns=columns, **kwargs)
 
 
@@ -69,7 +75,7 @@ def _kg(sf_dir: str) -> dict:
     corpus scaled to the sf tier (FIXTURES.md; BASELINE.json input_hint)."""
     g = _KG_CACHE.get(sf_dir)
     if g is None:
-        import ray.data as rd
+        rd = _rd()
 
         from hikma_engine_ray.pipelines.index_pipeline import build_graph
         from hikma_engine_ray.sources.corpus import corpus_files_for_sf, generate_corpus

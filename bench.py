@@ -62,6 +62,9 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    from hikma_engine_ray.tuning import apply_context_defaults
+
+    apply_context_defaults()
 
     from hikma_engine_ray.pipelines.index_pipeline import (
         build_graph_from_tagged,

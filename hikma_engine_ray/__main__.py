@@ -36,6 +36,9 @@ def _init_ray():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from .tuning import apply_context_defaults
+
+    apply_context_defaults()
 
 
 def cmd_build(args):

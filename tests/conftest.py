@@ -20,6 +20,9 @@ def ray_session():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from hikma_engine_ray.tuning import apply_context_defaults
+
+    apply_context_defaults()
     yield
     ray.shutdown()
 
