@@ -46,6 +46,9 @@ def _corpus_path(n_files: int) -> str:
 def run_bench() -> dict:
     import ray
 
+    from hikma_engine_ray.tuning import apply_malloc_env
+
+    apply_malloc_env()  # before ray.init: workers inherit via the raylet
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,

@@ -26,6 +26,9 @@ import sys
 def _init_ray():
     import ray
 
+    from .tuning import apply_malloc_env
+
+    apply_malloc_env()  # before ray.init: workers inherit via the raylet
     if not ray.is_initialized():
         ray.init(
             address="local",

@@ -102,6 +102,47 @@ def _capped_pair_indices(subkeys: np.ndarray, cap: int):
     yield from rec(np.arange(len(subkeys), dtype=np.int64), 0)
 
 
+# reusable per-process slabs for the chunked signature kernels: the
+# big intermediates ((rows × num_perm) affine values, (rows × 64) ±1
+# bit matrix) are written into a buffer that persists across batches
+# in the same Ray worker, instead of a fresh malloc/mmap per batch.
+# Bounds peak memory to O(_CHUNK) regardless of batch size AND avoids
+# re-faulting hundreds of MB of pages per batch (first-touch cost is
+# paid once per worker; on hosts with slow demand paging a per-batch
+# 133 MB fresh allocation dominated the whole stage).
+_CHUNK = 1 << 14  # segment rows per slab (8 MiB at 64 uint64 cols)
+_SCRATCH: dict[tuple[str, int], np.ndarray] = {}
+
+
+def _scratch_rows(rows: int, cols: int, dtype) -> np.ndarray:
+    """A (rows × cols) view of a cached ≥(_CHUNK × cols) slab; rows
+    above _CHUNK (a single pathological segment) get a one-off array."""
+    if rows > _CHUNK:
+        return np.empty((rows, cols), dtype)
+    key = (np.dtype(dtype).str, cols)
+    buf = _SCRATCH.get(key)
+    if buf is None:
+        buf = np.empty((_CHUNK, cols), dtype)
+        _SCRATCH[key] = buf
+    return buf[:rows]
+
+
+def _doc_chunks(lens: np.ndarray):
+    """Yield ``(d0, d1, r0, r1)`` doc-aligned chunks whose row span
+    ``r1-r0`` stays ≤ _CHUNK (single oversize docs get their own
+    chunk). Empty docs contribute no rows and ride along for free."""
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    n = len(lens)
+    d0 = 0
+    while d0 < n:
+        r0 = starts[d0]
+        d1 = int(np.searchsorted(ends, r0 + _CHUNK, side="right"))
+        d1 = max(d1, d0 + 1)
+        yield d0, d1, int(r0), int(ends[d1 - 1])
+        d0 = d1
+
+
 def _hash_occurrences(items: list[bytes], seed: int) -> np.ndarray:
     """Vectorized-by-uniqueness hashing: hash each DISTINCT item once,
     then scatter back to occurrence order. Same values as mapping
@@ -180,9 +221,12 @@ class MinHashSigs:
     def signatures(self, texts: list[str]) -> np.ndarray:
         """Batch minhash: shingle every doc, hash each DISTINCT shingle
         once (seeded blake2b — value-identical to the per-item path),
-        apply all affine permutations as one (n_shingles × num_perm)
-        uint64 matrix op, and take per-doc column minima via a single
-        ``np.minimum.reduceat``. No per-shingle Python in the hot loop."""
+        apply the affine permutations as (shingle-rows × num_perm)
+        uint64 matrix ops in doc-aligned _CHUNK slabs written into a
+        reused per-process scratch (value-identical to one giant matrix
+        — wraparound arithmetic is per-element), and take per-doc column
+        minima via ``np.minimum.reduceat`` per slab. No per-shingle
+        Python in the hot loop; peak memory O(_CHUNK × num_perm)."""
         n = len(texts)
         all_sh: list[bytes] = []
         lens = np.empty(n, dtype=np.int64)
@@ -195,11 +239,19 @@ class MinHashSigs:
         )
         if all_sh:
             base = _hash_occurrences(all_sh, 0)
-            # (a_i * h + b_i) mod 2^64 — uint64 wraparound is the modulus
-            vals = base[:, None] * _A[None, : self.num_perm] + _B[None, : self.num_perm]
-            nonempty = lens > 0
-            starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nonempty]
-            sigs[nonempty] = np.minimum.reduceat(vals, starts, axis=0)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            for d0, d1, r0, r1 in _doc_chunks(lens):
+                ne = np.flatnonzero(lens[d0:d1] > 0) + d0
+                if not len(ne):
+                    continue
+                v = _scratch_rows(r1 - r0, self.num_perm, np.uint64)
+                # (a_i * h + b_i) mod 2^64 — uint64 wraparound is the modulus
+                np.multiply(
+                    base[r0:r1, None], _A[None, : self.num_perm], out=v
+                )
+                v += _B[None, : self.num_perm]
+                sigs[ne] = np.minimum.reduceat(v, starts[ne] - r0, axis=0)
         return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -505,8 +557,9 @@ def verify_jaccard_joined(pairs_ds, docs_ds, threshold: float, k: int = 5,
 def simhash64_batch(texts: list[str]) -> np.ndarray:
     """Batch simhash (uint64 per text): tokenize all docs, hash each
     DISTINCT token once (seeded blake2b — value-identical to the old
-    per-token path), unpack to a ±1 bit matrix, and segment-sum per doc
-    with one ``np.add.reduceat``. Empty text → 0."""
+    per-token path), unpack to a ±1 bit matrix in doc-aligned _CHUNK
+    slabs over a reused per-process scratch, and segment-sum per doc
+    with ``np.add.reduceat`` per slab. Empty text → 0."""
     n = len(texts)
     all_toks: list[bytes] = []
     lens = np.empty(n, dtype=np.int64)
@@ -518,17 +571,25 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
     if not all_toks:
         return out
     h = _hash_occurrences(all_toks, 7)
-    # big-endian byte view so bit order matches struct.pack(">Q")+unpackbits
-    byts = np.frombuffer(h.astype(">u8").tobytes(), dtype=np.uint8).reshape(-1, 8)
-    bits = np.unpackbits(byts, axis=1).astype(np.int32) * 2 - 1
-    nonempty = lens > 0
-    starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nonempty]
-    sums = np.add.reduceat(bits, starts, axis=0)
-    packed = np.packbits((sums > 0).astype(np.uint8), axis=1)
-    vals = np.zeros(len(starts), dtype=np.uint64)
-    for j in range(8):
-        vals = (vals << np.uint64(8)) | packed[:, j].astype(np.uint64)
-    out[nonempty] = vals
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    for d0, d1, r0, r1 in _doc_chunks(lens):
+        ne = np.flatnonzero(lens[d0:d1] > 0) + d0
+        if not len(ne):
+            continue
+        # big-endian byte view so bit order matches struct.pack(">Q")+unpackbits
+        byts = np.frombuffer(
+            h[r0:r1].astype(">u8").tobytes(), dtype=np.uint8
+        ).reshape(-1, 8)
+        bits = _scratch_rows(r1 - r0, 64, np.int32)
+        np.multiply(np.unpackbits(byts, axis=1), 2, out=bits, casting="unsafe")
+        bits -= 1
+        sums = np.add.reduceat(bits, starts[ne] - r0, axis=0)
+        packed = np.packbits((sums > 0).astype(np.uint8), axis=1)
+        vals = np.zeros(len(ne), dtype=np.uint64)
+        for j in range(8):
+            vals = (vals << np.uint64(8)) | packed[:, j].astype(np.uint64)
+        out[ne] = vals
     return out
 
 

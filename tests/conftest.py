@@ -10,6 +10,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def ray_session():
     import ray
 
+    from hikma_engine_ray.tuning import apply_malloc_env
+
+    apply_malloc_env()  # before ray.init: workers inherit via the raylet
     ray.init(
         address="local",
         num_cpus=4,
