@@ -680,6 +680,37 @@ def _q_quality(sf_dir: str):
     )
 
 
+def _q_bm25(sf_dir: str):
+    """BM25 relevance top-k (stages/relevance.py): two streaming passes
+    (per-block df/len partials, then broadcast-constant scoring with
+    per-block partial top-k) — corpus never materializes."""
+    from hikma_engine_ray.stages.relevance import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, "hash join window", k=15, ndigits=_ROUND)
+
+
+def _q_pii(sf_dir: str):
+    """PII/secret scan: one vectorized RE2 pass per pattern."""
+    from hikma_engine_ray.stages.text import pii_scan_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(pii_scan_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_emails", "n_ipv4", "n_keyish", "has_pii"]
+    )
+
+
+def _q_stratified(sf_dir: str):
+    """Per-stratum deterministic hash sampling (downsample 'en' to
+    12.5%, keep other languages at 50%) — pure streaming filter."""
+    from hikma_engine_ray.stages.text import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(
+        ds, "lang", {"en": 0.125}, 0.5, keep_cols=["doc_id", "lang"]
+    ).sort("doc_id")
+
+
 def _q_exact_dedup(sf_dir: str):
     from hikma_engine_ray.stages.dedup_suite import exact_dedup
 
@@ -1023,6 +1054,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": _q_distinct_sources,
         "hll_sources": _q_hll_sources,
         "quality_score": _q_quality,
+        "bm25_topk": _q_bm25,
+        "pii_scan": _q_pii,
+        "stratified_sample": _q_stratified,
         "exact_dedup": _q_exact_dedup,
         "text_search": _q_text_search,
         "langid": _q_langid,
@@ -1218,6 +1252,64 @@ def oracle_sql() -> dict[str, str]:
                    round((length(text) - length(regexp_replace(text, '\s', '', 'g')))
                          / greatest(length(text), 1) :: DOUBLE, 6) AS space_ratio
             FROM documents
+        """,
+        "bm25_topk": rf"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+                FROM documents WHERE trim(text) <> ''
+            ),
+            dl AS (SELECT doc_id, count(*) :: DOUBLE AS dl FROM toks GROUP BY doc_id),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) :: DOUBLE AS n_total,
+                       (SELECT sum(dl) FROM dl)
+                           / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            qt AS (SELECT unnest(['hash', 'join', 'window']) AS term),
+            df AS (
+                SELECT q.term,
+                       (SELECT count(DISTINCT t.doc_id) FROM toks t
+                        WHERE t.tok = q.term) :: DOUBLE AS df
+                FROM qt q
+            ),
+            tf AS (
+                SELECT t.doc_id, t.tok AS term, count(*) :: DOUBLE AS tf
+                FROM toks t JOIN qt q ON t.tok = q.term
+                GROUP BY t.doc_id, t.tok
+            )
+            SELECT tf.doc_id,
+                   round(sum(
+                       ln(1 + (s.n_total - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                   ), {_ROUND}) AS score
+            FROM tf
+            JOIN dl ON tf.doc_id = dl.doc_id
+            JOIN df ON tf.term = df.term
+            CROSS JOIN stats s
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, tf.doc_id
+            LIMIT 15
+        """,
+        "pii_scan": r"""
+            SELECT doc_id, n_emails, n_ipv4, n_keyish,
+                   (n_emails + n_ipv4 + n_keyish) > 0 AS has_pii
+            FROM (
+                SELECT doc_id,
+                    len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) :: BIGINT AS n_emails,
+                    len(regexp_extract_all(text,
+                        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) :: BIGINT AS n_ipv4,
+                    len(regexp_extract_all(text,
+                        '\b[A-Za-z0-9]{32,}\b')) :: BIGINT AS n_keyish
+                FROM documents
+            )
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                  CASE WHEN lang = 'en' THEN '20' ELSE '80' END
+            ORDER BY doc_id
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5

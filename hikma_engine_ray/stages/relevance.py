@@ -1,0 +1,128 @@
+"""BM25 text-relevance ranking over a document corpus.
+
+The standard lexical retrieval operator a training-data pipeline needs
+for query-based corpus curation (salient-document mining, dedup of
+near-query boilerplate, eval-set construction). Okapi BM25 with the
+``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf (always positive) and the
+usual k1/b defaults.
+
+Ray-Data-first shape, two streaming passes over the docs + one
+result-sized merge:
+
+  pass 1 (stats):   map_batches → per-block partials (doc count, token
+                    count, per-query-term document frequency) — rows =
+                    O(blocks × |query|), reduced on the driver.
+  pass 2 (score):   map_batches with the broadcast idf/avgdl constants
+                    → per-block top-k partials (score desc, doc_id asc).
+  merge:            one small table → global top-k.
+
+Nothing materializes the corpus; the only driver-side data is
+O(blocks × |query| + k). Tokenization is the shared whitespace rule
+(lower + trim + split on ``\\s+``) so the DuckDB oracle can replicate
+scores exactly (see __ray_entry__ ``bm25_topk``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WS = re.compile(r"\s+")
+
+
+def _tokens(text: str) -> list[str]:
+    stripped = (text or "").strip().lower()
+    return _WS.split(stripped) if stripped else []
+
+
+def bm25_topk(ds, query: str, k: int = 10, k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id",
+              ndigits: int | None = 4):
+    """Top-``k`` docs by BM25 score for ``query``. Returns a pandas
+    DataFrame (result-sized) with columns (doc_id, score), ordered by
+    (score desc, doc_id asc). ``ndigits`` rounds the score for stable
+    cross-engine comparison (None = raw float)."""
+    q_terms = sorted(set(_tokens(query)))
+    if not q_terms:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    nq = len(q_terms)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        df = np.zeros(nq, dtype=np.int64)
+        toks_total = 0
+        for t in texts:
+            toks = _tokens(t)
+            toks_total += len(toks)
+            s = set(toks)
+            for i, term in enumerate(q_terms):
+                df[i] += term in s
+        return pa.table(
+            {
+                "term_idx": pa.array(np.arange(nq, dtype=np.int64), pa.int64()),
+                "df": pa.array(df, pa.int64()),
+                "n_docs": pa.array(np.full(nq, len(texts)), pa.int64()),
+                "n_tokens": pa.array(np.full(nq, toks_total), pa.int64()),
+            }
+        )
+
+    part = ds.map_batches(stats, batch_format="pyarrow", batch_size=None).to_pandas()
+    if "term_idx" not in part.columns:  # empty corpus → column-less frame
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    agg = part.groupby("term_idx")["df"].sum()
+    df_vec = agg.reindex(range(nq), fill_value=0).to_numpy(dtype=np.float64)
+    # n_docs/n_tokens repeat once per term row per block — divide by nq
+    n_total = int(part["n_docs"].sum()) // nq
+    if n_total == 0:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    avgdl = (part["n_tokens"].sum() / nq) / n_total
+    idf = np.log(1.0 + (n_total - df_vec + 0.5) / (df_vec + 0.5))
+
+    qpos = {t: i for i, t in enumerate(q_terms)}
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        tf = np.zeros((len(texts), nq), dtype=np.float64)
+        dl = np.empty(len(texts), dtype=np.float64)
+        for j, t in enumerate(texts):
+            toks = _tokens(t)
+            dl[j] = len(toks)
+            for tok in toks:
+                i = qpos.get(tok)
+                if i is not None:
+                    tf[j, i] += 1.0
+        denom = tf + k1 * (1.0 - b + b * dl[:, None] / avgdl)
+        with np.errstate(invalid="ignore"):
+            s = np.where(tf > 0.0, tf * (k1 + 1.0) / denom, 0.0) @ idf
+        if ndigits is not None:
+            # round BEFORE ranking so the (score desc, id asc) order is
+            # identical to an oracle that orders by the rounded score;
+            # half-away-from-zero to match SQL round() (numpy's .round
+            # is half-to-even)
+            from ..functions.num import round_half_away
+
+            s = round_half_away(s, ndigits)
+        # per-block partial top-k: only score>0 rows can place
+        hit = s > 0.0
+        ids, s = ids[hit], s[hit]
+        if len(ids) > k:
+            # stable order: score desc then id asc
+            order = np.lexsort((ids, -s))[:k]
+            ids, s = ids[order], s[order]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "score": pa.array(s, pa.float64())})
+
+    top = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return (
+        top.sort_values(["score", id_col], ascending=[False, True],
+                        kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )

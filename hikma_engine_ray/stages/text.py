@@ -191,3 +191,58 @@ def token_vocab(ds, text_col: str = "text", top_n: int = 100):
         .aggregate(Sum("n", alias_name="n"))
     )
     return totals.sort(["n", "token"], descending=[True, False]).limit(top_n)
+
+
+# PII / secret detection rules (RE2 syntax — pyarrow.compute and DuckDB
+# both run RE2, so the oracle replicates these verbatim)
+PII_PATTERNS = {
+    # local-part@domain.tld
+    "n_emails": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    # dotted-quad (syntactic; no octet range check — same rule both sides)
+    "n_ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    # long opaque token: 32+ alphanumerics, the standard API-key heuristic
+    "n_keyish": r"\b[A-Za-z0-9]{32,}\b",
+}
+
+
+def pii_scan_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc PII/secret hit counts + a has_pii flag — the filter stage
+    a training corpus runs before anything else ships. Fully vectorized:
+    one RE2 pass per pattern (pc.count_substring_regex), no Python over
+    rows. Stateless → plain tasks."""
+    text = batch[text_col]
+    total = None
+    for name, pat in PII_PATTERNS.items():
+        cnt = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+        batch = batch.append_column(name, cnt)
+        total = cnt if total is None else pc.add(total, cnt)
+    return batch.append_column("has_pii", pc.greater(total, 0))
+
+
+def stratified_sample(ds, strata_col: str, rates: dict[str, float],
+                      default_rate: float, id_col: str = "doc_id",
+                      keep_cols: list[str] | None = None):
+    """Deterministic per-stratum hash sampling: row kept iff the first
+    byte of md5(str(id)) falls under its stratum's rate — the standard
+    repeatable class-balancing operator (downsample the dominant
+    language/source, keep the rare ones). Same hash rule as
+    ``hash_sample``, so it is SQL-replicable and coordination-free;
+    pure filter: streams, never shuffles."""
+    thresholds = {s: max(0, min(256, int(r * 256))) for s, r in rates.items()}
+    default_thr = max(0, min(256, int(default_rate * 256)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        strata = batch[strata_col].to_pylist()
+        keep = pa.array(
+            [
+                int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+                < thresholds.get(s, default_thr)
+                for i, s in zip(ids, strata)
+            ],
+            pa.bool_(),
+        )
+        out = batch.filter(keep)
+        return out.select(keep_cols) if keep_cols else out
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,152 @@
+"""Kernel + pipeline tests for the BM25 ranking, PII scan and
+stratified sampling operators (the driver also checks each against a
+DuckDB oracle at sf0.01 — these pin semantics independently)."""
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_table(texts):
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+
+
+def _bm25_reference(texts, query, k1=1.2, b=0.75):
+    """Independent scalar BM25 (textbook formula, per-doc loops)."""
+    toks = [t.strip().lower().split() if t.strip() else [] for t in texts]
+    n = len(texts)
+    avgdl = sum(len(x) for x in toks) / n
+    terms = sorted(set(query.lower().split()))
+    df = {q: sum(q in set(x) for x in toks) for q in terms}
+    idf = {q: math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5)) for q in terms}
+    out = {}
+    for i, x in enumerate(toks):
+        s = 0.0
+        for q in terms:
+            tf = x.count(q)
+            if tf:
+                s += idf[q] * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(x) / avgdl))
+        if s > 0:
+            out[i] = s
+    return out
+
+
+def test_bm25_matches_reference(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.relevance import bm25_topk
+
+    texts = [
+        "hash join window scan",
+        "hash hash hash filter",
+        "window window sort merge group",
+        "unrelated tokens entirely here",
+        "join",
+        "",
+        "   ",
+        "hash join window hash join window hash join window longer doc " * 3,
+    ]
+    ds = rd.from_arrow(_docs_table(texts))
+    got = bm25_topk(ds, "hash join window", k=5, ndigits=None)
+    ref = _bm25_reference(texts, "hash join window")
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(got["doc_id"]) == [d for d, _ in want]
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), [s for _, s in want], rtol=1e-12
+    )
+
+
+def test_bm25_partial_topk_equals_global(ray_session):
+    """Per-block partial top-k must not drop a global top-k row: run the
+    same corpus as 1 block and as many 1-row blocks."""
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.relevance import bm25_topk
+
+    texts = [f"hash {'join ' * (i % 7)} pad{i}" for i in range(40)]
+    one = bm25_topk(rd.from_arrow(_docs_table(texts)), "hash join", k=7)
+    many = bm25_topk(
+        rd.from_arrow(_docs_table(texts)).repartition(20), "hash join", k=7
+    )
+    assert one.equals(many)
+
+
+def test_bm25_empty_query_and_corpus(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.relevance import bm25_topk
+
+    ds = rd.from_arrow(_docs_table(["a b c"]))
+    assert len(bm25_topk(ds, "   ")) == 0
+    empty = rd.from_arrow(_docs_table([]))
+    assert len(bm25_topk(empty, "a")) == 0
+
+
+def test_pii_scan_counts():
+    from hikma_engine_ray.stages.text import pii_scan_batch
+
+    t = _docs_table(
+        [
+            "reach me at a.user+tag@example.co.uk and b@x.io",
+            "server 192.168.1.1 backup 10.0.0.2",
+            "token deadbeefdeadbeefdeadbeefdeadbeef end",   # 32 hex chars
+            "short deadbeef is fine; 1.2.3 is not an ip",
+            "",
+        ]
+    )
+    out = pii_scan_batch(t)
+    assert out["n_emails"].to_pylist() == [2, 0, 0, 0, 0]
+    assert out["n_ipv4"].to_pylist() == [0, 2, 0, 0, 0]
+    assert out["n_keyish"].to_pylist() == [0, 0, 1, 0, 0]
+    assert out["has_pii"].to_pylist() == [True, True, True, False, False]
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.text import stratified_sample
+
+    n = 4000
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array(["en" if i % 2 == 0 else "de" for i in range(n)]),
+        }
+    )
+    ds = rd.from_arrow(t)
+    got = stratified_sample(ds, "lang", {"en": 0.125}, 0.5).to_pandas()
+    again = stratified_sample(ds, "lang", {"en": 0.125}, 0.5).to_pandas()
+    assert got.sort_values("doc_id").equals(again.sort_values("doc_id"))
+    # exact expectation: membership is a pure function of md5(doc_id)
+    expect = {
+        i
+        for i in range(n)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+        < (32 if i % 2 == 0 else 128)
+    }
+    assert set(got["doc_id"]) == expect
+    en = (got["lang"] == "en").sum()
+    de = (got["lang"] == "de").sum()
+    assert 0.08 < en / (n / 2) < 0.17      # ~12.5%
+    assert 0.42 < de / (n / 2) < 0.58      # ~50%
+
+
+def test_stratified_rate_bounds(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.text import stratified_sample
+
+    t = pa.table(
+        {"doc_id": pa.array(range(64), pa.int64()),
+         "lang": pa.array(["en"] * 64)}
+    )
+    ds = rd.from_arrow(t)
+    # rate >= 1.0 keeps everything; rate 0 keeps nothing
+    assert stratified_sample(ds, "lang", {"en": 1.0}, 0.0).count() == 64
+    assert stratified_sample(ds, "lang", {"en": 0.0}, 1.0).count() == 0
