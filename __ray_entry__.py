@@ -711,6 +711,41 @@ def _q_stratified(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_decontam(sf_dir: str):
+    """Eval-set decontamination (stages/decontam.py): eval = the
+    deterministic md5 < '08' slice (~3%), train = the complement;
+    flag train docs sharing any 3-token shingle with an eval doc.
+    Eval fingerprints broadcast once; train side is a pure map."""
+    import hashlib as _hl
+
+    import pyarrow as pa
+
+    from hikma_engine_ray.stages.decontam import decontaminate
+
+    def side(keep_eval: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            keep = pa.array(
+                [
+                    (int(_hl.md5(str(i).encode()).hexdigest()[:2], 16) < 8)
+                    == keep_eval
+                    for i in batch["doc_id"].to_pylist()
+                ],
+                pa.bool_(),
+            )
+            return batch.filter(keep)
+
+        return fn
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ev = docs.map_batches(side(True), batch_format="pyarrow")
+    tr = docs.map_batches(side(False), batch_format="pyarrow")
+    return (
+        decontaminate(tr, ev, k=3)
+        .select_columns(["doc_id", "contaminated"])
+        .sort("doc_id")
+    )
+
+
 def _q_exact_dedup(sf_dir: str):
     from hikma_engine_ray.stages.dedup_suite import exact_dedup
 
@@ -1057,6 +1092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25,
         "pii_scan": _q_pii,
         "stratified_sample": _q_stratified,
+        "decontam": _q_decontam,
         "exact_dedup": _q_exact_dedup,
         "text_search": _q_text_search,
         "langid": _q_langid,
@@ -1310,6 +1346,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
                   CASE WHEN lang = 'en' THEN '20' ELSE '80' END
             ORDER BY doc_id
+        """,
+        "decontam": r"""
+            WITH ev AS (
+                SELECT doc_id, text FROM documents
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '08'
+            ),
+            tr AS (
+                SELECT doc_id, text FROM documents
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '08'
+            ),
+            evt AS (
+                SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS a
+                FROM ev WHERE trim(text) <> ''
+            ),
+            evs AS (
+                SELECT DISTINCT
+                       CASE WHEN len(a) < 3 THEN array_to_string(a, ' ')
+                            ELSE array_to_string(a[i : i+2], ' ') END AS s
+                FROM evt,
+                     unnest(generate_series(1, greatest(len(a)-2, 1))) AS u(i)
+            ),
+            trs AS (
+                SELECT doc_id,
+                       CASE WHEN len(a) < 3 THEN array_to_string(a, ' ')
+                            ELSE array_to_string(a[i : i+2], ' ') END AS s
+                FROM (
+                    SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '\s+') AS a
+                    FROM tr WHERE trim(text) <> ''
+                ),
+                unnest(generate_series(1, greatest(len(a)-2, 1))) AS u(i)
+            ),
+            hit AS (
+                SELECT DISTINCT trs.doc_id
+                FROM trs JOIN evs ON trs.s = evs.s
+            )
+            SELECT tr.doc_id, (hit.doc_id IS NOT NULL) AS contaminated
+            FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id
+            ORDER BY tr.doc_id
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5

@@ -150,3 +150,42 @@ def test_stratified_rate_bounds(ray_session):
     # rate >= 1.0 keeps everything; rate 0 keeps nothing
     assert stratified_sample(ds, "lang", {"en": 1.0}, 0.0).count() == 64
     assert stratified_sample(ds, "lang", {"en": 0.0}, 1.0).count() == 0
+
+
+def test_decontaminate_flags_exact_overlap(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.decontam import decontaminate
+
+    ev = _docs_table(["the quick brown fox jumps", "alpha beta gamma"])
+    tr = _docs_table(
+        [
+            "x y the quick brown fox jumps z",     # contains an eval 5-gram
+            "quick brown fox appears here only",   # 5-gram never matches
+            "alpha beta gamma",                    # short doc, whole-seq shingle
+            "alpha beta delta",                    # differs in last token
+            "",                                    # empty: never contaminated
+        ]
+    )
+    out = (
+        decontaminate(rd.from_arrow(tr), rd.from_arrow(ev), k=5)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["contaminated"].tolist() == [True, False, True, False, False]
+
+
+def test_decontaminate_drop_and_empty_eval(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.decontam import decontaminate
+
+    tr = _docs_table(["a b c d e", "f g h i j"])
+    kept = decontaminate(
+        rd.from_arrow(tr), rd.from_arrow(_docs_table(["a b c d e"])), k=5,
+        drop=True,
+    )
+    assert kept.to_pandas()["doc_id"].tolist() == [1]
+    # empty eval set: nothing flagged
+    none = decontaminate(rd.from_arrow(tr), rd.from_arrow(_docs_table([])), k=5)
+    assert none.to_pandas()["contaminated"].tolist() == [False, False]
