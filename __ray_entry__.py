@@ -711,6 +711,24 @@ def _q_stratified(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_hybrid(sf_dir: str):
+    """Hybrid lexical+semantic retrieval: RRF fusion of BM25 ranks and
+    embedding-cosine ranks (query vector = the vec_id=0 embedding)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from hikma_engine_ray.stages.relevance import hybrid_search
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    qv = qt.filter(pc.equal(qt["vec_id"], 0))["embedding"].to_pylist()[0]
+    return hybrid_search(docs, emb, "hash join window", qv, k=10)
+
+
 def _q_decontam(sf_dir: str):
     """Eval-set decontamination (stages/decontam.py): eval = the
     deterministic md5 < '08' slice (~3%), train = the complement;
@@ -1093,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan": _q_pii,
         "stratified_sample": _q_stratified,
         "decontam": _q_decontam,
+        "hybrid_search": _q_hybrid,
         "exact_dedup": _q_exact_dedup,
         "text_search": _q_text_search,
         "langid": _q_langid,
@@ -1385,6 +1404,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT tr.doc_id, (hit.doc_id IS NOT NULL) AS contaminated
             FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id
             ORDER BY tr.doc_id
+        """,
+        "hybrid_search": rf"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+                FROM documents WHERE trim(text) <> ''
+            ),
+            dl AS (SELECT doc_id, count(*) :: DOUBLE AS dl FROM toks GROUP BY doc_id),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) :: DOUBLE AS n_total,
+                       (SELECT sum(dl) FROM dl)
+                           / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            qt AS (SELECT unnest(['hash', 'join', 'window']) AS term),
+            df AS (
+                SELECT q.term,
+                       (SELECT count(DISTINCT t.doc_id) FROM toks t
+                        WHERE t.tok = q.term) :: DOUBLE AS df
+                FROM qt q
+            ),
+            tf AS (
+                SELECT t.doc_id, t.tok AS term, count(*) :: DOUBLE AS tf
+                FROM toks t JOIN qt q ON t.tok = q.term
+                GROUP BY t.doc_id, t.tok
+            ),
+            bm AS (
+                SELECT tf.doc_id,
+                       round(sum(
+                           ln(1 + (s.n_total - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ), {_ROUND}) AS score
+                FROM tf
+                JOIN dl ON tf.doc_id = dl.doc_id
+                JOIN df ON tf.term = df.term
+                CROSS JOIN stats s
+                GROUP BY tf.doc_id
+                ORDER BY score DESC, tf.doc_id
+                LIMIT 50
+            ),
+            rb AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS rank_b
+                FROM bm
+            ),
+            cs AS (
+                SELECT e.vec_id,
+                       round(list_cosine_similarity(
+                           e.embedding :: DOUBLE[],
+                           (SELECT embedding :: DOUBLE[] FROM embeddings
+                            WHERE vec_id = 0)), 6) AS score
+                FROM embeddings e
+                ORDER BY score DESC, e.vec_id
+                LIMIT 50
+            ),
+            rc AS (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY score DESC, vec_id) AS rank_c
+                FROM cs
+            ),
+            fused AS (
+                SELECT coalesce(rb.doc_id, rc.vec_id) AS doc_id,
+                       round(coalesce(1.0 / (60 + rb.rank_b), 0)
+                             + coalesce(1.0 / (60 + rc.rank_c), 0), 6) AS rrf
+                FROM rb FULL OUTER JOIN rc ON rb.doc_id = rc.vec_id
+            )
+            SELECT doc_id, rrf FROM fused
+            ORDER BY rrf DESC, doc_id LIMIT 10
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5

@@ -126,3 +126,49 @@ def bm25_topk(ds, query: str, k: int = 10, k1: float = 1.2, b: float = 0.75,
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def hybrid_search(docs_ds, emb_ds, query_text: str, query_vec,
+                  k: int = 10, pool: int = 50, rrf_k: int = 60,
+                  id_col: str = "doc_id", emb_id_col: str = "vec_id",
+                  ndigits: int = 6):
+    """Hybrid lexical+semantic retrieval: reciprocal-rank fusion of the
+    BM25 top-``pool`` and the embedding-cosine top-``pool``.
+
+    rrf(d) = 1/(rrf_k + rank_bm25(d)) + 1/(rrf_k + rank_cos(d)), with a
+    missing ranking contributing 0 (the standard RRF formulation).
+    Fusion runs on RANKS (ints), so cross-engine float noise can't leak
+    into the fused ordering as long as each leg's own ordering is
+    deterministic — both legs rank by (rounded score desc, id asc),
+    which their oracles replicate. Cost: the two leg operators (both
+    streaming with per-block partial top-k) + a pool-sized driver merge.
+    """
+    from .similarity import brute_force_topk
+
+    lex = bm25_topk(docs_ds, query_text, k=pool, ndigits=4,
+                    id_col=id_col)
+    lex = lex.rename(columns={id_col: "id"})
+    lex["rank_b"] = np.arange(1, len(lex) + 1, dtype=np.int64)
+
+    sem = brute_force_topk(emb_ds, query_vec, k=pool,
+                           id_col=emb_id_col).to_pandas()
+    sem = sem.rename(columns={emb_id_col: "id"})
+    sem["rank_c"] = np.arange(1, len(sem) + 1, dtype=np.int64)
+
+    fused = lex[["id", "rank_b"]].merge(sem[["id", "rank_c"]],
+                                        on="id", how="outer")
+    rb = fused["rank_b"].to_numpy(dtype=np.float64, na_value=np.inf)
+    rc = fused["rank_c"].to_numpy(dtype=np.float64, na_value=np.inf)
+    rrf = 1.0 / (rrf_k + rb) + 1.0 / (rrf_k + rc)
+    from ..functions.num import round_half_away
+
+    fused["rrf"] = round_half_away(rrf, ndigits)
+    out = (
+        fused[["id", "rrf"]]
+        .sort_values(["rrf", "id"], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+        .rename(columns={"id": id_col})
+    )
+    out[id_col] = out[id_col].astype("int64")
+    return out

@@ -189,3 +189,33 @@ def test_decontaminate_drop_and_empty_eval(ray_session):
     # empty eval set: nothing flagged
     none = decontaminate(rd.from_arrow(tr), rd.from_arrow(_docs_table([])), k=5)
     assert none.to_pandas()["contaminated"].tolist() == [False, False]
+
+
+def test_hybrid_search_rrf_fusion(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.relevance import hybrid_search
+
+    # doc 0: strong in BOTH legs; doc 1: lexical only; vec 2: semantic only
+    docs = _docs_table(["hash join hash join", "hash join", "nothing here"])
+    emb = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [0.0, 1.0], [0.9, 0.1]],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    out = hybrid_search(
+        rd.from_arrow(docs), rd.from_arrow(emb), "hash join", [1.0, 0.0], k=3
+    )
+    # semantic leg ranks ALL vectors (cos 0 still places): doc0 rank 1,
+    # vec2 rank 2 (cos≈0.994), vec1 rank 3. lexical: doc0 rank 1 (higher
+    # tf), doc1 rank 2, doc2 absent. So doc0 = 1/61+1/61, doc1 =
+    # 1/62+1/63, doc2 = 1/62 — hand-computed RRF, fused order 0,1,2.
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    import math
+    assert math.isclose(out["rrf"][0], round(2 / 61, 6), abs_tol=1e-9)
+    assert math.isclose(out["rrf"][1], round(1 / 62 + 1 / 63, 6), abs_tol=1e-9)
+    assert math.isclose(out["rrf"][2], round(1 / 62, 6), abs_tol=1e-9)
