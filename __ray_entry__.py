@@ -318,6 +318,7 @@ def _q1_pricing(sf_dir: str):
             "sum_disc": ("l_discount", "sum"),
             "n": ("l_quantity", "count"),
         },
+        final_blocks=1,  # 6 distinct keys << block count
     )
 
     def rounded(t: pa.Table) -> pa.Table:
@@ -352,6 +353,7 @@ def _q_orders_by_segment(sf_dir: str):
         keys=["c_mktsegment"],
         spec={"n_orders": ("o_totalprice", "count"),
               "total": ("o_totalprice", "sum")},
+        final_blocks=1,  # 5 distinct segments
     )
     return out.map_batches(
         lambda t: pa.table(
@@ -589,6 +591,7 @@ def _q_doc_stats(sf_dir: str):
     out = grouped_agg(
         ds,
         keys=["lang"],
+        final_blocks=1,  # 5 distinct langs
         spec={
             "n": ("n_chars", "count"),
             "sum_chars": ("n_chars", "sum"),

@@ -57,11 +57,22 @@ def final_agg(partials, keys: list[str], spec: dict[str, tuple[str, str]]):
 
 
 def grouped_agg(ds, keys: list[str], spec: dict[str, tuple[str, str]],
-                batch_size: int = 65536):
-    """partial-per-block + tiny final shuffle, in one call."""
+                batch_size: int = 65536, final_blocks: int | None = None):
+    """partial-per-block + tiny final shuffle, in one call.
+
+    ``final_blocks``: coalesce the (key × block)-sized partials to this
+    many blocks before the final groupby. Pass a small number (usually
+    1) when the key cardinality is at or below the input block count —
+    Ray's sort shuffle sizes reducers to the input block count, and
+    reducers ≥ distinct keys produce empty zero-schema reduce blocks
+    (executor schema-divergence warnings). Leave None for
+    high-cardinality keys, where the partials legitimately need
+    parallel reduction."""
     partials = ds.map_batches(
         partial_agg(keys, spec), batch_format="pyarrow", batch_size=batch_size
     )
+    if final_blocks is not None:
+        partials = partials.repartition(final_blocks)
     return final_agg(partials, keys, spec)
 
 
