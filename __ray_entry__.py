@@ -732,6 +732,46 @@ def _q_hybrid(sf_dir: str):
     return hybrid_search(docs, emb, "hash join window", qv, k=10)
 
 
+def _q_kmeans(sf_dir: str):
+    """Distributed k-means over the embeddings table: fit 8 centroids
+    (10 Lloyd iterations, broadcast-centroid + combiner-partial shape),
+    assign every vector, return per-cluster sizes + rounded inertia.
+    Rows-only check; local gate: tests/test_kmeans.py."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from hikma_engine_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents, _ = kmeans_fit(emb, k=8, iters=10)
+    assigned = kmeans_assign(emb, cents)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"cluster": t["cluster"], "dist2": t["dist2"]})
+            .group_by(["cluster"])
+            .aggregate([("dist2", "sum"), ("dist2", "count")])
+        )
+        return g.rename_columns(["cluster", "inertia", "n"])
+
+    out = (
+        assigned.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .groupby("cluster")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "cluster": [int(g["cluster"].iloc[0])],
+                    "n": [int(g["n"].sum())],
+                    "inertia": [round(float(g["inertia"].sum()), 2)],
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+    return out.sort("cluster")
+
+
 def _q_decontam(sf_dir: str):
     """Eval-set decontamination (stages/decontam.py): eval = the
     deterministic md5 < '08' slice (~3%), train = the complement;
@@ -1115,6 +1155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified,
         "decontam": _q_decontam,
         "hybrid_search": _q_hybrid,
+        "kmeans_clusters": _q_kmeans,
         "exact_dedup": _q_exact_dedup,
         "text_search": _q_text_search,
         "langid": _q_langid,
@@ -1609,4 +1650,7 @@ def oracle_sql() -> dict[str, str]:
         #   dup_clusters    components over LSH-derived pairs
         #                   (tests/test_components.py: distributed
         #                   star-contraction ≡ union-find)
+        #   kmeans_clusters distributed Lloyd's (iterative; no SQL twin)
+        #                   (tests/test_kmeans.py: engine ≡ serial
+        #                   reference, block-layout-invariant assignments)
     }
