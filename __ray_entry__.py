@@ -732,6 +732,19 @@ def _q_hybrid(sf_dir: str):
     return hybrid_search(docs, emb, "hash join window", qv, k=10)
 
 
+def _q_pack(sf_dir: str):
+    """Sequence packing (stages/packing.py): distributed prefix scan
+    assigns each doc to a 500-token training pack."""
+    from hikma_engine_ray.stages.packing import pack_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        pack_documents(ds, budget=500)
+        .select_columns(["doc_id", "n_tokens", "pack_id"])
+        .sort("doc_id")
+    )
+
+
 def _q_kmeans(sf_dir: str):
     """Distributed k-means over the embeddings table: fit 8 centroids
     (10 Lloyd iterations, broadcast-centroid + combiner-partial shape),
@@ -1156,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam": _q_decontam,
         "hybrid_search": _q_hybrid,
         "kmeans_clusters": _q_kmeans,
+        "pack_docs": _q_pack,
         "exact_dedup": _q_exact_dedup,
         "text_search": _q_text_search,
         "langid": _q_langid,
@@ -1409,6 +1423,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
                   CASE WHEN lang = 'en' THEN '20' ELSE '80' END
             ORDER BY doc_id
+        """,
+        "pack_docs": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       END :: BIGINT AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   (coalesce(sum(n_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // 500) :: BIGINT AS pack_id
+            FROM t ORDER BY doc_id
         """,
         "decontam": r"""
             WITH ev AS (

@@ -219,3 +219,25 @@ def test_hybrid_search_rrf_fusion(ray_session):
     assert math.isclose(out["rrf"][0], round(2 / 61, 6), abs_tol=1e-9)
     assert math.isclose(out["rrf"][1], round(1 / 62 + 1 / 63, 6), abs_tol=1e-9)
     assert math.isclose(out["rrf"][2], round(1 / 62, 6), abs_tol=1e-9)
+
+
+def test_pack_documents_prefix_scan(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.packing import pack_documents
+
+    texts = [f"{'tok ' * (i % 9 + 1)}".strip() for i in range(60)]
+    tbl = _docs_table(texts)
+    # serial reference: exclusive running sum // budget, id order
+    toks = [len(t.split()) for t in texts]
+    before = np.concatenate(([0], np.cumsum(toks)[:-1]))
+    want = (before // 17).tolist()
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(nblocks)
+        got = pack_documents(ds, budget=17).to_pandas().sort_values("doc_id")
+        assert got["pack_id"].tolist() == want, nblocks
+        assert got["n_tokens"].tolist() == toks
+    # every pack except possibly the last holds >= budget-overshoot docs:
+    # contiguous rule => pack token sums in [budget - max_doc, budget + max_doc]
+    sums = got.groupby("pack_id")["n_tokens"].sum()
+    assert (sums.iloc[:-1] >= 17 - max(toks) + 1).all()
