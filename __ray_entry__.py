@@ -732,6 +732,16 @@ def _q_hybrid(sf_dir: str):
     return hybrid_search(docs, emb, "hash join window", qv, k=10)
 
 
+def _q_normalize(sf_dir: str):
+    """Canonical text normalization (NFC + lower + ws-collapse + trim)."""
+    from hikma_engine_ray.stages.text import normalize_text_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        normalize_text_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "text_norm"])
+
+
 def _q_pack(sf_dir: str):
     """Sequence packing (stages/packing.py): distributed prefix scan
     assigns each doc to a 500-token training pack."""
@@ -1170,6 +1180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search": _q_hybrid,
         "kmeans_clusters": _q_kmeans,
         "pack_docs": _q_pack,
+        "normalize_text": _q_normalize,
         "exact_dedup": _q_exact_dedup,
         "text_search": _q_text_search,
         "langid": _q_langid,
@@ -1423,6 +1434,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
                   CASE WHEN lang = 'en' THEN '20' ELSE '80' END
             ORDER BY doc_id
+        """,
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(text)),
+                                       '\s+', ' ', 'g')) AS text_norm
+            FROM documents
         """,
         "pack_docs": r"""
             WITH t AS (

@@ -246,3 +246,19 @@ def stratified_sample(ds, strata_col: str, rates: dict[str, float],
         return out.select(keep_cols) if keep_cols else out
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Canonical text normalization before fingerprinting/dedup: NFC
+    unicode normalization, lowercase, collapse whitespace runs to one
+    space, trim. Emitted as ``text_norm`` so raw text survives for
+    provenance. Rules chosen to be SQL-replicable verbatim
+    (nfc_normalize → lower → regexp_replace '\\s+' → trim)."""
+    import unicodedata
+
+    texts = batch[text_col].to_pylist()
+    out = [
+        _WS.sub(" ", unicodedata.normalize("NFC", (t or "")).lower()).strip()
+        for t in texts
+    ]
+    return batch.append_column("text_norm", pa.array(out, pa.string()))
