@@ -1676,13 +1676,22 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             ORDER BY score DESC, e.vec_id LIMIT 10
         """,
+        # ann_ivf probes nprobe = ncentroids (every partition), so its
+        # result is EXACT by construction — the brute-force oracle
+        # applies; the IVF pruning-recall trade (nprobe < ncentroids) is
+        # gated separately in test_readside.py::test_ivf_matches_bruteforce
+        "ann_ivf": """
+            WITH q AS (SELECT embedding :: DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding :: DOUBLE[], q.qv), 6) AS score
+            FROM embeddings e, q
+            ORDER BY score DESC, e.vec_id LIMIT 10
+        """,
         # Not SQL-expressible → rows-only driver check; local gates named:
         #   kg_*            golden oracle P/R=1.0 (tests/test_pipeline.py,
         #                   test_corpus_golden.py, test_stats.py)
         #   fingerprint     winnowed rolling crc32 — procedural windowing,
         #                   no SQL analog (tests/test_text_kernels.py)
-        #   ann_ivf         trained centroids (driver-side kmeans state)
-        #                   (tests/test_readside.py::test_ivf_matches_bruteforce)
         #   minhash_pairs   seeded blake2b minhash banding
         #                   (tests/test_dedup_scale.py kernel-parity +
         #                   joined-verify equivalence)
