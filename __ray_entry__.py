@@ -837,6 +837,42 @@ def _q_exact_dedup(sf_dir: str):
     return exact_dedup(ds).select_columns(["doc_id", "content_md5"])
 
 
+def _q_dedup_delta(sf_dir: str):
+    """Incremental dedup: treat doc_id < 250 as the prior corpus (its
+    content hashes = the persisted fingerprint index) and the rest as
+    the delta batch; admit only delta docs whose content is new —
+    exact_dedup within the delta, bloom anti_join vs the index."""
+    import hashlib as _hl
+
+    import pyarrow as pa
+
+    from hikma_engine_ray.stages.dedup_suite import dedup_delta
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(lo: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.less(batch["doc_id"], 250)
+            return batch.filter(mask if lo else pc.invert(mask))
+
+        return fn
+
+    prior = docs.map_batches(side(True), batch_format="pyarrow")
+
+    def hash_prior(batch: pa.Table) -> pa.Table:
+        hs = [
+            _hl.md5((t or "").encode("utf-8", "surrogatepass")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table({"content_md5": pa.array(hs, pa.string())})
+
+    index = prior.map_batches(hash_prior, batch_format="pyarrow")
+    delta = docs.map_batches(side(False), batch_format="pyarrow")
+    return dedup_delta(delta, index).sort("doc_id")
+
+
 def _q_text_search(sf_dir: str):
     """LIKE filter ordered shortest-first (T5 semantics,
     enhanced-search-service.ts:218-242)."""
@@ -1181,6 +1217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans,
         "pack_docs": _q_pack,
         "normalize_text": _q_normalize,
+        "dedup_delta": _q_dedup_delta,
         "exact_dedup": _q_exact_dedup,
         "text_search": _q_text_search,
         "langid": _q_langid,
@@ -1566,6 +1603,18 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM documents GROUP BY md5(text)
+        """,
+        "dedup_delta": """
+            WITH prior AS (
+                SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250
+            ),
+            delta AS (
+                SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
+                FROM documents WHERE doc_id >= 250 GROUP BY md5(text)
+            )
+            SELECT doc_id, content_md5 FROM delta
+            WHERE content_md5 NOT IN (SELECT h FROM prior)
+            ORDER BY doc_id
         """,
         "text_search": """
             SELECT doc_id, n_chars FROM documents

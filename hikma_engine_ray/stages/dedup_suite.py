@@ -825,3 +825,36 @@ def _repeat_list_array(arr: pa.Array, times: int) -> pa.Array:
     (row i → positions i*times..i*times+times-1)."""
     idx = np.repeat(np.arange(len(arr), dtype=np.int64), times)
     return arr.take(pa.array(idx))
+
+
+def dedup_delta(new_ds, index_ds, text_col: str = "text",
+                id_col: str = "doc_id", hash_col: str = "content_md5",
+                nbuckets: int = 32):
+    """Incremental corpus hygiene: dedup a DELTA batch of documents
+    against a persisted fingerprint index from prior runs (the
+    batch-over-delta pattern — state/delta.py owns the watermarking,
+    this owns the dedup semantics).
+
+    Two stages, both scale-shaped:
+      1. exact_dedup WITHIN the delta (min-id per content hash — the
+         delta can self-duplicate);
+      2. bloom ``anti_join`` of the survivors against the index's hash
+         column: index hashes fold into a fixed-size bitmap (tree-OR
+         reduce, broadcast once), definite-new docs stream through with
+         no join, and only bloom hits pay the exact bucketed join that
+         recovers false positives.
+
+    Returns the surviving (id, hash) rows — the set to append to the
+    index and admit to the corpus. The index side is never collected:
+    at 100 TB it is a partitioned Parquet dataset of hashes and only
+    its bitmap (fixed ``num_bits``) and its distinct keys for the
+    hit-sliver join ever move."""
+    from .bloom import anti_join
+
+    survivors = exact_dedup(new_ds, text_col=text_col, id_col=id_col,
+                            nbuckets=nbuckets).select_columns(
+        [id_col, hash_col]
+    )
+    index_keys = index_ds.select_columns([hash_col])
+    return anti_join(survivors, index_keys, on=[hash_col],
+                     nbuckets=nbuckets)

@@ -241,3 +241,30 @@ def test_pack_documents_prefix_scan(ray_session):
     # contiguous rule => pack token sums in [budget - max_doc, budget + max_doc]
     sums = got.groupby("pack_id")["n_tokens"].sum()
     assert (sums.iloc[:-1] >= 17 - max(toks) + 1).all()
+
+
+def test_dedup_delta_against_index(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.dedup_suite import dedup_delta
+
+    # prior corpus content: "a", "b"; delta: one self-dup pair ("c"
+    # twice), one doc duplicating prior content ("a"), one new doc
+    delta = pa.table(
+        {"doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+         "text": pa.array(["c", "c", "a", "d"], pa.string())}
+    )
+    import hashlib
+    index = pa.table(
+        {"content_md5": pa.array(
+            [hashlib.md5(t.encode()).hexdigest() for t in ("a", "b")],
+            pa.string())}
+    )
+    out = (
+        dedup_delta(rd.from_arrow(delta), rd.from_arrow(index))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # survivors: 10 ("c", min-id of the self-dup) and 13 ("d"); 11 is a
+    # delta self-dup, 12 duplicates the prior corpus
+    assert out["doc_id"].tolist() == [10, 13]
