@@ -732,6 +732,19 @@ def _q_hybrid(sf_dir: str):
     return hybrid_search(docs, emb, "hash join window", qv, k=10)
 
 
+def _q_freq_items(sf_dir: str):
+    """Exact top-10 tokens via two-pass Misra-Gries (no shuffle: block
+    summaries merge on the driver, candidates are counted exactly in a
+    broadcast second pass) — the scale path token_vocab's one-row-per-
+    distinct-token-per-block shuffle can't take at 10^9-token vocabularies."""
+    from hikma_engine_ray.stages.freq import frequent_items
+
+    ds = _read(sf_dir, "documents", ["text"])
+    out = frequent_items(ds, k=10, capacity=4096)
+    assert out["n"].min() > out.attrs["threshold"]  # exactness guarantee holds
+    return out
+
+
 def _q_normalize(sf_dir: str):
     """Canonical text normalization (NFC + lower + ws-collapse + trim)."""
     from hikma_engine_ray.stages.text import normalize_text_batch
@@ -1218,6 +1231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_docs": _q_pack,
         "normalize_text": _q_normalize,
         "dedup_delta": _q_dedup_delta,
+        "freq_items": _q_freq_items,
         "exact_dedup": _q_exact_dedup,
         "text_search": _q_text_search,
         "langid": _q_langid,
@@ -1471,6 +1485,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
                   CASE WHEN lang = 'en' THEN '20' ELSE '80' END
             ORDER BY doc_id
+        """,
+        "freq_items": r"""
+            SELECT token AS item, count(*) :: BIGINT AS n
+            FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS token
+                  FROM documents)
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY n DESC, item
+            LIMIT 10
         """,
         "normalize_text": r"""
             SELECT doc_id,

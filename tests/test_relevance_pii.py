@@ -268,3 +268,39 @@ def test_dedup_delta_against_index(ray_session):
     # survivors: 10 ("c", min-id of the self-dup) and 13 ("d"); 11 is a
     # delta self-dup, 12 duplicates the prior corpus
     assert out["doc_id"].tolist() == [10, 13]
+
+
+def test_frequent_items_exact_under_guarantee(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.freq import frequent_items
+
+    texts = [
+        "apple " * (10 if i % 2 == 0 else 1) + f"rare{i} banana banana cherry"
+        for i in range(200)
+    ]
+    ds = rd.from_arrow(_docs_table(texts)).repartition(8)
+    out = frequent_items(ds, k=3, capacity=64)
+    # exact counts: apple 100*10+100*1, banana 2/doc, cherry 1/doc
+    assert out.to_dict("records") == [
+        {"item": "apple", "n": 1100},
+        {"item": "banana", "n": 400},
+        {"item": "cherry", "n": 200},
+    ]
+    assert out["n"].min() > out.attrs["threshold"]
+    # block-layout invariance
+    one = frequent_items(rd.from_arrow(_docs_table(texts)), k=3, capacity=64)
+    assert one.equals(out)
+
+
+def test_frequent_items_whole_value_mode_and_empty(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.freq import frequent_items
+
+    vals = ["x"] * 5 + ["y"] * 3 + ["z"]
+    ds = rd.from_arrow(_docs_table(vals))
+    out = frequent_items(ds, k=2, capacity=16, item_fn=lambda v: [v])
+    assert out.to_dict("records") == [{"item": "x", "n": 5}, {"item": "y", "n": 3}]
+    empty = frequent_items(rd.from_arrow(_docs_table([])), k=2)
+    assert len(empty) == 0
