@@ -732,6 +732,20 @@ def _q_hybrid(sf_dir: str):
     return hybrid_search(docs, emb, "hash join window", qv, k=10)
 
 
+def _q_kll_price(sf_dir: str):
+    """Approximate price quantiles via the KLL sketch (per-block
+    partials, driver merge, no shuffle). Rows-only check — a sketch has
+    no exact SQL twin; local gate: tests/test_kll.py (≤2-3% rank error
+    vs exact, merge ≡ single stream, layout determinism)."""
+    import pandas as pd
+
+    from hikma_engine_ray.stages.kll import kll_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    out = kll_quantiles(ds, "l_extendedprice", [0.1, 0.5, 0.9])
+    return pd.DataFrame([out])
+
+
 def _q_freq_items(sf_dir: str):
     """Exact top-10 tokens via two-pass Misra-Gries (no shuffle: block
     summaries merge on the driver, candidates are counted exactly in a
@@ -1232,6 +1246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize,
         "dedup_delta": _q_dedup_delta,
         "freq_items": _q_freq_items,
+        "kll_price": _q_kll_price,
         "exact_dedup": _q_exact_dedup,
         "text_search": _q_text_search,
         "langid": _q_langid,
@@ -1780,4 +1795,7 @@ def oracle_sql() -> dict[str, str]:
         #   kmeans_clusters distributed Lloyd's (iterative; no SQL twin)
         #                   (tests/test_kmeans.py: engine ≡ serial
         #                   reference, block-layout-invariant assignments)
+        #   kll_price       KLL quantile sketch (approximate by design)
+        #                   (tests/test_kll.py: ≤2-3% rank error vs
+        #                   exact, merge ≡ single-stream, determinism)
     }
