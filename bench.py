@@ -150,7 +150,8 @@ def run_bench() -> dict:
         "q1_pricing", "orders_by_segment", "events_window", "doc_sha256",
         "token_count", "token_vocab", "doc_sample", "exact_dedup",
         "ann_topk", "minhash_pairs", "dup_clusters", "simhash_pairs",
-        "embed_neardup", "bm25_topk", "pii_scan",
+        "embed_neardup", "bm25_topk", "pii_scan", "hybrid_search",
+        "pack_docs", "dedup_delta", "freq_items",
     ):
         tq = time.monotonic()
         res = qs[name](SF_DIR)
