@@ -1188,6 +1188,113 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(stats, batch_format="pyarrow")
 
 
+def _q_dup_ngram(sf_dir: str):
+    """Exact duplicated-substring detection (stages/substr.py): per-doc
+    token-8-gram spans shared with >= 2 distinct documents, interval
+    union coverage. Distributed shingle-hash equivalent of suffix-array
+    substring dedup (Lee et al. 2022)."""
+    from hikma_engine_ray.stages.substr import dup_ngram_coverage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_ngram_coverage(ds, L=8).sort("doc_id")
+
+
+def _q_lm_score(sf_dir: str):
+    """Unigram LM log-prob quality scoring (stages/lm.py): add-one
+    smoothed unigram trained on the corpus itself, per-doc mean token
+    log-probability (the cheap perplexity-filter stand-in)."""
+    from hikma_engine_ray.stages.lm import lm_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lm_score(ds).sort("doc_id")
+
+
+def _q_pack_tokens(sf_dir: str):
+    """Tokenizer-aware sequence packing: the pack budget counts BPE-ish
+    subword tokens (alpha runs / digit runs / single marks) instead of
+    whitespace words — the budget then approximates a real tokenizer's
+    context-window cost."""
+    from hikma_engine_ray.stages.packing import pack_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        pack_documents(ds, budget=800, cost="bpe")
+        .select_columns(["doc_id", "n_tokens", "pack_id"])
+        .sort("doc_id")
+    )
+
+
+def _q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP over (returnflag, linestatus): subtotals at every
+    key prefix + grand total from ONE corpus pass (coarser levels
+    re-aggregate the finest cells — stages/agg.py rollup_agg)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.stages.agg import rollup_agg
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    out = rollup_agg(
+        ds.map_batches(revenue, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        spec={
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_revenue": ("revenue", "sum"),
+            "n": ("l_quantity", "count"),
+        },
+    )
+
+    def rounded(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": _r4(t["sum_qty"]),
+            "sum_revenue": _r4(t["sum_revenue"]),
+            "n": t["n"],
+        })
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
+def _q_kg_pagerank(sf_dir: str):
+    """PageRank centrality over the built KG's edges (stages/
+    pagerank.py, damped power iteration, broadcast-rank path with a
+    join-path fallback past 20M nodes). Top-20 nodes by rank. Rows-only
+    driver check; local gate: tests/test_pagerank.py (vs dense numpy
+    reference and broadcast≡join equivalence)."""
+    import pyarrow as pa
+
+    from hikma_engine_ray.functions.num import round_half_away
+    from hikma_engine_ray.stages.pagerank import pagerank
+
+    edges = _kg(sf_dir)["triples"].select_columns(["subj", "obj"])
+    ranks = pagerank(edges, src_col="subj", dst_col="obj", iters=10)
+
+    def rounded(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"],
+            "rank": pa.array(
+                round_half_away(
+                    __import__("numpy").asarray(t["rank"].to_pylist()), 6
+                ),
+                pa.float64(),
+            ),
+        })
+
+    return (
+        ranks.map_batches(rounded, batch_format="pyarrow")
+        .sort(["rank", "node"], descending=[True, False])
+        .limit(20)
+    )
+
+
 # ----------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1247,6 +1354,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_delta": _q_dedup_delta,
         "freq_items": _q_freq_items,
         "kll_price": _q_kll_price,
+        "dup_ngram_cov": _q_dup_ngram,
+        "lm_score": _q_lm_score,
+        "pack_tokens": _q_pack_tokens,
+        "rollup_revenue": _q_rollup,
+        "kg_pagerank": _q_kg_pagerank,
         "exact_dedup": _q_exact_dedup,
         "text_search": _q_text_search,
         "langid": _q_langid,
@@ -1798,4 +1910,87 @@ def oracle_sql() -> dict[str, str]:
         #   kll_price       KLL quantile sketch (approximate by design)
         #                   (tests/test_kll.py: ≤2-3% rank error vs
         #                   exact, merge ≡ single-stream, determinism)
+        #   kg_pagerank     damped power iteration (iterative; no SQL
+        #                   twin) (tests/test_pagerank.py: engine ≡
+        #                   dense numpy reference, broadcast ≡ join path)
+        # exact duplicated-substring spans: token-8-gram windows shared
+        # by >= 2 docs, interval-union coverage (gaps-and-islands is
+        # closed-form for fixed-length windows: break when gap > L)
+        "dup_ngram_cov": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text,'')), '\S+') AS toks
+              FROM documents
+            ), e AS (
+              SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS gram
+              FROM t, unnest(generate_series(1, greatest(len(toks)-7, 0))) AS u(i)
+              WHERE len(toks) >= 8
+            ), dup AS (
+              SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) c
+                                FROM (SELECT DISTINCT doc_id, gram FROM e)
+                                GROUP BY gram)
+              WHERE c >= 2
+            ), hits AS (SELECT e.doc_id, e.i FROM e JOIN dup USING (gram)),
+            isl AS (
+              SELECT doc_id, i,
+                     i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i),
+                                  -100000) AS d
+              FROM hits
+            ), cov AS (
+              SELECT doc_id, count(*)::BIGINT AS n_dup_grams,
+                     sum(least(d, 8))::BIGINT AS dup_tokens
+              FROM isl GROUP BY doc_id
+            )
+            SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+                   greatest(len(t.toks)-7, 0)::BIGINT AS n_grams,
+                   coalesce(cov.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+                   coalesce(cov.dup_tokens, 0)::BIGINT AS dup_tokens,
+                   round(coalesce(cov.dup_tokens, 0)
+                         / greatest(len(t.toks), 1)::DOUBLE, 6) AS dup_cov
+            FROM t LEFT JOIN cov USING (doc_id) ORDER BY t.doc_id
+        """,
+        # add-one-smoothed unigram LM trained on the corpus itself;
+        # doc score = mean ln p(token) over the doc's tokens
+        "lm_score": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS token
+              FROM documents
+            ), tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+            vocab AS (SELECT token, count(*)::DOUBLE AS c FROM tok2 GROUP BY token),
+            stats AS (SELECT sum(c) AS n, count(*)::DOUBLE AS v FROM vocab),
+            scored AS (
+              SELECT t.doc_id, count(*)::BIGINT AS n_tok,
+                     avg(ln((vocab.c + 1) / (stats.n + stats.v))) AS lp
+              FROM tok2 t JOIN vocab USING (token) CROSS JOIN stats
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id, coalesce(s.n_tok, 0)::BIGINT AS n_tok,
+                   round(coalesce(s.lp, 0), 6) AS lm_logprob
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+            ORDER BY d.doc_id
+        """,
+        # tokenizer-aware packing: BPE-ish subword cost (alpha runs,
+        # digit runs, single marks), budget 800, contiguous-greedy rule
+        "pack_tokens": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) :: BIGINT AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   (coalesce(sum(n_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // 800) :: BIGINT AS pack_id
+            FROM t ORDER BY doc_id
+        """,
+        "rollup_revenue": f"""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), {_ROUND}) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), {_ROUND}) AS sum_revenue,
+                   count(*) AS n
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
     }

@@ -152,6 +152,8 @@ def run_bench() -> dict:
         "ann_topk", "minhash_pairs", "dup_clusters", "simhash_pairs",
         "embed_neardup", "bm25_topk", "pii_scan", "hybrid_search",
         "pack_docs", "dedup_delta", "freq_items",
+        "dup_ngram_cov", "lm_score", "pack_tokens", "rollup_revenue",
+        "kg_pagerank",
     ):
         tq = time.monotonic()
         res = qs[name](SF_DIR)

@@ -76,6 +76,49 @@ def grouped_agg(ds, keys: list[str], spec: dict[str, tuple[str, str]],
     return final_agg(partials, keys, spec)
 
 
+def rollup_agg(ds, keys: list[str], spec: dict[str, tuple[str, str]],
+               batch_size: int = 65536, final_blocks: int | None = 1):
+    """GROUP BY ROLLUP(keys): subtotal rows at every key prefix plus the
+    grand total, rolled-up key columns NULL (ANSI ROLLUP semantics).
+
+    One corpus pass computes the FINEST level (combiner-first via
+    grouped_agg); every coarser level re-aggregates the finest RESULT —
+    rows = finest-group count, never the corpus — valid because the
+    spec kinds are all decomposable (sum of sums, sum of counts, min of
+    mins, max of maxs). The classic rollup-from-finest-cells plan; the
+    corpus is never read twice."""
+    finest = grouped_agg(ds, keys, spec, batch_size, final_blocks).materialize()
+    schema = finest.schema()
+    key_type = {k: schema.types[schema.names.index(k)] for k in keys}
+    out_cols = list(spec.keys())
+    order = keys + out_cols
+
+    def pad(present: tuple):
+        def fn(t: pa.Table) -> pa.Table:
+            for k in keys:
+                if k not in present:
+                    t = t.append_column(k, pa.nulls(t.num_rows, key_type[k]))
+            return t.select(order)
+
+        return fn
+
+    levels = [finest.map_batches(pad(tuple(keys)), batch_format="pyarrow")]
+    for k in range(len(keys) - 1, -1, -1):
+        sub = keys[:k]
+        if sub:
+            lvl = final_agg(finest, sub, spec)
+        else:
+            const = finest.map_batches(
+                lambda t: t.append_column(
+                    "__all", pa.array([0] * t.num_rows, pa.int8())
+                ),
+                batch_format="pyarrow",
+            )
+            lvl = final_agg(const, ["__all"], spec).drop_columns(["__all"])
+        levels.append(lvl.map_batches(pad(tuple(sub)), batch_format="pyarrow"))
+    return levels[0].union(*levels[1:])
+
+
 def distinct_count(ds, value_cols: list[str], group_cols: list[str] | None = None,
                    nbuckets: int = 32):
     """Exact COUNT(DISTINCT value_cols) [per group_cols], combiner-first:

@@ -31,10 +31,19 @@ import numpy as np
 import pyarrow as pa
 
 _WS = re.compile(r"\s+")
+# tokenizer-aware cost: the BPE-ish subword rule shared with
+# text.token_stats_batch (alpha runs, digit runs, single marks) — the
+# budget then approximates a real tokenizer's sequence length instead
+# of whitespace word count
+_BPE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
 
 
-def _token_counts(texts) -> np.ndarray:
+def _token_counts(texts, cost: str = "ws") -> np.ndarray:
     out = np.empty(len(texts), dtype=np.int64)
+    if cost == "bpe":
+        for i, t in enumerate(texts):
+            out[i] = len(_BPE.findall(t or ""))
+        return out
     for i, t in enumerate(texts):
         s = (t or "").strip()
         out[i] = len(_WS.split(s)) if s else 0
@@ -42,14 +51,15 @@ def _token_counts(texts) -> np.ndarray:
 
 
 def pack_documents(ds, budget: int, text_col: str = "text",
-                   id_col: str = "doc_id"):
+                   id_col: str = "doc_id", cost: str = "ws"):
     """Append ``n_tokens`` and ``pack_id`` columns. ``budget`` is the
-    pack's token capacity. Two streaming passes; driver holds one row
-    per block."""
+    pack's token capacity; ``cost`` picks the per-doc length rule
+    ("ws" whitespace words, "bpe" subword regex). Two streaming
+    passes; driver holds one row per block."""
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
-        toks = _token_counts(batch[text_col].to_pylist())
+        toks = _token_counts(batch[text_col].to_pylist(), cost)
         if not ids:
             return pa.table({"bmin": pa.array([], pa.int64()),
                              "total": pa.array([], pa.int64())})
@@ -74,7 +84,7 @@ def pack_documents(ds, budget: int, text_col: str = "text",
     def assign(batch: pa.Table) -> pa.Table:
         offs = ray.get(ref)
         ids = batch[id_col].to_pylist()
-        toks = _token_counts(batch[text_col].to_pylist())
+        toks = _token_counts(batch[text_col].to_pylist(), cost)
         if not ids:
             batch = batch.append_column("n_tokens", pa.array([], pa.int64()))
             return batch.append_column("pack_id", pa.array([], pa.int64()))

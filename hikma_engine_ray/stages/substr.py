@@ -1,0 +1,245 @@
+"""Exact duplicated-substring (n-gram span) detection — the distributed
+shingle-hash equivalent of suffix-array exact substring dedup (Lee et
+al., "Deduplicating Training Data Makes Language Models Better", ACL
+2022: a span is duplicated iff some length-L token window inside it
+occurs in >= 2 distinct documents; merged windows reconstruct the
+maximal duplicated spans the suffix array would report, at token
+granularity).
+
+Beyond the reference's operator set (hikma-engine dedups whole entities
+by content hash only — key-manager.ts/id scheme); this is the
+training-corpus curation stage that finds REPEATED PASSAGES (license
+boilerplate, quoted headers, mirrored paragraphs) across documents.
+
+Ray-Data-first shape, no driver materialization of the corpus:
+
+  pass 1  map_batches combiner: per doc -> distinct rolling gram hashes
+          (uint64 polynomial over polars-hashed tokens, fully
+          vectorized); per BLOCK pre-sum (gram, n_docs) partials so the
+          groupby shuffles one row per distinct gram per block.
+  reduce  groupby(gh).sum -> grams with n_docs >= 2 (the "dup set").
+  pass 2  the dup set is count-guarded: if it fits the driver budget it
+          is broadcast ONCE via ray.put as a sorted uint64 array and
+          membership is a vectorized searchsorted inside a second
+          streaming pass (zero extra shuffle); past the budget the
+          fallback emits (doc, pos, gh) occurrence rows and runs the
+          exact Bloom semi-join (bloom.py) + per-doc map_groups merge —
+          both paths equivalence-tested.
+
+Interval union is closed-form for fixed-length windows: with sorted dup
+positions p_0..p_{k-1}, |union [p_i, p_i+L)| = L + sum_i min(p_i -
+p_{i-1}, L) — no per-interval loop.
+
+100 TB note: pass 1's shuffle carries (uint64, int64) rows, one per
+distinct gram per block — the token-scale analog of the suffix-array
+build, and the only all-to-all in the operator. The dup set is tiny on
+natural corpora (dups are the exception); a boilerplate-heavy corpus
+that overflows `driver_limit` takes the semi-join path, which never
+holds more than one doc's positions in any single task.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+
+_P = np.uint64(1099511628211)  # FNV64 prime; rolling-hash base (mod 2^64)
+_SEED = 7
+
+
+def _doc_token_hashes(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace tokens of lower(text) per doc (the jaccard/token_count
+    rule) -> flat uint64 token-hash array + per-doc offsets. One polars
+    hash pass over the whole batch's tokens, no per-token Python hash."""
+    import polars as pl
+
+    toks = [(t or "").lower().split() for t in texts]
+    lens = np.fromiter((len(x) for x in toks), dtype=np.int64, count=len(toks))
+    flat = list(itertools.chain.from_iterable(toks))
+    th = (
+        pl.Series(flat, dtype=pl.String).hash(seed=_SEED).to_numpy().astype(np.uint64)
+        if flat
+        else np.empty(0, np.uint64)
+    )
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    return th, offs
+
+
+def _gram_hashes(th_doc: np.ndarray, L: int) -> np.ndarray:
+    """Rolling polynomial gram hash: gh[i] = sum_j th[i+j] * P^(L-1-j)
+    mod 2^64. Vectorized sliding windows; uint64 wraps by design."""
+    n = th_doc.size
+    if n < L:
+        return np.empty(0, np.uint64)
+    pw = _P ** np.arange(L - 1, -1, -1, dtype=np.uint64)
+    w = np.lib.stride_tricks.sliding_window_view(th_doc, L)
+    return (w * pw[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def _dup_gram_keys(ds, text_col: str, L: int):
+    """Pass 1: Dataset of (gh) keys occurring in >= 2 distinct docs."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        th, offs = _doc_token_hashes(batch[text_col].to_pylist())
+        per_doc = [
+            np.unique(_gram_hashes(th[offs[i] : offs[i + 1]], L))
+            for i in range(batch.num_rows)
+        ]
+        per_doc = [g for g in per_doc if g.size]
+        if not per_doc:
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             "nd": pa.array([], pa.int64())})
+        gh, nd = np.unique(np.concatenate(per_doc), return_counts=True)
+        # int64 bit-view: Ray's sort shuffle keeps native int64 blocks
+        # (uint64 keys fall back to pickled-object extension blocks)
+        return pa.table({"gh": pa.array(gh.view(np.int64), pa.int64()),
+                         "nd": pa.array(nd, pa.int64())})
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gh")
+        .aggregate(Sum("nd", alias_name="nd"))
+    )
+    import pyarrow.compute as pc
+
+    return totals.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["nd"], 2)).select(["gh"]),
+        batch_format="pyarrow",
+    )
+
+
+def _coverage_columns(batch: pa.Table, mask_per_doc: list[np.ndarray],
+                      lens: np.ndarray, L: int,
+                      id_col: str) -> pa.Table:
+    """Assemble the per-doc output columns from dup-position masks."""
+    from ..functions.num import round_half_away
+
+    n = batch.num_rows
+    n_grams = np.maximum(lens - (L - 1), 0)
+    n_dup = np.zeros(n, dtype=np.int64)
+    dup_tok = np.zeros(n, dtype=np.int64)
+    for i, mask in enumerate(mask_per_doc):
+        if mask is None or not mask.any():
+            continue
+        pos = np.nonzero(mask)[0]
+        n_dup[i] = pos.size
+        dup_tok[i] = L + np.minimum(np.diff(pos), L).sum()
+    cov = round_half_away(dup_tok / np.maximum(lens, 1), 6)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_tokens": pa.array(lens, pa.int64()),
+        "n_grams": pa.array(n_grams, pa.int64()),
+        "n_dup_grams": pa.array(n_dup, pa.int64()),
+        "dup_tokens": pa.array(dup_tok, pa.int64()),
+        "dup_cov": pa.array(cov, pa.float64()),
+    })
+
+
+def dup_ngram_coverage(ds, text_col: str = "text", id_col: str = "doc_id",
+                       L: int = 8, driver_limit: int = 2_000_000,
+                       nbuckets: int = 32):
+    """Per-doc duplicated-span stats: (id, n_tokens, n_grams,
+    n_dup_grams, dup_tokens, dup_cov). ``dup_tokens`` is the token
+    length of the union of all duplicated length-L windows; ``dup_cov``
+    its fraction of the doc. Count-guarded broadcast with an exact
+    distributed semi-join fallback (see module docstring)."""
+    import ray
+
+    dup_keys = _dup_gram_keys(ds, text_col, L).materialize()
+    if dup_keys.count() <= driver_limit:
+        arr = np.sort(dup_keys.to_pandas()["gh"].to_numpy().astype(np.int64))
+        ref = ray.put(arr)
+
+        def score(batch: pa.Table) -> pa.Table:
+            dups = ray.get(ref)  # zero-copy plasma view per worker
+            th, offs = _doc_token_hashes(batch[text_col].to_pylist())
+            lens = np.diff(offs)
+            masks = []
+            for i in range(batch.num_rows):
+                gh = _gram_hashes(th[offs[i] : offs[i + 1]], L).view(np.int64)
+                if not gh.size or not dups.size:
+                    masks.append(None)
+                    continue
+                idx = np.searchsorted(dups, gh)
+                idx[idx == dups.size] = 0
+                masks.append(dups[idx] == gh)
+            return _coverage_columns(batch, masks, lens, L, id_col)
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # distributed fallback: occurrence rows -> exact Bloom semi-join vs
+    # the dup-key set -> per-doc merge -> left join back onto doc stats
+    from .bloom import semi_join
+    from .joins import bucketed_join
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        th, offs = _doc_token_hashes(batch[text_col].to_pylist())
+        ids = batch[id_col].to_pylist()
+        out_id, out_pos, out_gh = [], [], []
+        for i in range(batch.num_rows):
+            gh = _gram_hashes(th[offs[i] : offs[i + 1]], L).view(np.int64)
+            if gh.size:
+                out_id.append(np.full(gh.size, ids[i], dtype=np.int64))
+                out_pos.append(np.arange(gh.size, dtype=np.int64))
+                out_gh.append(gh)
+        if not out_id:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "gh": pa.array([], pa.int64())})
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "pos": pa.array(np.concatenate(out_pos), pa.int64()),
+            "gh": pa.array(np.concatenate(out_gh), pa.int64()),
+        })
+
+    occ = ds.map_batches(occurrences, batch_format="pyarrow")
+    hits = semi_join(occ, dup_keys, on=["gh"], nbuckets=nbuckets)
+
+    def merge(group: pa.Table) -> pa.Table:
+        pos = np.sort(np.asarray(group["pos"].to_pylist(), dtype=np.int64))
+        dup_tok = int(L + np.minimum(np.diff(pos), L).sum()) if pos.size else 0
+        return pa.table({
+            id_col: group[id_col][:1],
+            "n_dup_grams": pa.array([pos.size], pa.int64()),
+            "dup_tokens": pa.array([dup_tok], pa.int64()),
+        })
+
+    per_doc = hits.groupby(id_col).map_groups(merge, batch_format="pyarrow")
+
+    def base_stats(batch: pa.Table) -> pa.Table:
+        th, offs = _doc_token_hashes(batch[text_col].to_pylist())
+        lens = np.diff(offs)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array(lens, pa.int64()),
+            "n_grams": pa.array(np.maximum(lens - (L - 1), 0), pa.int64()),
+        })
+
+    base = ds.map_batches(base_stats, batch_format="pyarrow")
+    joined = bucketed_join(base, per_doc, on=[id_col], nbuckets=nbuckets,
+                           how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..functions.num import round_half_away
+
+        nd = pc.fill_null(batch["n_dup_grams"], 0)
+        dt = pc.fill_null(batch["dup_tokens"], 0)
+        lens = np.asarray(batch["n_tokens"].to_pylist(), dtype=np.int64)
+        cov = round_half_away(
+            np.asarray(dt.to_pylist(), dtype=np.int64) / np.maximum(lens, 1), 6
+        )
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": batch["n_tokens"],
+            "n_grams": batch["n_grams"],
+            "n_dup_grams": pc.cast(nd, pa.int64()),
+            "dup_tokens": pc.cast(dt, pa.int64()),
+            "dup_cov": pa.array(cov, pa.float64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

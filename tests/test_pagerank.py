@@ -1,0 +1,95 @@
+"""PageRank gates: engine (both iteration shapes) vs a dense numpy
+power-iteration reference; broadcast ≡ join path equivalence."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _dense_pagerank(edges, damping=0.85, iters=10):
+    """Serial dense reference with dangling-mass redistribution."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for a, b in edges:
+        M[idx[b], idx[a]] += 1.0
+    outdeg = M.sum(axis=0)
+    dangling = outdeg == 0
+    cols = np.where(dangling, 1.0, outdeg)
+    M = M / cols
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - damping) / n + damping * (M @ r + r[dangling].sum() / n)
+    return dict(zip(nodes, r))
+
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+    ("e", "d"), ("e", "c"), ("f", "f"), ("g", "a"),  # g dangles nowhere? g->a
+    ("h", "c"),  # h has out-edge; i is a pure sink (dangling)
+    ("c", "i"),
+]
+
+
+def _edges_ds():
+    import ray.data as rd
+
+    t = pa.table({
+        "src": pa.array([a for a, _ in EDGES], pa.string()),
+        "dst": pa.array([b for _, b in EDGES], pa.string()),
+    })
+    return rd.from_arrow(t).repartition(4)
+
+
+def _as_dict(ds):
+    df = ds.to_pandas()
+    return dict(zip(df["node"], df["rank"]))
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    from hikma_engine_ray.stages.pagerank import pagerank
+
+    got = _as_dict(pagerank(_edges_ds(), iters=10))
+    want = _dense_pagerank(EDGES, iters=10)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9), k
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_join_path_equivalent(ray_session):
+    from hikma_engine_ray.stages.pagerank import pagerank
+
+    fast = _as_dict(pagerank(_edges_ds(), iters=6))
+    # driver_limit=1 forces the fully distributed join iteration
+    slow = _as_dict(pagerank(_edges_ds(), iters=6, driver_limit=1,
+                             nbuckets=4))
+    assert set(fast) == set(slow)
+    for k in fast:
+        assert slow[k] == pytest.approx(fast[k], rel=1e-9), k
+
+
+def test_pagerank_skewed_indegree(ray_session):
+    """A hub every node points at (the stdlib-import shape) still sums
+    to 1 and ranks the hub first."""
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.pagerank import pagerank
+
+    spokes = [f"n{i}" for i in range(50)]
+    edges = [(s, "hub") for s in spokes] + [("hub", "n0")]
+    t = pa.table({
+        "src": pa.array([a for a, _ in edges], pa.string()),
+        "dst": pa.array([b for _, b in edges], pa.string()),
+    })
+    got = _as_dict(pagerank(rd.from_arrow(t).repartition(8), iters=10))
+    want = _dense_pagerank(edges, iters=10)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9), k
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # the hub and its sole successor hold nearly all the mass
+    assert got["hub"] + got["n0"] > 0.7
+    # at convergence (more iterations) the hub dominates
+    got50 = _as_dict(pagerank(rd.from_arrow(t).repartition(8), iters=50))
+    assert max(got50, key=got50.get) == "hub"

@@ -1,0 +1,178 @@
+"""Gates for the round-3 text operators: duplicated-substring coverage
+(engine vs serial reference; broadcast ≡ semi-join fallback), unigram
+LM scoring (engine vs serial; broadcast ≡ join fallback), rollup
+aggregate vs pandas, and tokenizer-aware packing vs serial greedy."""
+
+import math
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog again and again today",
+    "a completely different document with no shared passages at all here",
+    "the quick brown fox jumps over the lazy dog again and again tonight",
+    "short doc",
+    "",
+    "license header apache version two license header apache version two "
+    "license header apache version two",
+    "unrelated filler text that only appears once in this tiny corpus ok",
+    "license header apache version two license header apache version two "
+    "and some unique suffix trailing words here",
+]
+
+
+def _docs_ds(texts=DOCS):
+    import ray.data as rd
+
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    return rd.from_arrow(t).repartition(3)
+
+
+def _serial_dup_cov(texts, L=8):
+    toks = [t.lower().split() for t in texts]
+    from collections import defaultdict
+
+    docs_of = defaultdict(set)
+    for d, tk in enumerate(toks):
+        for i in range(max(len(tk) - L + 1, 0)):
+            docs_of[" ".join(tk[i : i + L])].add(d)
+    dup = {g for g, ds in docs_of.items() if len(ds) >= 2}
+    out = []
+    for d, tk in enumerate(toks):
+        pos = [i for i in range(max(len(tk) - L + 1, 0))
+               if " ".join(tk[i : i + L]) in dup]
+        if pos:
+            dup_tok = L + sum(min(b - a, L) for a, b in zip(pos, pos[1:]))
+        else:
+            dup_tok = 0
+        out.append({
+            "doc_id": d, "n_tokens": len(tk),
+            "n_grams": max(len(tk) - L + 1, 0),
+            "n_dup_grams": len(pos), "dup_tokens": dup_tok,
+            "dup_cov": round(dup_tok / max(len(tk), 1), 6),
+        })
+    return out
+
+
+def test_dup_ngram_matches_serial(ray_session):
+    from hikma_engine_ray.stages.substr import dup_ngram_coverage
+
+    got = dup_ngram_coverage(_docs_ds(), L=8).to_pandas() \
+        .sort_values("doc_id").to_dict("records")
+    want = _serial_dup_cov(DOCS, L=8)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for k in w:
+            assert math.isclose(g[k], w[k], rel_tol=1e-9), (g["doc_id"], k, g[k], w[k])
+    # sanity: the repeated license boilerplate is detected cross-doc
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[0]["n_dup_grams"] > 0 and by_id[2]["n_dup_grams"] > 0
+    assert by_id[5]["dup_cov"] > 0.5
+    assert by_id[1]["n_dup_grams"] == 0
+    assert by_id[4]["n_tokens"] == 0 and by_id[4]["dup_cov"] == 0.0
+
+
+def test_dup_ngram_fallback_path_equivalent(ray_session):
+    """driver_limit=0 forces the Bloom-semi-join + map_groups path."""
+    from hikma_engine_ray.stages.substr import dup_ngram_coverage
+
+    fast = dup_ngram_coverage(_docs_ds(), L=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    slow = dup_ngram_coverage(_docs_ds(), L=8, driver_limit=0,
+                              nbuckets=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert fast.equals(slow), (fast, slow)
+
+
+def _serial_lm(texts):
+    tok = re.compile(r"[a-z0-9_]+")
+    docs = [tok.findall(t.lower()) for t in texts]
+    from collections import Counter
+
+    c = Counter(t for d in docs for t in d)
+    denom = sum(c.values()) + len(c)
+    out = []
+    for i, d in enumerate(docs):
+        lp = (sum(math.log((c[t] + 1) / denom) for t in d) / len(d)) if d else 0.0
+        out.append({"doc_id": i, "n_tok": len(d), "lm_logprob": round(lp, 6)})
+    return out
+
+
+def test_lm_score_matches_serial(ray_session):
+    from hikma_engine_ray.stages.lm import lm_score
+
+    got = lm_score(_docs_ds()).to_pandas().sort_values("doc_id") \
+        .to_dict("records")
+    want = _serial_lm(DOCS)
+    for g, w in zip(got, want):
+        assert g["n_tok"] == w["n_tok"], g["doc_id"]
+        assert g["lm_logprob"] == pytest.approx(w["lm_logprob"], abs=2e-6), g["doc_id"]
+    # repeated boilerplate tokens are higher-probability than rare ones
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[5]["lm_logprob"] > by_id[1]["lm_logprob"]
+
+
+def test_lm_score_join_path_equivalent(ray_session):
+    from hikma_engine_ray.stages.lm import lm_score
+
+    fast = lm_score(_docs_ds()).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    slow = lm_score(_docs_ds(), driver_limit=0, nbuckets=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(fast["n_tok"]) == list(slow["n_tok"])
+    assert np.allclose(fast["lm_logprob"], slow["lm_logprob"], atol=1e-9)
+
+
+def test_rollup_agg_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.agg import rollup_agg
+
+    rng = np.random.default_rng(5)
+    n = 1000
+    t = pa.table({
+        "k1": pa.array(rng.choice(["a", "b", "c"], n)),
+        "k2": pa.array(rng.choice(["x", "y"], n)),
+        "v": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+    })
+    out = rollup_agg(
+        rd.from_arrow(t).repartition(5), ["k1", "k2"],
+        {"s": ("v", "sum"), "n": ("v", "count"), "mx": ("v", "max")},
+    ).to_pandas()
+    df = t.to_pandas()
+    finest = df.groupby(["k1", "k2"])["v"].agg(["sum", "count", "max"])
+    assert len(out) == len(finest) + df["k1"].nunique() + 1
+
+    def row(k1, k2):
+        m = out[(out.k1.isna() if k1 is None else (out.k1 == k1))
+                & (out.k2.isna() if k2 is None else (out.k2 == k2))]
+        assert len(m) == 1, (k1, k2, m)
+        return m.iloc[0]
+
+    for (k1, k2), w in finest.iterrows():
+        r = row(k1, k2)
+        assert (r.s, r.n, r.mx) == (w["sum"], w["count"], w["max"])
+    lvl1 = df.groupby("k1")["v"].agg(["sum", "count", "max"])
+    for k1, w in lvl1.iterrows():
+        r = row(k1, None)
+        assert (r.s, r.n, r.mx) == (w["sum"], w["count"], w["max"])
+    g = row(None, None)
+    assert (g.s, g.n, g.mx) == (df.v.sum(), n, df.v.max())
+
+
+def test_pack_bpe_cost_matches_serial(ray_session):
+    from hikma_engine_ray.stages.packing import pack_documents
+
+    bpe = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+    got = pack_documents(_docs_ds(), budget=20, cost="bpe").to_pandas() \
+        .sort_values("doc_id")
+    counts = [len(bpe.findall(t)) for t in DOCS]
+    before = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    assert list(got["n_tokens"]) == counts
+    assert list(got["pack_id"]) == list(before // 20)
