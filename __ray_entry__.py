@@ -1295,6 +1295,69 @@ def _q_kg_pagerank(sf_dir: str):
     )
 
 
+def _q_cube(sf_dir: str):
+    """GROUP BY CUBE over (orderstatus, orderpriority): all four
+    grouping sets derived from one corpus pass (agg.cube_agg)."""
+    import pyarrow as pa
+
+    from hikma_engine_ray.stages.agg import cube_agg
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    out = cube_agg(
+        ds,
+        keys=["o_orderstatus", "o_orderpriority"],
+        spec={"total": ("o_totalprice", "sum"),
+              "n": ("o_totalprice", "count")},
+    )
+
+    def rounded(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "o_orderpriority": t["o_orderpriority"],
+            "total": _r4(t["total"]),
+            "n": t["n"],
+        })
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
+def _q_quantile_filter(sf_dir: str):
+    """Percentile-threshold corpus filter: keep docs at or above the
+    exact 10th percentile of n_chars — quality gating by distribution
+    position, the composition of the exact distributed quantile
+    (agg.grouped_quantiles with a constant key) and a streaming
+    filter."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.stages.agg import grouped_quantiles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    tagged = ds.map_batches(
+        lambda t: t.append_column("__g", pa.array([0] * t.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    )
+    qrow = grouped_quantiles(tagged, ["__g"], "n_chars", [0.10],
+                             nbuckets=1).take_all()
+    thr = int(qrow[0]["q10"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_chars"], thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    exponential keys; stages/text.weighted_sample): 15 docs drawn with
+    probability proportional to n_chars, deterministically."""
+    from hikma_engine_ray.stages.text import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(ds, weight_col="n_chars", k=15)
+
+
 # ----------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1358,6 +1421,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": _q_lm_score,
         "pack_tokens": _q_pack_tokens,
         "rollup_revenue": _q_rollup,
+        "cube_orders": _q_cube,
+        "quantile_filter": _q_quantile_filter,
+        "weighted_sample": _q_weighted_sample,
         "kg_pagerank": _q_kg_pagerank,
         "exact_dedup": _q_exact_dedup,
         "text_search": _q_text_search,
@@ -1992,5 +2058,30 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), {_ROUND}) AS sum_revenue,
                    count(*) AS n
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "cube_orders": f"""
+            SELECT o_orderstatus, o_orderpriority,
+                   round(sum(o_totalprice), {_ROUND}) AS total,
+                   count(*) AS n
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "quantile_filter": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.10)
+                              FROM documents)
+            ORDER BY doc_id
+        """,
+        # Efraimidis–Spirakis weighted sample: u from the first 8 md5
+        # hex chars (the hash_sample idiom), key = ln(u)/w, top-k keys
+        "weighted_sample": """
+            SELECT doc_id, n_chars,
+                   round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             + 1) / 4294967296.0)
+                         / greatest(n_chars, 1), 6) AS skey
+            FROM documents
+            ORDER BY ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         + 1) / 4294967296.0)
+                     / greatest(n_chars, 1) DESC, doc_id
+            LIMIT 15
         """,
     }

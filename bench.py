@@ -146,6 +146,10 @@ def run_bench() -> dict:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    # kg_pagerank runs over the _kg() graph; warm that cache UNTIMED so
+    # its entry measures the rank iterations, not a second KG build
+    # (the build is already the headline metric above).
+    entrymod._kg(SF_DIR)
     for name in (
         "q1_pricing", "orders_by_segment", "events_window", "doc_sha256",
         "token_count", "token_vocab", "doc_sample", "exact_dedup",
@@ -153,6 +157,7 @@ def run_bench() -> dict:
         "embed_neardup", "bm25_topk", "pii_scan", "hybrid_search",
         "pack_docs", "dedup_delta", "freq_items",
         "dup_ngram_cov", "lm_score", "pack_tokens", "rollup_revenue",
+        "cube_orders", "quantile_filter", "weighted_sample",
         "kg_pagerank",
     ):
         tq = time.monotonic()

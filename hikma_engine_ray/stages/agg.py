@@ -76,17 +76,19 @@ def grouped_agg(ds, keys: list[str], spec: dict[str, tuple[str, str]],
     return final_agg(partials, keys, spec)
 
 
-def rollup_agg(ds, keys: list[str], spec: dict[str, tuple[str, str]],
-               batch_size: int = 65536, final_blocks: int | None = 1):
-    """GROUP BY ROLLUP(keys): subtotal rows at every key prefix plus the
-    grand total, rolled-up key columns NULL (ANSI ROLLUP semantics).
+def grouping_sets_agg(ds, keys: list[str], spec: dict[str, tuple[str, str]],
+                      sets: list[tuple[str, ...]],
+                      batch_size: int = 65536,
+                      final_blocks: int | None = 1):
+    """GROUP BY GROUPING SETS: one result row-set per key subset in
+    ``sets``, absent key columns NULL (ANSI semantics).
 
     One corpus pass computes the FINEST level (combiner-first via
-    grouped_agg); every coarser level re-aggregates the finest RESULT —
-    rows = finest-group count, never the corpus — valid because the
-    spec kinds are all decomposable (sum of sums, sum of counts, min of
-    mins, max of maxs). The classic rollup-from-finest-cells plan; the
-    corpus is never read twice."""
+    grouped_agg over all of ``keys``); every requested set re-aggregates
+    the finest RESULT — rows = finest-group count, never the corpus —
+    valid because the spec kinds are all decomposable (sum of sums, sum
+    of counts, min of mins, max of maxs). The classic
+    rollup-from-finest-cells plan; the corpus is never read twice."""
     finest = grouped_agg(ds, keys, spec, batch_size, final_blocks).materialize()
     schema = finest.schema()
     key_type = {k: schema.types[schema.names.index(k)] for k in keys}
@@ -102,11 +104,13 @@ def rollup_agg(ds, keys: list[str], spec: dict[str, tuple[str, str]],
 
         return fn
 
-    levels = [finest.map_batches(pad(tuple(keys)), batch_format="pyarrow")]
-    for k in range(len(keys) - 1, -1, -1):
-        sub = keys[:k]
-        if sub:
-            lvl = final_agg(finest, sub, spec)
+    levels = []
+    for sub in sets:
+        sub = tuple(sub)
+        if set(sub) == set(keys):
+            lvl = finest
+        elif sub:
+            lvl = final_agg(finest, list(sub), spec)
         else:
             const = finest.map_batches(
                 lambda t: t.append_column(
@@ -115,8 +119,27 @@ def rollup_agg(ds, keys: list[str], spec: dict[str, tuple[str, str]],
                 batch_format="pyarrow",
             )
             lvl = final_agg(const, ["__all"], spec).drop_columns(["__all"])
-        levels.append(lvl.map_batches(pad(tuple(sub)), batch_format="pyarrow"))
-    return levels[0].union(*levels[1:])
+        levels.append(lvl.map_batches(pad(sub), batch_format="pyarrow"))
+    return levels[0].union(*levels[1:]) if len(levels) > 1 else levels[0]
+
+
+def rollup_agg(ds, keys: list[str], spec: dict[str, tuple[str, str]],
+               batch_size: int = 65536, final_blocks: int | None = 1):
+    """GROUP BY ROLLUP(keys): every key prefix + grand total."""
+    sets = [tuple(keys[:k]) for k in range(len(keys), -1, -1)]
+    return grouping_sets_agg(ds, keys, spec, sets, batch_size, final_blocks)
+
+
+def cube_agg(ds, keys: list[str], spec: dict[str, tuple[str, str]],
+             batch_size: int = 65536, final_blocks: int | None = 1):
+    """GROUP BY CUBE(keys): every key subset (2^|keys| grouping sets),
+    all derived from the one finest pass."""
+    import itertools
+
+    sets = []
+    for r in range(len(keys), -1, -1):
+        sets.extend(itertools.combinations(keys, r))
+    return grouping_sets_agg(ds, keys, spec, sets, batch_size, final_blocks)
 
 
 def distinct_count(ds, value_cols: list[str], group_cols: list[str] | None = None,

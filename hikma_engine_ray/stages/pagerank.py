@@ -71,7 +71,8 @@ def _distinct_nodes(edges, src_col: str, dst_col: str):
 
 def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
              damping: float = 0.85, iters: int = 10,
-             driver_limit: int = 20_000_000, nbuckets: int = 32):
+             driver_limit: int = 20_000_000, nbuckets: int = 32,
+             dense_limit_bytes: int = 8 * 1024 * 1024):
     """Edge Dataset (src, dst strings) → Dataset (node, rank). Ranks
     sum to 1.0 (up to float error)."""
     import ray
@@ -86,12 +87,13 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
         )
     if n <= driver_limit:
         return _pagerank_broadcast(edges, nodes, src_col, dst_col,
-                                   damping, iters, n)
+                                   damping, iters, n, dense_limit_bytes)
     return _pagerank_join(edges, nodes, src_col, dst_col, damping, iters,
                           n, nbuckets)
 
 
-def _pagerank_broadcast(edges, nodes, src_col, dst_col, damping, iters, n):
+def _pagerank_broadcast(edges, nodes, src_col, dst_col, damping, iters, n,
+                        dense_limit_bytes):
     import ray
     from ray.data.aggregate import Sum
 
@@ -129,10 +131,34 @@ def _pagerank_broadcast(edges, nodes, src_col, dst_col, damping, iters, n):
     dangling_mask = outdeg == 0.0
     safe_deg = np.where(dangling_mask, 1.0, outdeg)
 
+    # dense fast path: one map execution per iteration, per-block dense
+    # contribution vectors (n × 8 bytes) summed on the driver — no sort
+    # shuffle. Past the byte budget, sparse partials + groupby reduce.
+    dense = n * 8 <= dense_limit_bytes  # bounded per-block partial size
+
     rank = np.full(n, 1.0 / n, dtype=np.float64)
     for _ in range(iters):
         share = rank / safe_deg
         sref, rdang = ray.put(share), float(rank[dangling_mask].sum())
+        base = (1.0 - damping) / n + damping * rdang / n
+
+        if dense:
+            def contrib_dense(t: pa.Table, _sref=sref) -> pa.Table:
+                sh = ray.get(_sref)
+                si = np.asarray(t["si"].to_pylist(), dtype=np.int64)
+                di = np.asarray(t["di"].to_pylist(), dtype=np.int64)
+                acc = np.zeros(n, dtype=np.float64)
+                np.add.at(acc, di, sh[si])
+                return pa.table({"v": pa.array([acc.tobytes()], pa.binary())})
+
+            parts = indexed.map_batches(
+                contrib_dense, batch_format="pyarrow", batch_size=None
+            ).to_pandas()
+            total = np.zeros(n, dtype=np.float64)
+            for b in parts["v"]:
+                total += np.frombuffer(b, dtype=np.float64)
+            rank = base + damping * total
+            continue
 
         def contrib(t: pa.Table, _sref=sref) -> pa.Table:
             sh = ray.get(_sref)
@@ -148,8 +174,7 @@ def _pagerank_broadcast(edges, nodes, src_col, dst_col, damping, iters, n):
             indexed.map_batches(contrib, batch_format="pyarrow")
             .groupby("i").aggregate(Sum("v", alias_name="v")).to_pandas()
         )
-        rank = np.full(n, (1.0 - damping) / n + damping * rdang / n,
-                       dtype=np.float64)
+        rank = np.full(n, base, dtype=np.float64)
         if len(rows):
             rank[rows["i"].to_numpy()] += damping * rows["v"].to_numpy()
 

@@ -248,6 +248,50 @@ def stratified_sample(ds, strata_col: str, rates: dict[str, float],
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def weighted_sample(ds, weight_col: str, id_col: str = "doc_id",
+                    k: int = 15):
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis–Spirakis (2006) exponential-key scheme: each row gets
+    key = ln(u) / w with u a deterministic pseudo-random in (0, 1]
+    derived from md5(str(id)); the k LARGEST keys are a weighted sample
+    without replacement (equivalent to ranking u^(1/w)).
+
+    Distributed shape: stateless key map + per-block partial top-k →
+    a (k × blocks)-row global sort. No shuffle of the corpus; same
+    rows on every run/engine (the md5 idiom hash_sample uses), so it
+    carries a DuckDB oracle ('0x'||substr(md5(id),1,8) casts to the
+    identical 32-bit integer)."""
+    from ..functions.num import round_half_away
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        w = np.asarray(batch[weight_col].to_pylist(), dtype=np.float64)
+        h = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+             for i in ids),
+            dtype=np.float64, count=len(ids),
+        )
+        u = (h + 1.0) / 4294967296.0
+        key = np.log(u) / np.maximum(w, 1.0)
+        keep = (np.argpartition(-key, min(k, key.size) - 1)[:k]
+                if key.size > k else np.arange(key.size))
+        out = batch.take(pa.array(np.sort(keep)))
+        return out.append_column(
+            "skey", pa.array(key[np.sort(keep)], pa.float64())
+        )
+
+    top = ds.map_batches(part, batch_format="pyarrow") \
+        .sort(["skey", id_col], descending=[True, False]).limit(k)
+
+    def rounded(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("skey"), "skey",
+            round_half_away(t["skey"], 6),
+        )
+
+    return top.map_batches(rounded, batch_format="pyarrow")
+
+
 def normalize_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Canonical text normalization before fingerprinting/dedup: NFC
     unicode normalization, lowercase, collapse whitespace runs to one

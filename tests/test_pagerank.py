@@ -70,6 +70,18 @@ def test_pagerank_join_path_equivalent(ray_session):
         assert slow[k] == pytest.approx(fast[k], rel=1e-9), k
 
 
+def test_pagerank_sparse_reduce_equivalent(ray_session):
+    """dense_limit_bytes=0 forces the sparse groupby reduce inside the
+    broadcast path; results are identical to the dense fast path."""
+    from hikma_engine_ray.stages.pagerank import pagerank
+
+    dense = _as_dict(pagerank(_edges_ds(), iters=6))
+    sparse = _as_dict(pagerank(_edges_ds(), iters=6, dense_limit_bytes=0))
+    assert set(dense) == set(sparse)
+    for k in dense:
+        assert sparse[k] == pytest.approx(dense[k], rel=1e-12), k
+
+
 def test_pagerank_skewed_indegree(ray_session):
     """A hub every node points at (the stdlib-import shape) still sums
     to 1 and ranks the hub first."""

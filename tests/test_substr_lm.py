@@ -166,6 +166,35 @@ def test_rollup_agg_matches_pandas(ray_session):
     assert (g.s, g.n, g.mx) == (df.v.sum(), n, df.v.max())
 
 
+def test_cube_agg_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.agg import cube_agg
+
+    rng = np.random.default_rng(7)
+    n = 600
+    t = pa.table({
+        "k1": pa.array(rng.choice(["a", "b"], n)),
+        "k2": pa.array(rng.choice(["x", "y", "z"], n)),
+        "v": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+    })
+    out = cube_agg(
+        rd.from_arrow(t).repartition(4), ["k1", "k2"],
+        {"s": ("v", "sum"), "n": ("v", "count")},
+    ).to_pandas()
+    df = t.to_pandas()
+    finest = df.groupby(["k1", "k2"])["v"].agg(["sum", "count"])
+    assert len(out) == len(finest) + 2 + 3 + 1
+    # the set ROLLUP misses: group by k2 alone
+    lvl_k2 = df.groupby("k2")["v"].agg(["sum", "count"])
+    for k2, w in lvl_k2.iterrows():
+        m = out[out.k1.isna() & (out.k2 == k2)]
+        assert len(m) == 1
+        assert (m.iloc[0].s, m.iloc[0].n) == (w["sum"], w["count"])
+    g = out[out.k1.isna() & out.k2.isna()]
+    assert len(g) == 1 and g.iloc[0].s == df.v.sum() and g.iloc[0].n == n
+
+
 def test_pack_bpe_cost_matches_serial(ray_session):
     from hikma_engine_ray.stages.packing import pack_documents
 
