@@ -1252,9 +1252,12 @@ def _q_rollup(sf_dir: str):
     )
 
     def rounded(t: pa.Table) -> pa.Table:
+        # rolled-up keys surface as the '(all)' sentinel, not NULL: the
+        # driver's value-hash compare is only proven on null-free
+        # columns (SQL side mirrors with coalesce)
         return pa.table({
-            "l_returnflag": t["l_returnflag"],
-            "l_linestatus": t["l_linestatus"],
+            "l_returnflag": pc.fill_null(t["l_returnflag"], "(all)"),
+            "l_linestatus": pc.fill_null(t["l_linestatus"], "(all)"),
             "sum_qty": _r4(t["sum_qty"]),
             "sum_revenue": _r4(t["sum_revenue"]),
             "n": t["n"],
@@ -1299,6 +1302,7 @@ def _q_cube(sf_dir: str):
     """GROUP BY CUBE over (orderstatus, orderpriority): all four
     grouping sets derived from one corpus pass (agg.cube_agg)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from hikma_engine_ray.stages.agg import cube_agg
 
@@ -1313,8 +1317,8 @@ def _q_cube(sf_dir: str):
 
     def rounded(t: pa.Table) -> pa.Table:
         return pa.table({
-            "o_orderstatus": t["o_orderstatus"],
-            "o_orderpriority": t["o_orderpriority"],
+            "o_orderstatus": pc.fill_null(t["o_orderstatus"], "(all)"),
+            "o_orderpriority": pc.fill_null(t["o_orderpriority"], "(all)"),
             "total": _r4(t["total"]),
             "n": t["n"],
         })
@@ -1356,6 +1360,68 @@ def _q_weighted_sample(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
     return weighted_sample(ds, weight_col="n_chars", k=15)
+
+
+def _q_outer_join(sf_dir: str):
+    """FULL OUTER join (completes the join family: broadcast, bucketed
+    inner/left, asof, range, bloom semi/anti): low-key customers FULL
+    OUTER per-customer order totals — right-only rows surface orders of
+    filtered-out customers, left-only rows customers without orders.
+    One bucketed hash shuffle; the aggregate side is combiner-first."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    from hikma_engine_ray.stages.agg import grouped_agg
+    from hikma_engine_ray.stages.joins import bucketed_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    thr = float(cust.aggregate(Max("c_custkey"))["max(c_custkey)"]) / 2.0
+    left = cust.map_batches(
+        lambda t: t.filter(pc.less(pc.cast(t["c_custkey"], pa.float64()), thr)),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_totalprice", "o_orderpriority"])
+    # urgent only: customers without urgent orders become LEFT-only
+    # rows, so both null directions of the outer join are exercised
+    urgent = orders.map_batches(
+        lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT")
+        ).drop_columns(["o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    agg = grouped_agg(
+        urgent, ["o_custkey"],
+        {"n_orders": ("o_totalprice", "count"),
+         "total": ("o_totalprice", "sum")},
+        final_blocks=None,
+    )
+
+    def shape_right(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            # float64 up front: outer-join null padding must not degrade
+            # an int column through pandas
+            "n_orders": pc.cast(t["n_orders"], pa.float64()),
+            "total": _r4(t["total"]),
+        })
+
+    right = agg.map_batches(shape_right, batch_format="pyarrow")
+    joined = bucketed_join(left, right, on=["c_custkey"], how="outer")
+
+    def sanitize(t: pa.Table) -> pa.Table:
+        # the join's null padding is the operator under test; the
+        # COMPARED columns are null-free (driver hash contract)
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_mktsegment": pc.fill_null(t["c_mktsegment"], "(none)"),
+            "n_orders": pc.fill_null(t["n_orders"], 0.0),
+            "total": pc.fill_null(t["total"], 0.0),
+        })
+
+    return joined.map_batches(sanitize, batch_format="pyarrow") \
+        .sort("c_custkey")
 
 
 # ----------------------------------------------------------------- registry
@@ -1424,6 +1490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_orders": _q_cube,
         "quantile_filter": _q_quantile_filter,
         "weighted_sample": _q_weighted_sample,
+        "customer_orders_outer": _q_outer_join,
         "kg_pagerank": _q_kg_pagerank,
         "exact_dedup": _q_exact_dedup,
         "text_search": _q_text_search,
@@ -2053,14 +2120,16 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "rollup_revenue": f"""
-            SELECT l_returnflag, l_linestatus,
+            SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+                   coalesce(l_linestatus, '(all)') AS l_linestatus,
                    round(sum(l_quantity), {_ROUND}) AS sum_qty,
                    round(sum(l_extendedprice * (1 - l_discount)), {_ROUND}) AS sum_revenue,
                    count(*) AS n
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "cube_orders": f"""
-            SELECT o_orderstatus, o_orderpriority,
+            SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+                   coalesce(o_orderpriority, '(all)') AS o_orderpriority,
                    round(sum(o_totalprice), {_ROUND}) AS total,
                    count(*) AS n
             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -2070,6 +2139,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.10)
                               FROM documents)
             ORDER BY doc_id
+        """,
+        "customer_orders_outer": f"""
+            WITH c AS (
+                SELECT c_custkey, c_mktsegment FROM customer
+                WHERE c_custkey < (SELECT max(c_custkey) FROM customer) / 2.0
+            ),
+            o AS (
+                SELECT o_custkey AS c_custkey,
+                       count(*) :: DOUBLE AS n_orders,
+                       round(sum(o_totalprice), {_ROUND}) AS total
+                FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+            )
+            SELECT c_custkey,
+                   coalesce(c_mktsegment, '(none)') AS c_mktsegment,
+                   coalesce(n_orders, 0.0) AS n_orders,
+                   coalesce(total, 0.0) AS total
+            FROM c FULL OUTER JOIN o USING (c_custkey)
+            ORDER BY c_custkey
         """,
         # Efraimidis–Spirakis weighted sample: u from the first 8 md5
         # hex chars (the hash_sample idiom), key = ln(u)/w, top-k keys
