@@ -1424,6 +1424,16 @@ def _q_outer_join(sf_dir: str):
         .sort("c_custkey")
 
 
+def _q_doc_percentiles(sf_dir: str):
+    """Global ranking window functions without a global sort
+    (agg.value_rank_stats): percent_rank + cume_dist of every doc's
+    n_chars from a broadcast distinct-value CDF."""
+    from hikma_engine_ray.stages.agg import value_rank_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return value_rank_stats(ds, "n_chars", "doc_id").sort("doc_id")
+
+
 # ----------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1491,6 +1501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter": _q_quantile_filter,
         "weighted_sample": _q_weighted_sample,
         "customer_orders_outer": _q_outer_join,
+        "doc_percentiles": _q_doc_percentiles,
         "kg_pagerank": _q_kg_pagerank,
         "exact_dedup": _q_exact_dedup,
         "text_search": _q_text_search,
@@ -2157,6 +2168,12 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(total, 0.0) AS total
             FROM c FULL OUTER JOIN o USING (c_custkey)
             ORDER BY c_custkey
+        """,
+        "doc_percentiles": """
+            SELECT doc_id, n_chars,
+                   round(percent_rank() OVER (ORDER BY n_chars), 6) AS pct_rank,
+                   round(cume_dist() OVER (ORDER BY n_chars), 6) AS cume_dist
+            FROM documents ORDER BY doc_id
         """,
         # Efraimidis–Spirakis weighted sample: u from the first 8 md5
         # hex chars (the hash_sample idiom), key = ln(u)/w, top-k keys

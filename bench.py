@@ -158,7 +158,7 @@ def run_bench() -> dict:
         "pack_docs", "dedup_delta", "freq_items",
         "dup_ngram_cov", "lm_score", "pack_tokens", "rollup_revenue",
         "cube_orders", "quantile_filter", "weighted_sample",
-        "customer_orders_outer", "kg_pagerank",
+        "customer_orders_outer", "doc_percentiles", "kg_pagerank",
     ):
         tq = time.monotonic()
         res = qs[name](SF_DIR)

@@ -10,6 +10,7 @@ difference between shuffling terabytes and shuffling kilobytes.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -427,6 +428,59 @@ def grouped_corr(ds, keys: list[str], x_col: str, y_col: str,
 
 
 # -------------------------------------------------------- grouped top-k
+
+def value_rank_stats(ds, value_col: str, id_col: str,
+                     driver_limit: int = 2_000_000):
+    """Global ranking window functions (percent_rank, cume_dist OVER
+    (ORDER BY value)) without a global sort: a combiner-first
+    distinct-VALUE count pass builds the cumulative distribution, which
+    is broadcast as sorted (value, rank, cum) arrays and applied in a
+    second streaming map — ranks depend only on a row's VALUE, so the
+    per-value table (≤ distinct values, count-guarded) replaces the
+    O(corpus) sort a naive rank would need. SQL tie semantics:
+    percent_rank = (min_rank_of_tie − 1)/(N − 1), cume_dist =
+    cum_count_through_tie / N."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.num import round_half_away
+
+    partials = ds.map_batches(
+        partial_agg([value_col], {"n": (value_col, "count")}),
+        batch_format="pyarrow",
+    )
+    counts = partials.groupby(value_col).aggregate(Sum("n", alias_name="n")) \
+        .materialize()
+    if counts.count() > driver_limit:
+        raise ValueError(
+            f"distinct {value_col} count exceeds driver_limit "
+            f"({driver_limit}); pre-discretize or raise the limit"
+        )
+    cdf = counts.to_pandas().sort_values(value_col, kind="stable")
+    vals = cdf[value_col].to_numpy()
+    ns = cdf["n"].to_numpy().astype(np.int64)
+    cum = ns.cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+    min_rank = np.concatenate(([1], cum[:-1] + 1)) if len(cum) else cum
+    vref = ray.put(vals)
+    rref = ray.put(min_rank.astype(np.float64))
+    cref = ray.put(cum.astype(np.float64))
+
+    def apply(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[value_col].to_pylist())
+        vv, rr, cc = ray.get(vref), ray.get(rref), ray.get(cref)
+        idx = np.searchsorted(vv, v)
+        pct = (rr[idx] - 1.0) / max(total - 1, 1)
+        cd = cc[idx] / max(total, 1)
+        return pa.table({
+            id_col: t[id_col],
+            value_col: t[value_col],
+            "pct_rank": pa.array(round_half_away(pct, 6), pa.float64()),
+            "cume_dist": pa.array(round_half_away(cd, 6), pa.float64()),
+        })
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
 
 def grouped_topk(ds, keys: list[str], sort_col: str, k: int,
                  descending: bool = True,
