@@ -1434,6 +1434,17 @@ def _q_doc_percentiles(sf_dir: str):
     return value_rank_stats(ds, "n_chars", "doc_id").sort("doc_id")
 
 
+def _q_dedup_cut(sf_dir: str):
+    """Exact substring dedup CUT stage (stages/substr.remove_dup_spans):
+    duplicated 8-gram spans removed from every doc except the gram's
+    minimal-doc keeper — one surviving copy of each duplicated passage
+    corpus-wide."""
+    from hikma_engine_ray.stages.substr import remove_dup_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return remove_dup_spans(ds, L=8).sort("doc_id")
+
+
 # ----------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1494,6 +1505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freq_items": _q_freq_items,
         "kll_price": _q_kll_price,
         "dup_ngram_cov": _q_dup_ngram,
+        "dedup_cut": _q_dedup_cut,
         "lm_score": _q_lm_score,
         "pack_tokens": _q_pack_tokens,
         "rollup_revenue": _q_rollup,
@@ -2092,6 +2104,46 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(cov.dup_tokens, 0)
                          / greatest(len(t.toks), 1)::DOUBLE, 6) AS dup_cov
             FROM t LEFT JOIN cov USING (doc_id) ORDER BY t.doc_id
+        """,
+        # substring-dedup cut: duplicated 8-grams removed everywhere but
+        # the gram's min-doc keeper; covered token positions unioned via
+        # the window expansion, survivors re-joined in position order
+        "dedup_cut": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text,''), '\S+') AS otoks,
+                     regexp_extract_all(lower(coalesce(text,'')), '\S+') AS toks
+              FROM documents
+            ), e AS (
+              SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS gram
+              FROM t, unnest(generate_series(1, greatest(len(toks)-7, 0))) AS u(i)
+              WHERE len(toks) >= 8
+            ), dup AS (
+              SELECT gram, min(doc_id) AS keeper
+              FROM (SELECT DISTINCT doc_id, gram FROM e)
+              GROUP BY gram HAVING count(*) >= 2
+            ), rm AS (
+              SELECT e.doc_id, e.i FROM e JOIN dup USING (gram)
+              WHERE dup.keeper <> e.doc_id
+            ), cov AS (
+              SELECT DISTINCT rm.doc_id, u.j
+              FROM rm, unnest(generate_series(rm.i, rm.i + 7)) AS u(j)
+            ), pos AS (
+              SELECT t.doc_id, w.j, t.otoks[w.j] AS tok
+              FROM t, unnest(generate_series(1, len(t.otoks))) AS w(j)
+            ), kept AS (
+              SELECT p.doc_id,
+                     count(*) FILTER (WHERE cov.j IS NOT NULL) :: BIGINT AS n_removed,
+                     coalesce(string_agg(p.tok, ' ' ORDER BY p.j)
+                              FILTER (WHERE cov.j IS NULL), '') AS text_clean
+              FROM pos p LEFT JOIN cov ON cov.doc_id = p.doc_id AND cov.j = p.j
+              GROUP BY p.doc_id
+            )
+            SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+                   coalesce(k.n_removed, 0)::BIGINT AS n_removed,
+                   coalesce(k.text_clean, '') AS text_clean
+            FROM t LEFT JOIN kept k USING (doc_id)
+            ORDER BY t.doc_id
         """,
         # add-one-smoothed unigram LM trained on the corpus itself;
         # doc score = mean ln p(token) over the doc's tokens

@@ -156,7 +156,8 @@ def run_bench() -> dict:
         "ann_topk", "minhash_pairs", "dup_clusters", "simhash_pairs",
         "embed_neardup", "bm25_topk", "pii_scan", "hybrid_search",
         "pack_docs", "dedup_delta", "freq_items",
-        "dup_ngram_cov", "lm_score", "pack_tokens", "rollup_revenue",
+        "dup_ngram_cov", "dedup_cut", "lm_score", "pack_tokens",
+        "rollup_revenue",
         "cube_orders", "quantile_filter", "weighted_sample",
         "customer_orders_outer", "doc_percentiles", "kg_pagerank",
     ):

@@ -78,35 +78,49 @@ def _gram_hashes(th_doc: np.ndarray, L: int) -> np.ndarray:
     return (w * pw[None, :]).sum(axis=1, dtype=np.uint64)
 
 
-def _dup_gram_keys(ds, text_col: str, L: int):
-    """Pass 1: Dataset of (gh) keys occurring in >= 2 distinct docs."""
-    from ray.data.aggregate import Sum
+def _dup_gram_keys(ds, text_col: str, L: int, id_col: str | None = None):
+    """Pass 1: Dataset of gram keys occurring in >= 2 distinct docs.
+    With ``id_col`` also carries ``keeper`` = the minimal doc id
+    containing each duplicated gram (the canonical occurrence
+    remove_dup_spans leaves in place)."""
+    from ray.data.aggregate import Min, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         th, offs = _doc_token_hashes(batch[text_col].to_pylist())
-        per_doc = [
-            np.unique(_gram_hashes(th[offs[i] : offs[i + 1]], L))
-            for i in range(batch.num_rows)
-        ]
-        per_doc = [g for g in per_doc if g.size]
+        ids = batch[id_col].to_pylist() if id_col else [0] * batch.num_rows
+        per_doc, per_min = [], []
+        for i in range(batch.num_rows):
+            g = np.unique(_gram_hashes(th[offs[i] : offs[i + 1]], L))
+            if g.size:
+                per_doc.append(g)
+                per_min.append(np.full(g.size, ids[i], dtype=np.int64))
         if not per_doc:
             return pa.table({"gh": pa.array([], pa.int64()),
-                             "nd": pa.array([], pa.int64())})
-        gh, nd = np.unique(np.concatenate(per_doc), return_counts=True)
+                             "nd": pa.array([], pa.int64()),
+                             "keeper": pa.array([], pa.int64())})
+        allg = np.concatenate(per_doc)
+        allm = np.concatenate(per_min)
         # int64 bit-view: Ray's sort shuffle keeps native int64 blocks
         # (uint64 keys fall back to pickled-object extension blocks)
+        gh, inv, nd = np.unique(allg, return_inverse=True,
+                                return_counts=True)
+        keeper = np.full(gh.size, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(keeper, inv, allm)
         return pa.table({"gh": pa.array(gh.view(np.int64), pa.int64()),
-                         "nd": pa.array(nd, pa.int64())})
+                         "nd": pa.array(nd, pa.int64()),
+                         "keeper": pa.array(keeper, pa.int64())})
 
     totals = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("gh")
-        .aggregate(Sum("nd", alias_name="nd"))
+        .aggregate(Sum("nd", alias_name="nd"),
+                   Min("keeper", alias_name="keeper"))
     )
     import pyarrow.compute as pc
 
+    cols = ["gh", "keeper"] if id_col else ["gh"]
     return totals.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["nd"], 2)).select(["gh"]),
+        lambda t: t.filter(pc.greater_equal(t["nd"], 2)).select(cols),
         batch_format="pyarrow",
     )
 
@@ -243,3 +257,80 @@ def dup_ngram_coverage(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def remove_dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
+                     L: int = 8, driver_limit: int = 2_000_000):
+    """The CUT stage of exact substring dedup (Lee et al. 2022 remove
+    duplicated passages, keep one occurrence): every duplicated
+    length-L token window is removed from every doc EXCEPT its
+    canonical keeper — the minimal doc id containing the gram, decided
+    globally in pass 1's (gram → min-doc) aggregate, so exactly one
+    copy of each duplicated passage survives the corpus with no
+    cross-doc coordination at cut time.
+
+    Output: (id, n_tokens, n_removed, text_clean). Overlapping removal
+    windows merge (difference-array union). Reconstruction joins the
+    SURVIVING ORIGINAL tokens with single spaces — the whitespace-token
+    view the dedup operates in; raw intra-token layout is preserved,
+    inter-token whitespace is normalized (dedup corpora are
+    re-tokenized downstream anyway; documented trade).
+
+    Broadcast path only (dup set count-guarded, raises past
+    ``driver_limit``): the removal decision needs (gram → keeper), a
+    result-sized map; at corpus scales where it overflows, the
+    coverage operator's semi-join shape applies the same way (join
+    occurrence rows to the keeper table)."""
+    import ray
+
+    dup = _dup_gram_keys(ds, text_col, L, id_col=id_col).materialize()
+    if dup.count() > driver_limit:
+        raise ValueError(
+            f"dup gram count exceeds driver_limit ({driver_limit}); "
+            "use the semi-join shape (see dup_ngram_coverage fallback)"
+        )
+    pdf = dup.to_pandas()
+    gh = pdf["gh"].to_numpy().astype(np.int64)
+    kp = pdf["keeper"].to_numpy().astype(np.int64)
+    order = np.argsort(gh, kind="stable")
+    gref, kref = ray.put(gh[order]), ray.put(kp[order])
+
+    def clean(batch: pa.Table) -> pa.Table:
+        ghs, kps = ray.get(gref), ray.get(kref)
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_pylist()
+        th, offs = _doc_token_hashes(texts)
+        lens = np.diff(offs)
+        n_rm = np.zeros(batch.num_rows, dtype=np.int64)
+        out_texts = []
+        for i in range(batch.num_rows):
+            # original-case tokens: lower() never changes whitespace, so
+            # positions align 1:1 with the hashed (lowered) tokens
+            orig = (texts[i] or "").split()
+            g = _gram_hashes(th[offs[i] : offs[i + 1]], L).view(np.int64)
+            if not g.size or not ghs.size:
+                out_texts.append(" ".join(orig))
+                continue
+            idx = np.searchsorted(ghs, g)
+            idx[idx == ghs.size] = 0
+            hit = (ghs[idx] == g) & (kps[idx] != ids[i])
+            if not hit.any():
+                out_texts.append(" ".join(orig))
+                continue
+            pos = np.nonzero(hit)[0]
+            delta = np.zeros(lens[i] + 1, dtype=np.int64)
+            np.add.at(delta, pos, 1)
+            np.add.at(delta, np.minimum(pos + L, lens[i]), -1)
+            covered = np.cumsum(delta[:-1]) > 0
+            n_rm[i] = int(covered.sum())
+            out_texts.append(
+                " ".join(t for t, c in zip(orig, covered) if not c)
+            )
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array(lens, pa.int64()),
+            "n_removed": pa.array(n_rm, pa.int64()),
+            "text_clean": pa.array(out_texts, pa.string()),
+        })
+
+    return ds.map_batches(clean, batch_format="pyarrow")

@@ -90,6 +90,54 @@ def test_dup_ngram_fallback_path_equivalent(ray_session):
     assert fast.equals(slow), (fast, slow)
 
 
+def _serial_cut(texts, L=8):
+    toks = [t.lower().split() for t in texts]
+    from collections import defaultdict
+
+    docs_of = defaultdict(set)
+    for d, tk in enumerate(toks):
+        for i in range(max(len(tk) - L + 1, 0)):
+            docs_of[" ".join(tk[i : i + L])].add(d)
+    keeper = {g: min(ds) for g, ds in docs_of.items() if len(ds) >= 2}
+    out = []
+    for d, tk in enumerate(toks):
+        orig = texts[d].split()
+        covered = [False] * len(tk)
+        for i in range(max(len(tk) - L + 1, 0)):
+            g = " ".join(tk[i : i + L])
+            if g in keeper and keeper[g] != d:
+                for j in range(i, min(i + L, len(tk))):
+                    covered[j] = True
+        out.append({
+            "doc_id": d, "n_tokens": len(tk),
+            "n_removed": sum(covered),
+            "text_clean": " ".join(t for t, c in zip(orig, covered) if not c),
+        })
+    return out
+
+
+def test_remove_dup_spans_matches_serial(ray_session):
+    from hikma_engine_ray.stages.substr import remove_dup_spans
+
+    got = remove_dup_spans(_docs_ds(), L=8).to_pandas() \
+        .sort_values("doc_id").to_dict("records")
+    want = _serial_cut(DOCS, L=8)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for k in ("n_tokens", "n_removed", "text_clean"):
+            assert g[k] == w[k], (g["doc_id"], k, g[k], w[k])
+    by_id = {r["doc_id"]: r for r in got}
+    # keeper semantics: doc 0 (minimal id of the 0/2 pair) keeps its
+    # text; doc 2 loses the shared passage; unique docs untouched
+    assert by_id[0]["n_removed"] == 0
+    assert by_id[2]["n_removed"] > 0
+    assert by_id[1]["text_clean"] == DOCS[1]
+    # exactly one copy of the license boilerplate survives (docs 5, 7)
+    survivors = [d for d in (5, 7)
+                 if "license header apache" in by_id[d]["text_clean"]]
+    assert len(survivors) == 1
+
+
 def _serial_lm(texts):
     tok = re.compile(r"[a-z0-9_]+")
     docs = [tok.findall(t.lower()) for t in texts]
