@@ -1445,6 +1445,57 @@ def _q_dedup_cut(sf_dir: str):
     return remove_dup_spans(ds, L=8).sort("doc_id")
 
 
+def _q_kg_components(sf_dir: str):
+    """Weakly connected components of the KG edge graph — reuses the
+    dup-cluster machinery (driver union-find ≤ limit, alternating
+    star contraction past it) on hashed node ids. Returns the
+    component-size distribution (size, n_components), largest first.
+    Rows-only driver check; local gate: tests/test_components.py
+    (distributed ≡ union-find) + tests/test_pagerank.py::
+    test_kg_component_sizes_match_serial."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from hikma_engine_ray.stages.components import dedup_clusters
+
+    import pyarrow.compute as pc
+
+    # semantic code graph only: the structural edges (CONTAINS,
+    # HAS_COMMIT, …) connect everything into one giant component;
+    # call/inheritance clusters are the informative structure
+    edges = _kg(sf_dir)["triples"].map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["pred"],
+                     value_set=pa.array(["CALLS", "EXTENDS", "IMPLEMENTS"]))
+        ).select(["subj", "obj"]),
+        batch_format="pyarrow",
+    )
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        def h(col):
+            s = pl.Series(pl.from_arrow(t[col].combine_chunks().cast(pa.string())))
+            return s.hash(seed=3).to_numpy().astype(np.uint64).view(np.int64)
+
+        return pa.table({"a": pa.array(h("subj"), pa.int64()),
+                         "b": pa.array(h("obj"), pa.int64())})
+
+    comp = dedup_clusters(edges.map_batches(to_pairs, batch_format="pyarrow"))
+    # size = non-root members per root + the root itself
+    sizes = comp.groupby("root").count().map_batches(
+        lambda t: pa.table({"size": pa.array(
+            np.asarray(t["count()"].to_pylist(), dtype=np.int64) + 1,
+            pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return (
+        sizes.groupby("size").aggregate(Count(alias_name="n_components"))
+        .sort("size", descending=True)
+        .limit(20)
+    )
+
+
 # ----------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1515,6 +1566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_orders_outer": _q_outer_join,
         "doc_percentiles": _q_doc_percentiles,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_components": _q_kg_components,
         "exact_dedup": _q_exact_dedup,
         "text_search": _q_text_search,
         "langid": _q_langid,

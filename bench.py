@@ -160,6 +160,7 @@ def run_bench() -> dict:
         "rollup_revenue",
         "cube_orders", "quantile_filter", "weighted_sample",
         "customer_orders_outer", "doc_percentiles", "kg_pagerank",
+        "kg_components",
     ):
         tq = time.monotonic()
         res = qs[name](SF_DIR)

@@ -82,6 +82,49 @@ def test_pagerank_sparse_reduce_equivalent(ray_session):
         assert sparse[k] == pytest.approx(dense[k], rel=1e-12), k
 
 
+def test_kg_component_sizes_match_serial(ray_session, built_graph):
+    """The kg_components query shape (hash node ids → dup-cluster
+    machinery → size distribution) reproduces a serial string-keyed
+    union-find's component sizes on the real built graph."""
+    from collections import Counter
+
+    import polars as pl
+
+    from hikma_engine_ray.stages.components import dedup_clusters
+
+    edges = built_graph["triples"].select_columns(["subj", "obj"])
+
+    def to_pairs(t):
+        def h(col):
+            s = pl.Series(pl.from_arrow(t[col].combine_chunks()))
+            return s.hash(seed=3).to_numpy().astype(np.uint64).view(np.int64)
+
+        return pa.table({"a": pa.array(h("subj"), pa.int64()),
+                         "b": pa.array(h("obj"), pa.int64())})
+
+    comp = dedup_clusters(edges.map_batches(to_pairs, batch_format="pyarrow"))
+    got = Counter(
+        int(r["count()"]) + 1
+        for r in comp.groupby("root").count().take_all()
+    )
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edges.take_all():
+        a, b = find(r["subj"]), find(r["obj"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    roots = Counter(find(x) for x in list(parent))
+    want = Counter(v for v in roots.values())
+    assert got == want
+
+
 def test_pagerank_skewed_indegree(ray_session):
     """A hub every node points at (the stdlib-import shape) still sums
     to 1 and ranks the hub first."""
