@@ -1496,6 +1496,31 @@ def _q_kg_components(sf_dir: str):
     )
 
 
+def _q_group_sample(sf_dir: str):
+    """Deterministic per-group sample: the 3 docs per language with the
+    smallest md5(id) — a coordination-free reservoir-per-group
+    (grouped_topk combiner: each block keeps ≤ k rows per group before
+    the shuffle, so group size never matters)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from hikma_engine_ray.stages.agg import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def add_h(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(str(i).encode()).hexdigest()
+              for i in t["doc_id"].to_pylist()]
+        return t.append_column("h", pa.array(hs, pa.string()))
+
+    top = grouped_topk(
+        ds.map_batches(add_h, batch_format="pyarrow"),
+        ["lang"], "h", k=3, descending=False, tiebreak=["doc_id"],
+    )
+    return top.select_columns(["lang", "doc_id"]).sort(["lang", "doc_id"])
+
+
 # ----------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1540,6 +1565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sha256": _q_doc_sha256,
         "token_count": _q_token_count,
         "doc_sample": _q_doc_sample,
+        "group_sample": _q_group_sample,
         "token_vocab": _q_token_vocab,
         "distinct_sources": _q_distinct_sources,
         "hll_sources": _q_hll_sources,
@@ -1680,6 +1706,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
             ORDER BY doc_id
+        """,
+        "group_sample": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 3
+            ORDER BY lang, doc_id
         """,
         "lineitem_quantiles": """
             SELECT l_returnflag,
