@@ -1521,6 +1521,53 @@ def _q_group_sample(sf_dir: str):
     return top.select_columns(["lang", "doc_id"]).sort(["lang", "doc_id"])
 
 
+def _q_events_pivot(sf_dir: str):
+    """PIVOT: per-user event matrix (one column per event type, count +
+    value sum for purchases) via indicator columns + the combiner-first
+    grouped_agg — the conditional-aggregation pivot plan, no wide
+    shuffle beyond one partial-rows groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.stages.agg import grouped_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    types = ["click", "view", "purchase"]
+
+    def indicators(t: pa.Table) -> pa.Table:
+        for ty in types:
+            m = pc.equal(t["event_type"], ty)
+            t = t.append_column(
+                f"is_{ty}", pc.cast(m, pa.int64())
+            )
+        pv = pc.if_else(pc.equal(t["event_type"], "purchase"),
+                        t["value"], pa.scalar(0.0, pa.float64()))
+        return t.append_column("purchase_value", pv)
+
+    out = grouped_agg(
+        ds.map_batches(indicators, batch_format="pyarrow"),
+        keys=["user_id"],
+        spec={
+            "n_click": ("is_click", "sum"),
+            "n_view": ("is_view", "sum"),
+            "n_purchase": ("is_purchase", "sum"),
+            "purchase_total": ("purchase_value", "sum"),
+        },
+        final_blocks=None,
+    )
+
+    def rounded(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "n_click": t["n_click"],
+            "n_view": t["n_view"],
+            "n_purchase": t["n_purchase"],
+            "purchase_total": _r4(t["purchase_total"]),
+        })
+
+    return out.map_batches(rounded, batch_format="pyarrow").sort("user_id")
+
+
 # ----------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1552,6 +1599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "events_keepbest": _q_events_keepbest_impl,
+        "events_pivot": _q_events_pivot,
         "lineitem_quantiles": _q_lineitem_quantiles,
         "qty_price_corr": _q_qty_price_corr,
         "top_orders_per_priority": _q_top_orders_per_priority,
@@ -1647,6 +1695,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, value FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id
                                        ORDER BY value DESC, event_id) = 1
+        """,
+        "events_pivot": f"""
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0),
+                         {_ROUND}) AS purchase_total
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "events_tumbling": f"""
             SELECT (epoch_us(ts) // {3600 * 1_000_000}) * {3600 * 1_000_000} AS window_start,
