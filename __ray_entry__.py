@@ -1568,6 +1568,36 @@ def _q_events_pivot(sf_dir: str):
     return out.map_batches(rounded, batch_format="pyarrow").sort("user_id")
 
 
+def _q_events_unpivot(sf_dir: str):
+    """UNPIVOT (melt): the pivot matrix back to tidy (user_id, metric,
+    n) rows — a pure stateless flat map over the pivoted table (wide →
+    long never shuffles)."""
+    import numpy as np
+    import pyarrow as pa
+
+    pivot = _q_events_pivot(sf_dir)
+    metrics = ["n_click", "n_view", "n_purchase"]
+
+    def melt(t: pa.Table) -> pa.Table:
+        users = np.asarray(t["user_id"].to_pylist(), dtype=np.int64)
+        out_u, out_m, out_n = [], [], []
+        for m in metrics:
+            out_u.append(users)
+            out_m.extend([m] * t.num_rows)
+            out_n.append(np.asarray(t[m].to_pylist(), dtype=np.int64))
+        empty = np.empty(0, np.int64)
+        return pa.table({
+            "user_id": pa.array(
+                np.concatenate(out_u) if out_u else empty, pa.int64()),
+            "metric": pa.array(out_m, pa.string()),
+            "n": pa.array(
+                np.concatenate(out_n) if out_n else empty, pa.int64()),
+        })
+
+    return pivot.map_batches(melt, batch_format="pyarrow") \
+        .sort(["user_id", "metric"])
+
+
 # ----------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1600,6 +1630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "events_keepbest": _q_events_keepbest_impl,
         "events_pivot": _q_events_pivot,
+        "events_unpivot": _q_events_unpivot,
         "lineitem_quantiles": _q_lineitem_quantiles,
         "qty_price_corr": _q_qty_price_corr,
         "top_orders_per_priority": _q_top_orders_per_priority,
@@ -1704,6 +1735,18 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0),
                          {_ROUND}) AS purchase_total
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "events_unpivot": """
+            WITH p AS (
+                SELECT user_id,
+                       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+                       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, metric, n
+            FROM p UNPIVOT (n FOR metric IN (n_click, n_view, n_purchase))
+            ORDER BY user_id, metric
         """,
         "events_tumbling": f"""
             SELECT (epoch_us(ts) // {3600 * 1_000_000}) * {3600 * 1_000_000} AS window_start,
