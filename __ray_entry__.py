@@ -1272,6 +1272,7 @@ def _q_kg_pagerank(sf_dir: str):
     join-path fallback past 20M nodes). Top-20 nodes by rank. Rows-only
     driver check; local gate: tests/test_pagerank.py (vs dense numpy
     reference and broadcast≡join equivalence)."""
+    import numpy as np
     import pyarrow as pa
 
     from hikma_engine_ray.functions.num import round_half_away
@@ -1284,9 +1285,7 @@ def _q_kg_pagerank(sf_dir: str):
         return pa.table({
             "node": t["node"],
             "rank": pa.array(
-                round_half_away(
-                    __import__("numpy").asarray(t["rank"].to_pylist()), 6
-                ),
+                round_half_away(np.asarray(t["rank"].to_pylist()), 6),
                 pa.float64(),
             ),
         })
