@@ -1597,6 +1597,19 @@ def _q_events_unpivot(sf_dir: str):
         .sort(["user_id", "metric"])
 
 
+def _q_hll_lang_sources(sf_dir: str):
+    """Approximate COUNT(DISTINCT source) per lang via per-group HLL
+    registers (agg.grouped_hll_distinct) — the sketch twin of the exact
+    distinct_sources query. Rows-only (approximate by design); local
+    gate: tests/test_substr_lm.py::test_grouped_hll_accuracy (≤5% vs
+    exact at p=12, and exact-equal here since distinct ≪ 2^p triggers
+    linear counting)."""
+    from hikma_engine_ray.stages.agg import grouped_hll_distinct
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return grouped_hll_distinct(ds, "source", "lang").sort("lang")
+
+
 # ----------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1647,6 +1660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_vocab": _q_token_vocab,
         "distinct_sources": _q_distinct_sources,
         "hll_sources": _q_hll_sources,
+        "hll_lang_sources": _q_hll_lang_sources,
         "quality_score": _q_quality,
         "bm25_topk": _q_bm25,
         "pii_scan": _q_pii,
@@ -2257,6 +2271,12 @@ def oracle_sql() -> dict[str, str]:
         #   kg_pagerank     damped power iteration (iterative; no SQL
         #                   twin) (tests/test_pagerank.py: engine ≡
         #                   dense numpy reference, broadcast ≡ join path)
+        #   kg_components   star-contraction components (tests/
+        #                   test_components.py distributed ≡ union-find;
+        #                   test_pagerank.py sizes ≡ serial on the KG)
+        #   hll_lang_sources per-group HLL (approximate by design;
+        #                   ≤5% gate test_grouped_hll_accuracy; exact
+        #                   twin distinct_sources carries the SQL oracle)
         # exact duplicated-substring spans: token-8-gram windows shared
         # by >= 2 docs, interval-union coverage (gaps-and-islands is
         # closed-form for fixed-length windows: break when gap > L)

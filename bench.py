@@ -159,6 +159,8 @@ def run_bench() -> dict:
         "dup_ngram_cov", "dedup_cut", "lm_score", "pack_tokens",
         "rollup_revenue",
         "cube_orders", "quantile_filter", "weighted_sample",
+        "group_sample", "events_pivot", "events_unpivot",
+        "hll_lang_sources",
         "customer_orders_outer", "doc_percentiles", "kg_pagerank",
         "kg_components",
     ):

@@ -321,6 +321,50 @@ def hll_distinct(ds, value_cols: list[str], p: int = _HLL_P,
 
 # ------------------------------------------------------- exact quantiles
 
+def grouped_hll_distinct(ds, value_col: str, group_col: str,
+                         p: int = _HLL_P):
+    """Approximate COUNT(DISTINCT value) PER GROUP via HyperLogLog —
+    the sketch form of ``distinct_count`` for when per-group exact
+    value sets are too wide to shuffle: each block emits ONE register
+    row (m = 2^p bytes) per group it sees, the groupby reduce merges
+    registers with element-wise max (associative+commutative, any
+    grouping order valid), and the estimator runs on the merged row.
+    Shuffle volume = groups × blocks × 2^p bytes — independent of
+    value cardinality. Accuracy ±~1.04/sqrt(2^p); gated vs the exact
+    operator in tests."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], t.schema.field(group_col).type),
+                             "regs": pa.array([], pa.binary())})
+        groups, regs_out = [], []
+        for g in pc.unique(t[group_col]).to_pylist():
+            sub = t.filter(pc.equal(t[group_col], g))
+            groups.append(g)
+            regs_out.append(_hll_registers(sub[value_col], p).tobytes())
+        return pa.table({group_col: pa.array(groups),
+                         "regs": pa.array(regs_out, pa.binary())})
+
+    def merge(group: pa.Table) -> pa.Table:
+        stack = np.stack([
+            np.frombuffer(b.as_py(), dtype=np.uint8)
+            for b in group["regs"].combine_chunks()
+        ])
+        merged = np.maximum.reduce(stack, axis=0)
+        return pa.table({
+            group_col: group[group_col][:1],
+            "approx_distinct": pa.array(
+                [int(round(_hll_estimate(merged)))], pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def grouped_quantiles(ds, keys: list[str], value_col: str,
                       qs: list[float], nbuckets: int = 16):
     """EXACT per-group discrete quantiles via distributed value counts.

@@ -243,6 +243,38 @@ def test_cube_agg_matches_pandas(ray_session):
     assert len(g) == 1 and g.iloc[0].s == df.v.sum() and g.iloc[0].n == n
 
 
+def test_grouped_hll_accuracy(ray_session):
+    """Per-group HLL distinct within ±5% of exact per group (p=12 →
+    σ≈1.6%); small groups hit linear counting and are exact."""
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.agg import grouped_hll_distinct
+
+    rng = np.random.default_rng(11)
+    n = 20000
+    groups = rng.choice(["a", "b", "c"], n)
+    # distinct pools of very different sizes per group
+    vals = np.where(
+        groups == "a", rng.integers(0, 50, n),
+        np.where(groups == "b", rng.integers(0, 2000, n),
+                 rng.integers(0, 9000, n)),
+    )
+    t = pa.table({"g": pa.array(groups),
+                  "v": pa.array([str(x) for x in vals], pa.string())})
+    got = {
+        r["g"]: r["approx_distinct"]
+        for r in grouped_hll_distinct(
+            rd.from_arrow(t).repartition(6), "v", "g"
+        ).take_all()
+    }
+    import pandas as pd
+
+    exact = pd.DataFrame({"g": groups, "v": vals}).groupby("g")["v"].nunique()
+    assert set(got) == set(exact.index)
+    for g, e in exact.items():
+        assert abs(got[g] - e) / e <= 0.05, (g, got[g], e)
+
+
 def test_pack_bpe_cost_matches_serial(ray_session):
     from hikma_engine_ray.stages.packing import pack_documents
 
