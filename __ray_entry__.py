@@ -1610,6 +1610,20 @@ def _q_hll_lang_sources(sf_dir: str):
     return grouped_hll_distinct(ds, "source", "lang").sort("lang")
 
 
+def _q_kll_by_flag(sf_dir: str):
+    """Per-group approximate quantiles via grouped KLL sketches
+    (stages/kll.grouped_kll_quantiles) — the sketch twin of the exact
+    lineitem_quantiles. Rows-only (approximate by design); local gate:
+    tests/test_kll.py::test_grouped_kll_rank_error (≤3% rank error per
+    group vs exact)."""
+    from hikma_engine_ray.stages.kll import grouped_kll_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_kll_quantiles(
+        ds, "l_quantity", "l_returnflag", [0.5, 0.9]
+    ).sort("l_returnflag")
+
+
 # ----------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1673,6 +1687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_delta": _q_dedup_delta,
         "freq_items": _q_freq_items,
         "kll_price": _q_kll_price,
+        "kll_qty_by_flag": _q_kll_by_flag,
         "dup_ngram_cov": _q_dup_ngram,
         "dedup_cut": _q_dedup_cut,
         "lm_score": _q_lm_score,
@@ -2277,6 +2292,10 @@ def oracle_sql() -> dict[str, str]:
         #   hll_lang_sources per-group HLL (approximate by design;
         #                   ≤5% gate test_grouped_hll_accuracy; exact
         #                   twin distinct_sources carries the SQL oracle)
+        #   kll_qty_by_flag per-group KLL quantiles (approximate;
+        #                   ≤3% rank-error gate test_grouped_kll_rank_
+        #                   error; exact twin lineitem_quantiles carries
+        #                   the SQL oracle)
         # exact duplicated-substring spans: token-8-gram windows shared
         # by >= 2 docs, interval-union coverage (gaps-and-islands is
         # closed-form for fixed-length windows: break when gap > L)

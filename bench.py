@@ -160,7 +160,7 @@ def run_bench() -> dict:
         "rollup_revenue",
         "cube_orders", "quantile_filter", "weighted_sample",
         "group_sample", "events_pivot", "events_unpivot",
-        "hll_lang_sources",
+        "hll_lang_sources", "kll_qty_by_flag",
         "customer_orders_outer", "doc_percentiles", "kg_pagerank",
         "kg_components",
     ):

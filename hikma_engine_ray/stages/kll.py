@@ -140,3 +140,61 @@ def kll_quantiles(ds, col: str, qs: list[float], k: int = 256) -> dict[str, floa
     for blob in part["sk"]:
         merged.merge(KLL.loads(blob))
     return {f"q{q}": merged.quantile(q) for q in qs}
+
+
+def grouped_kll_quantiles(ds, value_col: str, group_col: str,
+                          qs: list[float], k: int = 256):
+    """Approximate quantiles PER GROUP: each block folds the rows of
+    every group it sees into one KLL sketch row (group, blob, lo, cnt);
+    the groupby reduce merges each group's sketches in a deterministic
+    order (lo, cnt — same rule as the global path) and reads the
+    quantiles off the merged sketch. Shuffle volume = groups × blocks ×
+    sketch bytes (≤ k·levels doubles) — independent of row count; the
+    sketch twin of the exact `agg.grouped_quantiles` for columns whose
+    distinct-value histogram would be the heavy shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], batch.schema.field(group_col).type),
+                "sk": pa.array([], pa.binary()),
+                "lo": pa.array([], pa.float64()),
+                "cnt": pa.array([], pa.int64()),
+            })
+        groups, blobs, los, cnts = [], [], [], []
+        for g in pc.unique(batch[group_col]).to_pylist():
+            sub = batch.filter(pc.equal(batch[group_col], g))
+            vals = np.asarray(sub[value_col].to_pylist(), dtype=np.float64)
+            vals = vals[~np.isnan(vals)]
+            s = KLL(k)
+            if len(vals):
+                s.update_many(vals)
+            groups.append(g)
+            blobs.append(s.dumps())
+            los.append(float(vals.min()) if len(vals) else float("inf"))
+            cnts.append(int(len(vals)))
+        return pa.table({
+            group_col: pa.array(groups),
+            "sk": pa.array(blobs, pa.binary()),
+            "lo": pa.array(los, pa.float64()),
+            "cnt": pa.array(cnts, pa.int64()),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["lo", "cnt"], kind="stable")
+        merged = KLL(k)
+        for blob in df["sk"]:
+            merged.merge(KLL.loads(blob))
+        out = {group_col: group[group_col][:1]}
+        for q in qs:
+            out[f"q{int(q * 100)}"] = pa.array(
+                [merged.quantile(q)], pa.float64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )

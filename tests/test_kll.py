@@ -76,3 +76,31 @@ def test_kll_small_and_empty(ray_session):
     empty = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
     out = kll_quantiles(empty, "v", [0.5])
     assert np.isnan(out["q0.5"])
+
+
+def test_grouped_kll_rank_error(ray_session):
+    """Per-group KLL quantiles within 3% rank error of exact, per
+    group, independent of block layout."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.kll import grouped_kll_quantiles
+
+    rng = np.random.default_rng(23)
+    n = 30000
+    groups = rng.choice(["x", "y", "z"], n)
+    vals = np.where(groups == "x", rng.normal(0, 1, n),
+                    np.where(groups == "y", rng.exponential(5, n),
+                             rng.uniform(-3, 3, n)))
+    t = pa.table({"g": pa.array(groups), "v": pa.array(vals, pa.float64())})
+    out = {
+        r["g"]: r
+        for r in grouped_kll_quantiles(
+            rd.from_arrow(t).repartition(7), "v", "g", [0.5, 0.9]
+        ).take_all()
+    }
+    for g in ("x", "y", "z"):
+        sv = np.sort(vals[groups == g])
+        for q in (0.5, 0.9):
+            err = abs(_rank_error(out[g][f"q{int(q*100)}"], sv) - q)
+            assert err <= 0.03, (g, q, err)
