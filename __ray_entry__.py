@@ -1624,6 +1624,89 @@ def _q_kll_by_flag(sf_dir: str):
     ).sort("l_returnflag")
 
 
+def _q_hll_bound(sf_dir: str):
+    """Driver-checkable accuracy gate for the per-group HLL sketch
+    (round-3 VERDICT item 9): the engine computes BOTH the sketch
+    estimate and the exact per-group distinct and emits the boolean
+    |hll − exact| / exact ≤ 0.05 per group; the oracle asserts TRUE for
+    every group — a value-hash mismatch means the sketch drifted out
+    of its documented bound."""
+    import pandas as pd
+
+    from hikma_engine_ray.stages.agg import distinct_count, grouped_hll_distinct
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    hll = grouped_hll_distinct(ds, "source", "lang").to_pandas()
+    exact = distinct_count(ds, ["source"], group_cols=["lang"]).to_pandas()
+    j = hll.merge(exact, on="lang")
+    j["within_5pct"] = (
+        (j["approx_distinct"] - j["n"]).abs() / j["n"].clip(lower=1) <= 0.05
+    ).astype("int64")  # BIGINT both sides — driver-hash type stability
+    return (j[["lang", "within_5pct"]]
+            .sort_values("lang").reset_index(drop=True))
+
+
+def _q_kll_bound(sf_dir: str):
+    """Driver-checkable accuracy gate for the per-group KLL sketch: the
+    approximate per-group median must sit within ±3% RANK of the true
+    median — the engine computes the sketch median, then measures its
+    exact rank with one counting pass; the oracle asserts TRUE per
+    group (VERDICT item 9 twin of _q_hll_bound)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.stages.kll import grouped_kll_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    med = grouped_kll_quantiles(
+        ds, "l_quantity", "l_returnflag", [0.5]
+    ).to_pandas()
+    thr = dict(zip(med["l_returnflag"], med["q50"]))
+
+    def rank_partial(t):
+        import pyarrow as pa
+
+        flags, le_counts, tot = [], [], []
+        t2 = t.sort_by([("l_returnflag", "ascending")]).combine_chunks()
+        keys = t2["l_returnflag"].combine_chunks()
+        import numpy as np
+
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False).astype("int64")
+        qty = pc.cast(t2["l_quantity"], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        change = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate([[0], change]).astype(int)
+        ends = np.concatenate([change, [len(codes)]]).astype(int)
+        lt_counts = []
+        for s, e in zip(starts, ends):
+            g = keys[s].as_py()
+            flags.append(g)
+            v = thr.get(g, 0.0)
+            le_counts.append(int((qty[s:e] <= v).sum()))
+            lt_counts.append(int((qty[s:e] < v).sum()))
+            tot.append(int(e - s))
+        return pa.table({"l_returnflag": pa.array(flags, pa.string()),
+                         "le": pa.array(le_counts, pa.int64()),
+                         "lt": pa.array(lt_counts, pa.int64()),
+                         "n": pa.array(tot, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    rows = (ds.map_batches(rank_partial, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("le", alias_name="le"), Sum("lt", alias_name="lt"),
+                       Sum("n", alias_name="n"))
+            .to_pandas())
+    # a DISCRETE value occupies the rank interval [P(<v), P(<=v)]; the
+    # sketch is in bound when that interval intersects [0.47, 0.53]
+    rows["within_3pct_rank"] = ((rows["lt"] / rows["n"] <= 0.53) & (
+        rows["le"] / rows["n"] >= 0.47
+    )).astype("int64")  # BIGINT both sides — driver-hash type stability
+    return (rows[["l_returnflag", "within_3pct_rank"]]
+            .sort_values("l_returnflag").reset_index(drop=True))
+
+
 # ----------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2460,11 +2543,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars,
                    round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                              + 1) / 4294967296.0)
-                         / greatest(n_chars, 1), 6) AS skey
+                         / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1e-12 END), 6) AS skey
             FROM documents
             ORDER BY ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                          + 1) / 4294967296.0)
-                     / greatest(n_chars, 1) DESC, doc_id
+                     / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1e-12 END) DESC, doc_id
             LIMIT 15
         """,
     }

@@ -46,6 +46,32 @@ DEV_RE = re.compile(r"(^|/)(scripts|tools|bin)(/|$)")
 
 MAX_FILE_BYTES = 1 << 20  # 1 MiB (reference src/config/index.ts:128)
 
+# SPEC v3 R2 (shared spec DATA — the classifiers live separately in
+# golden.py and stages/parser.py): tokens that are never ts.Identifier
+# nodes, so a variable-access edge is never emitted for them. Reserved
+# words, contextual keywords and TS primitive-type keywords (the
+# reference's walker emits READS/WRITES only for ts.isIdentifier nodes,
+# enhanced-ast-parser.ts:565-568; keywords/KeywordTypeNodes are distinct
+# SyntaxKinds). Documented deviation: `undefined` IS an Identifier in
+# the TS AST but is excluded here — a global constant read edge per
+# `undefined` mention is graph noise with no linking value.
+RW_KEYWORDS = frozenset(
+    (
+        "await async break case catch class const continue debugger default "
+        "delete do else enum export extends false finally for from function "
+        "get if implements import in instanceof interface let new null of "
+        "package private protected public return set static super switch "
+        "this throw true try typeof var void while with yield as satisfies "
+        "keyof infer is asserts declare type namespace module readonly "
+        "abstract constructor string number boolean object symbol bigint "
+        "any unknown never undefined"
+    ).split()
+)
+
+# SPEC v3 C4: isDynamicCall (enhanced-ast-parser.ts:663-669) — a CALLS
+# edge is dynamic iff the callee identifier text is require/import.
+DYNAMIC_CALLEES = frozenset(["require", "import"])
+
 
 def ext_of(path: str) -> str:
     base = posixpath.basename(path)

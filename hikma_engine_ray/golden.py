@@ -1,4 +1,4 @@
-"""Golden oracle: slow, obviously-correct triple extraction.
+r"""Golden oracle: slow, obviously-correct triple extraction.
 
 A straightforward per-file, multi-pass Python implementation of the
 extraction SPEC (below). The distributed engine (stages/parser.py +
@@ -133,6 +133,53 @@ Call extraction (ast-parser.ts:374-396 — same-file, by name):
       calls (`a.b.c(` emits nothing); non-namespace locals keep the
       dotted-call exclusion of C2.
 
+Variable accesses (SPEC v3 — enhanced-ast-parser.ts:558-628: the
+reference walks every node of every function body and emits a READS or
+WRITES edge per ts.Identifier, targeting the placeholder variable
+business key `{fileId}#{name}#{line}`):
+  R1. Lines attributed to an innermost function-like owner (the C1
+      walk) are scanned for identifier accesses in the scan view. On
+      the owner's start_line only text after the body opener
+      participates (the reference walks the BODY node only — params /
+      return types are siblings): for Function/Method/TestCase, after
+      the first '{' at/after the declaration (brace view; none on the
+      line → nothing participates); for ArrowFunction, after the first
+      '=>'. All other covered lines participate fully.
+  R2. An access is a maximal identifier token NAME not preceded by
+      [\w$@] ('.'-preceded property names DO count — the walker visits
+      every ts.Identifier including PropertyAccess names) and not in
+      RW_KEYWORDS (functions/rules.py — keywords/TS-primitive-type
+      tokens are never ts.Identifier nodes; documented deviation:
+      `undefined` is excluded though the TS AST calls it an Identifier).
+  R3. Classification (isWriteAccess, enhanced-ast-parser.ts:676-691 —
+      ONLY plain `=` assignment and ++/--; `+=` etc. fall through to
+      READ, a reference quirk kept): WRITES iff, within the same
+      physical line, (a) the nearest non-space text after the token
+      starts `++`/`--`, or the two chars ending at the nearest
+      non-space char before it are `++`/`--`; or (b) the nearest
+      non-space char after is `=` not followed by `=`/`>`, AND the
+      nearest non-space char before is not '.' or ':' (property /
+      type-annotation position — their parent is never the
+      BinaryExpression), AND the word immediately before is not
+      const/let/var (a declaration initializer's parent is a
+      VariableDeclaration → READ in the reference). Else READS.
+      Documented deviations (golden and engine agree with each other):
+      second declarators (`let a = 1, b = 2` → b WRITES) and
+      destructuring defaults classify as WRITES.
+  R4. Triple (owner_eid, READS|WRITES, "{fid}#{name}#{line}") with the
+      1-based access line and 0-based token col. The target is the
+      reference's PLACEHOLDER key (BusinessKeyGenerator.variable,
+      enhanced-graph.ts:224-226) — not a resolved node, so no linking
+      shuffle (same-file by construction) and no Variable node is
+      required to exist.
+  C4. Every CALLS triple carries ``dynamic`` = (callee ∈ {require,
+      import}) per isDynamicCall (enhanced-ast-parser.ts:663-669,
+      stamped at :602). `import(` is keyword-excluded as a call site
+      (C2), so a dynamic CALLS arises only via a function actually
+      named `require`. Non-CALLS triples carry null. ``props_json``
+      mirrors graph_edges.properties — the reference never populates
+      it for AST edges, so it rides as null through the pipeline.
+
 JSX (SPEC P8 — `.tsx`/`.jsx` files only; the reference passes the
 file PATH to ts.createSourceFile, enhanced-ast-parser.ts:53-58, so
 ScriptKind is inferred from the extension and JSX parses; its visitor
@@ -198,8 +245,10 @@ import pyarrow as pa
 
 from .ids import commit_id, entity_id, file_id, repo_id, sha256_hex
 from .functions.rules import (
+    DYNAMIC_CALLEES,
     MAX_FILE_BYTES,
     PARSED_LANGS,
+    RW_KEYWORDS,
     detect_language,
     is_test_path,
     resolve_module,
@@ -240,6 +289,9 @@ EXPORT_DEFAULT_RE = re.compile(rf"^(\s*)export\s+default\s+({NAME})\s*;?\s*$", r
 DECORATOR_RE = re.compile(rf"^(\s*)@({NAME})", re.U)
 CALL_RE = re.compile(rf"(?<![\w$.@])({NAME})\s*\(", re.U)
 MEMBER_CALL_RE = re.compile(rf"(?<![\w$.@])({NAME})\.({NAME})\s*\(", re.U)
+# SPEC v3 R2: '.' deliberately absent from the lookbehind — property
+# names are ts.Identifiers and emit accesses too
+IDENT_RE = re.compile(rf"(?<![\w$@])({NAME})", re.U)
 MAX_REEXPORT_DEPTH = 8  # L1b chain hop cap (cycle-safe either way)
 MAX_JOIN = 20  # bound on physical lines joined into one logical statement
 
@@ -502,6 +554,33 @@ def preprocess(
         end_line = content.count("\n", 0, b)
         jsdocs[end_line] = (start_line, _norm_jsdoc(content[a:b]))
     return "".join(scan).split("\n"), "".join(brace).split("\n"), jsdocs
+
+
+def _classify_access(line: str, start: int, end: int) -> str:
+    """SPEC v3 R3 classifier (slow, obviously-correct char peeks; the
+    engine's regex twin is property-tested against it)."""
+    n = len(line)
+    j = end
+    while j < n and line[j] == " ":
+        j += 1
+    if line[j : j + 2] in ("++", "--"):
+        return "WRITES"
+    k = start - 1
+    while k >= 0 and line[k] == " ":
+        k -= 1
+    if k >= 1 and line[k - 1 : k + 1] in ("++", "--"):
+        return "WRITES"
+    if j < n and line[j] == "=" and line[j + 1 : j + 2] not in ("=", ">"):
+        if k >= 0 and line[k] in ".:":
+            return "READS"
+        seg = line[:start].rstrip(" ")
+        for kw in ("const", "let", "var"):
+            if seg.endswith(kw):
+                pre = seg[: -len(kw)]
+                if not pre or not (pre[-1].isalnum() or pre[-1] in "_$"):
+                    return "READS"
+        return "WRITES"
+    return "READS"
 
 
 def _join_stmt(lines: list[str], idx: int, done) -> tuple[str, int]:
@@ -867,7 +946,9 @@ def parse_file(repo: str, path: str, commit: str, content: str):
                 continue  # own definition, not a call
             tgt = fl_by_name.get(callee)
             if tgt is not None:
-                triples.append((owner.eid, "CALLS", tgt.eid, lineno, m.start(1)))
+                # 6th element = SPEC C4 dynamic flag (CALLS tuples only)
+                triples.append((owner.eid, "CALLS", tgt.eid, lineno,
+                                m.start(1), callee in DYNAMIC_CALLEES))
             elif callee in import_map:
                 # external (bare) specifiers also become mentions — the
                 # linking stage resolves them to nothing and they land
@@ -887,6 +968,26 @@ def parse_file(repo: str, path: str, commit: str, content: str):
                     _mention(repo, spec, m.group(2), "call", owner,
                              path, lineno, m.start(1))
                 )
+        # SPEC v3 R1-R4: variable-access edges for every identifier in
+        # the owner's body on this line
+        if lineno == owner.start_line:
+            bl = brace_lines[idx]
+            if owner.kind == "ArrowFunction":
+                p = bl.find("=>")
+                boff = p + 2 if p >= 0 else len(line)
+            else:
+                p = bl.find("{")
+                boff = p + 1 if p >= 0 else len(line)
+        else:
+            boff = 0
+        for m in IDENT_RE.finditer(line, boff):
+            nm = m.group(1)
+            if nm in RW_KEYWORDS:
+                continue
+            acc = _classify_access(line, m.start(1), m.end(1))
+            triples.append(
+                (owner.eid, acc, f"{fid}#{nm}#{lineno}", lineno, m.start(1))
+            )
 
     # ---- IMPORTS mentions (resolved to file targets in linking)
     for spec, lineno, col in import_specs:

@@ -335,15 +335,34 @@ def grouped_hll_distinct(ds, value_col: str, group_col: str,
     import pyarrow.compute as pc
 
     def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], t.schema.field(group_col).type),
+                          "regs": pa.array([], pa.binary())})
         if t.num_rows == 0:
-            return pa.table({group_col: pa.array([], t.schema.field(group_col).type),
-                             "regs": pa.array([], pa.binary())})
-        groups, regs_out = [], []
-        for g in pc.unique(t[group_col]).to_pylist():
-            sub = t.filter(pc.equal(t[group_col], g))
-            groups.append(g)
-            regs_out.append(_hll_registers(sub[value_col], p).tobytes())
-        return pa.table({group_col: pa.array(groups),
+            return empty
+        # ONE sort + contiguous run slicing per batch (round-3 ADVICE:
+        # the old filter-per-distinct-group pass was O(groups × rows)).
+        # Null group keys sort last and are SKIPPED explicitly (they
+        # previously matched nothing and emitted an empty sketch).
+        t2 = t.select([group_col, value_col]).sort_by(
+            [(group_col, "ascending")]
+        ).combine_chunks()
+        keys = t2[group_col].combine_chunks()
+        n = len(keys) - keys.null_count  # nulls are the trailing run
+        if n == 0:
+            return empty
+        keys = keys.slice(0, n)
+        vals = t2[value_col].slice(0, n)
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        change = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [n]]).astype(np.int64)
+        regs_out = [
+            _hll_registers(vals.slice(s, e - s), p).tobytes()
+            for s, e in zip(starts, ends)
+        ]
+        return pa.table({group_col: keys.take(pa.array(starts)),
                          "regs": pa.array(regs_out, pa.binary())})
 
     def merge(group: pa.Table) -> pa.Table:

@@ -156,27 +156,46 @@ def grouped_kll_quantiles(ds, value_col: str, group_col: str,
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        empty = pa.table({
+            group_col: pa.array([], batch.schema.field(group_col).type),
+            "sk": pa.array([], pa.binary()),
+            "lo": pa.array([], pa.float64()),
+            "cnt": pa.array([], pa.int64()),
+        })
         if batch.num_rows == 0:
-            return pa.table({
-                group_col: pa.array([], batch.schema.field(group_col).type),
-                "sk": pa.array([], pa.binary()),
-                "lo": pa.array([], pa.float64()),
-                "cnt": pa.array([], pa.int64()),
-            })
-        groups, blobs, los, cnts = [], [], [], []
-        for g in pc.unique(batch[group_col]).to_pylist():
-            sub = batch.filter(pc.equal(batch[group_col], g))
-            vals = np.asarray(sub[value_col].to_pylist(), dtype=np.float64)
+            return empty
+        # ONE sort + contiguous run slicing (round-3 ADVICE — was
+        # filter-per-distinct-group, O(groups × rows) per batch). Null
+        # group keys sort last and are skipped explicitly.
+        t2 = batch.select([group_col, value_col]).sort_by(
+            [(group_col, "ascending")]
+        ).combine_chunks()
+        keys = t2[group_col].combine_chunks()
+        n = len(keys) - keys.null_count
+        if n == 0:
+            return empty
+        keys = keys.slice(0, n)
+        allvals = pc.cast(t2[value_col].slice(0, n), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        codes = pc.dictionary_encode(keys).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        change = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [n]]).astype(np.int64)
+        blobs, los, cnts = [], [], []
+        for s_, e_ in zip(starts, ends):
+            vals = allvals[s_:e_]
             vals = vals[~np.isnan(vals)]
             s = KLL(k)
             if len(vals):
                 s.update_many(vals)
-            groups.append(g)
             blobs.append(s.dumps())
             los.append(float(vals.min()) if len(vals) else float("inf"))
             cnts.append(int(len(vals)))
         return pa.table({
-            group_col: pa.array(groups),
+            group_col: keys.take(pa.array(starts)),
             "sk": pa.array(blobs, pa.binary()),
             "lo": pa.array(los, pa.float64()),
             "cnt": pa.array(cnts, pa.int64()),

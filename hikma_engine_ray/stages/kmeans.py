@@ -34,7 +34,14 @@ import pyarrow as pa
 
 
 def _mat(col) -> np.ndarray:
-    return np.asarray(col.to_pylist(), dtype=np.float64)
+    """list<float> column → (n, dim) float64 matrix via the Arrow list
+    buffer (no per-row Python materialization in the Lloyd kernel)."""
+    ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(ca)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    flat = ca.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(n, -1)
 
 
 def _seed_centroids(ds, k: int, vec_col: str, id_col: str) -> np.ndarray:
@@ -83,7 +90,7 @@ def kmeans_fit(ds, k: int = 8, iters: int = 10,
         def partial(batch: pa.Table, _ref=ref) -> pa.Table:
             c = ray.get(_ref)
             vecs = _mat(batch[vec_col])
-            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
             if not len(ids):
                 d = c.shape[1]
                 return pa.table({
@@ -145,7 +152,7 @@ def kmeans_assign(ds, centroids: np.ndarray,
     def fn(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
         vecs = _mat(batch[vec_col])
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         if not len(ids):
             return pa.table({id_col: pa.array([], pa.int64()),
                              "cluster": pa.array([], pa.int64()),

@@ -40,6 +40,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..ids import SEP
+from ..functions.rules import DYNAMIC_CALLEES
 
 _STRIP_SUFFIXES = [(".ts", 1), (".tsx", 2), (".js", 3), (".jsx", 4)]
 _INDEX_SUFFIXES = [("/index.ts", 5), ("/index.js", 6)]
@@ -54,6 +55,11 @@ LINKED_SCHEMA = pa.schema(
         ("repo", pa.string()),
         ("line", pa.int32()),
         ("col", pa.int32()),
+        # SPEC C4: CALLS-only dynamic flag; props_json mirrors
+        # graph_edges.properties (never populated by the reference's
+        # AST edges — rides as null)
+        ("dynamic", pa.bool_()),
+        ("props_json", pa.string()),
         # dangling payload
         ("module", pa.string()),
         ("symbol", pa.string()),
@@ -301,6 +307,9 @@ def link_bucket(g: pd.DataFrame) -> pa.Table:
             return
         ovals = (obj_vals[mask] if isinstance(obj_vals, np.ndarray)
                  else sub[obj_vals].to_numpy())
+        # SPEC C4: dynamic only on CALLS (callee = the mention symbol)
+        dyn = (sub["symbol"].isin(DYNAMIC_CALLEES).to_numpy()
+               if pred == "CALLS" else None)
         frames.append(pd.DataFrame({
             "kind": "triple",
             "subj": sub[subj_col].to_numpy(),
@@ -309,6 +318,7 @@ def link_bucket(g: pd.DataFrame) -> pa.Table:
             "repo": sub["repo"].to_numpy(),
             "line": sub["line"].to_numpy(),
             "col": sub["col"].to_numpy(),
+            "dynamic": dyn, "props_json": None,
             "module": "", "symbol": "", "mkind": "", "src_id": "",
             "reason": "",
         }))
@@ -322,6 +332,7 @@ def link_bucket(g: pd.DataFrame) -> pa.Table:
             "repo": sub["repo"].to_numpy(),
             "line": sub["line"].to_numpy(),
             "col": sub["col"].to_numpy(),
+            "dynamic": None, "props_json": None,
             "module": sub["module"].to_numpy(),
             "symbol": sub["symbol"].to_numpy(),
             "mkind": sub["mkind"].to_numpy(),
@@ -443,6 +454,8 @@ def _triple(m, pred: str, subj: str, obj: str) -> dict:
     return {
         "kind": "triple", "subj": subj, "pred": pred, "obj": obj,
         "repo": m.repo, "line": int(m.line), "col": int(m.col),
+        "dynamic": (m.symbol in DYNAMIC_CALLEES) if pred == "CALLS" else None,
+        "props_json": None,
         "module": "", "symbol": "", "mkind": "", "src_id": "", "reason": "",
     }
 
@@ -451,6 +464,7 @@ def _dangle(m, reason: str) -> dict:
     return {
         "kind": "dangling", "subj": "", "pred": "", "obj": "",
         "repo": m.repo, "line": int(m.line), "col": int(m.col),
+        "dynamic": None, "props_json": None,
         "module": m.module, "symbol": m.symbol, "mkind": m.mkind,
         "src_id": m.src_id, "reason": reason,
     }

@@ -105,11 +105,17 @@ def _pagerank_broadcast(edges, nodes, src_col, dst_col, damping, iters, n,
     href = ray.put(h_sorted)
 
     def index_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # pc.cast — the SAME canonical rendering _distinct_nodes used to
+        # build the index; Python str(x) diverges from Arrow's cast for
+        # bool/float/timestamp node columns and would silently map nodes
+        # to wrong dense indices (round-3 ADVICE)
         hs = ray.get(href)
         s = np.searchsorted(hs, _hash_col(
-            [str(x) for x in t[src_col].to_pylist()]))
+            pc.cast(t[src_col], pa.string()).to_pylist()))
         d = np.searchsorted(hs, _hash_col(
-            [str(x) for x in t[dst_col].to_pylist()]))
+            pc.cast(t[dst_col], pa.string()).to_pylist()))
         return pa.table({"si": pa.array(s.astype(np.int64), pa.int64()),
                          "di": pa.array(d.astype(np.int64), pa.int64())})
 
@@ -117,7 +123,7 @@ def _pagerank_broadcast(edges, nodes, src_col, dst_col, damping, iters, n,
 
     # outdeg once (per-block bincount partials → tiny groupby)
     def deg_partial(t: pa.Table) -> pa.Table:
-        si = np.asarray(t["si"].to_pylist(), dtype=np.int64)
+        si = t["si"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         u, c = np.unique(si, return_counts=True)
         return pa.table({"i": pa.array(u, pa.int64()),
                          "c": pa.array(c.astype(np.int64), pa.int64())})
@@ -145,8 +151,8 @@ def _pagerank_broadcast(edges, nodes, src_col, dst_col, damping, iters, n,
         if dense:
             def contrib_dense(t: pa.Table, _sref=sref) -> pa.Table:
                 sh = ray.get(_sref)
-                si = np.asarray(t["si"].to_pylist(), dtype=np.int64)
-                di = np.asarray(t["di"].to_pylist(), dtype=np.int64)
+                si = t["si"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+                di = t["di"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
                 acc = np.zeros(n, dtype=np.float64)
                 np.add.at(acc, di, sh[si])
                 return pa.table({"v": pa.array([acc.tobytes()], pa.binary())})
@@ -162,8 +168,8 @@ def _pagerank_broadcast(edges, nodes, src_col, dst_col, damping, iters, n,
 
         def contrib(t: pa.Table, _sref=sref) -> pa.Table:
             sh = ray.get(_sref)
-            si = np.asarray(t["si"].to_pylist(), dtype=np.int64)
-            di = np.asarray(t["di"].to_pylist(), dtype=np.int64)
+            si = t["si"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            di = t["di"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
             u, inv = np.unique(di, return_inverse=True)
             acc = np.zeros(u.size, dtype=np.float64)
             np.add.at(acc, inv, sh[si])
@@ -249,8 +255,8 @@ def _pagerank_join(edges, nodes, src_col, dst_col, damping, iters, n,
                                how="inner")
 
         def contrib(t: pa.Table) -> pa.Table:
-            r = np.asarray(t["rank"].to_pylist(), dtype=np.float64)
-            d = np.asarray(t["outdeg"].to_pylist(), dtype=np.float64)
+            r = t["rank"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            d = t["outdeg"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
             vals = damping * r / np.maximum(d, 1.0)
             part = pa.table({"node": t["dst"],
                              "v": pa.array(vals, pa.float64())})

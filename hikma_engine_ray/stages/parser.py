@@ -32,7 +32,7 @@ import re
 import pyarrow as pa
 
 from ..ids import commit_id, entity_id, repo_id
-from ..functions.rules import PARSED_LANGS
+from ..functions.rules import DYNAMIC_CALLEES, PARSED_LANGS, RW_KEYWORDS
 
 TAGGED_SCHEMA = pa.schema(
     [
@@ -60,6 +60,9 @@ TAGGED_SCHEMA = pa.schema(
         ("obj", pa.string()),
         ("line", pa.int32()),
         ("col", pa.int32()),
+        # SPEC C4: CALLS-only dynamic flag (isDynamicCall,
+        # enhanced-ast-parser.ts:663-669); null on other rows
+        ("dynamic", pa.bool_()),
         # mention / definition fields
         ("module", pa.string()),
         ("symbol", pa.string()),
@@ -514,6 +517,16 @@ class ParseFiles:
         # SPEC C2b: direct two-part member calls `NS.member(` — the
         # lookbehind excludes `a.b.c(` chains; golden.MEMBER_CALL_RE twin
         self.re_member_call = re.compile(rf"(?<![\w$.@])({n})\.({n})\s*\(", U)
+        # SPEC v3 R2: variable accesses — '.' absent from the lookbehind
+        # (property names are ts.Identifiers too); golden.IDENT_RE twin
+        self.re_ident = re.compile(rf"(?<![\w$@])({n})", U)
+        # SPEC v3 R3 right-context: ++/-- operand, or plain '=' that is
+        # not '=='/'=>' (regex twin of golden._classify_access)
+        self.re_access_after = re.compile(r" *(\+\+|--|=(?![=>]))")
+        # declaration keyword immediately before the token → the '=' is
+        # a VariableDeclaration initializer, not an assignment
+        self.re_decl_tail = re.compile(r"(?:^|[^\w$])(?:const|let|var)$")
+        self.rw_keywords = RW_KEYWORDS
         self.max_join = 20  # physical lines joined into one logical stmt
         self.call_keywords = frozenset(
             "if for while switch catch function return new typeof await else do "
@@ -656,13 +669,17 @@ class ParseFiles:
         # construction (global dedup then only handles cross-file streams)
         seen_triples: set[tuple] = set()
 
-        def triple(subj, pred, obj, line1, col):
+        def triple(subj, pred, obj, line1, col, dynamic=None):
             t = (subj, pred, obj)
             if t in seen_triples:
                 return
             seen_triples.add(t)
-            out.row("triple", subj=subj, pred=pred, obj=obj, repo=repo,
-                    line=line1, col=col)
+            if dynamic is None:
+                out.row("triple", subj=subj, pred=pred, obj=obj, repo=repo,
+                        line=line1, col=col)
+            else:
+                out.row("triple", subj=subj, pred=pred, obj=obj, repo=repo,
+                        line=line1, col=col, dynamic=dynamic)
 
         # ---- methods within class ranges
         for ci in class_idx:
@@ -830,7 +847,8 @@ class ParseFiles:
                     continue  # own definition
                 j = fl_by_name.get(callee)
                 if j is not None:
-                    triple(eids[owner], "CALLS", eids[j], line1, m.start(1))
+                    triple(eids[owner], "CALLS", eids[j], line1, m.start(1),
+                           dynamic=callee in DYNAMIC_CALLEES)
                     local_calls.setdefault(owner, set()).add(j)
                     called_by.setdefault(j, set()).add(owner)
                 elif callee in imports:
@@ -856,6 +874,28 @@ class ParseFiles:
                             module=spec, symbol=m.group(2), mkind="call",
                             src_id=eids[owner], src_kind=oent[0],
                             line=line1, col=m.start(1))
+            # SPEC v3 R1-R4: variable-access edges (READS/WRITES). On
+            # the owner's declaration line only text after the body
+            # opener participates (brace view finds the opener; strings
+            # can't fake it there).
+            if line1 == oent[2]:
+                bl = brace_lines[idx]
+                if oent[0] == "ArrowFunction":
+                    p = bl.find("=>")
+                    boff = p + 2 if p >= 0 else len(line)
+                else:
+                    p = bl.find("{")
+                    boff = p + 1 if p >= 0 else len(line)
+            else:
+                boff = 0
+            owner_eid = eids[owner]
+            for m in self.re_ident.finditer(line, boff):
+                nm = m.group(1)
+                if nm in self.rw_keywords:
+                    continue
+                acc = self._classify_access(line, m.start(1), m.end(1))
+                triple(owner_eid, acc, f"{fid}#{nm}#{line1}", line1,
+                       m.start(1))
 
         # ---- E8b/E8c re-export records → one tagged row per routed pair
         # (star = one '*' row); consumed by linking.synthesize_reexports.
@@ -1079,6 +1119,29 @@ class ParseFiles:
         return 0
 
     # -------------------------------------------------------------- helpers
+
+    def _classify_access(self, line: str, start: int, end: int) -> str:
+        """SPEC v3 R3 (engine regex variant of golden._classify_access;
+        property-tested equivalent). Space-only skips on both sides —
+        masked chars are spaces, tabs deliberately block the match just
+        like in the golden."""
+        seg = line[:start].rstrip(" ")
+        if seg.endswith("++") or seg.endswith("--"):
+            return "WRITES"
+        m = self.re_access_after.match(line, end)
+        if m:
+            tok = m.group(1)
+            if tok in ("++", "--"):
+                return "WRITES"
+            # plain '=': property/type position or a declaration
+            # initializer classify as READ (their AST parent is never
+            # the BinaryExpression — enhanced-ast-parser.ts:679-683)
+            if seg and seg[-1] in ".:":
+                return "READS"
+            if self.re_decl_tail.search(seg):
+                return "READS"
+            return "WRITES"
+        return "READS"
 
     @staticmethod
     def _brace_end(lines: list[str], start_idx: int) -> int:

@@ -18,7 +18,15 @@ import pyarrow as pa
 
 
 def _to_matrix(col) -> np.ndarray:
-    return np.asarray(col.to_pylist(), dtype=np.float32)
+    """list<float> column → (n, dim) float32 matrix without a Python
+    row materialization: flatten the Arrow list buffer and reshape
+    (zero-copy from the object store up to the dtype cast)."""
+    ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(ca)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    flat = ca.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float32, copy=False).reshape(n, -1)
 
 
 def brute_force_topk(ds, query_vec: np.ndarray, k: int = 10,
@@ -39,7 +47,7 @@ def brute_force_topk(ds, query_vec: np.ndarray, k: int = 10,
         # score in float64 so results match an SQL oracle that upcasts
         qv = ray.get(q_ref).astype(np.float64)
         mat = _to_matrix(batch[vec_col]).astype(np.float64)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         if len(ids) == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})

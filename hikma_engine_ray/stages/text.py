@@ -256,6 +256,12 @@ def weighted_sample(ds, weight_col: str, id_col: str = "doc_id",
     derived from md5(str(id)); the k LARGEST keys are a weighted sample
     without replacement (equivalent to ranking u^(1/w)).
 
+    Weight domain: POSITIVE reals (any magnitude — fractional weights
+    are honored). Non-positive weights clamp to 1e-12, i.e. the row is
+    effectively never sampled (weight 0 ⇒ probability 0); round-3
+    ADVICE fixed an earlier max(w, 1) clamp that silently distorted
+    weights in (0, 1).
+
     Distributed shape: stateless key map + per-block partial top-k →
     a (k × blocks)-row global sort. No shuffle of the corpus; same
     rows on every run/engine (the md5 idiom hash_sample uses), so it
@@ -272,7 +278,7 @@ def weighted_sample(ds, weight_col: str, id_col: str = "doc_id",
             dtype=np.float64, count=len(ids),
         )
         u = (h + 1.0) / 4294967296.0
-        key = np.log(u) / np.maximum(w, 1.0)
+        key = np.log(u) / np.where(w > 0.0, w, 1e-12)
         keep = (np.argpartition(-key, min(k, key.size) - 1)[:k]
                 if key.size > k else np.arange(key.size))
         out = batch.take(pa.array(np.sort(keep)))

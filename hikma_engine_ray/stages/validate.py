@@ -41,11 +41,22 @@ def _tag_ids(col: str, tag: str, nbuckets: int):
 
 def orphan_edge_objs(nodes_ds, triples_ds, nbuckets: int = 32):
     """Distinct triple objs with no matching node (anti-join). External
-    ``module:*`` sinks are excluded up front (they are sinks by design)."""
+    ``module:*`` sinks are excluded up front (they are sinks by design),
+    as are READS/WRITES targets — those are the reference's PLACEHOLDER
+    variable business keys (enhanced-ast-parser.ts:607-628 creates
+    ``{fileId}#{name}#{line}`` keys with no backing node), SPEC v3 R4."""
 
     internal_objs = triples_ds.map_batches(
         lambda t: t.filter(
-            pc.invert(pc.starts_with(pc.fill_null(t["obj"], ""), "module:"))
+            pc.and_(
+                pc.invert(
+                    pc.starts_with(pc.fill_null(t["obj"], ""), "module:")
+                ),
+                pc.invert(
+                    pc.is_in(t["pred"],
+                             value_set=pa.array(["READS", "WRITES"]))
+                ),
+            )
         ),
         batch_format="pyarrow",
     )

@@ -59,12 +59,20 @@ def test_triples_unique(built_graph):
 
 
 def test_triple_endpoints_exist(built_graph):
-    """Property: every triple endpoint is a known node or an external
-    module sink (the dangling-edge report semantics, J7)."""
+    """Property: every triple endpoint is a known node, an external
+    module sink, or (READS/WRITES, SPEC v3 R4) the reference's
+    placeholder variable key `{fid}#{name}#{line}` — the dangling-edge
+    report semantics, J7."""
     node_ids = {r["node_id"] for r in built_graph["nodes"].take_all()}
+    import re
+
+    var_key = re.compile(r"^[0-9a-f]{20}#[^#]+#\d+$")
     for r in built_graph["triples"].take_all():
         assert r["subj"] in node_ids, r
-        assert r["obj"] in node_ids or r["obj"].startswith("module:"), r
+        if r["pred"] in ("READS", "WRITES"):
+            assert var_key.match(r["obj"]), r
+        else:
+            assert r["obj"] in node_ids or r["obj"].startswith("module:"), r
 
 
 def test_embeddings_normalized(built_graph):
