@@ -27,6 +27,24 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CORPUS_CACHE = "/tmp/hikma_bench_corpus"
 
+# Healthy host: ~1 GB/s anonymous-page first-touch. The round-3 host
+# degradation (3-80 MB/s demand paging, NOTES.md) floors every wall
+# clock with a serial fault term, so each bench JSON records the canary
+# and the official scaling protocol refuses to certify a number
+# measured on a sick host (VERDICT r3 item 3).
+CANARY_HEALTHY_MB_S = 500.0
+
+
+def page_fault_canary(mib: int = 64) -> float:
+    """MB/s of first-touch on freshly-mapped anonymous memory."""
+    import numpy as np
+
+    t0 = time.monotonic()
+    a = np.ones((mib << 20) // 8)  # np.ones faults every page
+    dt = time.monotonic() - t0
+    del a
+    return round(mib / dt, 1)
+
 
 def _corpus_path(n_files: int) -> str:
     import pyarrow.parquet as pq
@@ -45,6 +63,8 @@ def _corpus_path(n_files: int) -> str:
 
 def run_bench() -> dict:
     import ray
+
+    canary = page_fault_canary()
 
     from hikma_engine_ray.tuning import apply_malloc_env
 
@@ -139,6 +159,7 @@ def run_bench() -> dict:
             "num_cpus": NUM_CPUS, "corpus_files": n_files,
             "n_triples": n_triples, "n_nodes": n_nodes, "n_adjacency": n_adj,
             "triples_per_sec": round(n_triples / headline, 1),
+            "canary_mb_s": canary,
         }
         ray.shutdown()
         return result
@@ -182,6 +203,7 @@ def run_bench() -> dict:
         "n_nodes": n_nodes,
         "n_adjacency": n_adj,
         "triples_per_sec": round(n_triples / headline, 1),
+        "canary_mb_s": canary,
     }
     ray.shutdown()
     return result
@@ -210,6 +232,19 @@ def run_scaling() -> dict:
     levels = tuple(
         int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "6,24").split(",")
     )
+    canary_pre = page_fault_canary(256)
+    if canary_pre < CANARY_HEALTHY_MB_S and os.environ.get(
+        "GRAFT_SCALING_FORCE"
+    ) != "1":
+        # a sick host pays a serialized page-fault floor at BOTH CPU
+        # levels, so the computed efficiency measures the host, not the
+        # pipeline (round-3 decomposition in BASELINE.md). Refuse to
+        # certify; GRAFT_SCALING_FORCE=1 overrides for diagnostics.
+        return {
+            "metric": "scaling_efficiency", "levels": list(levels),
+            "skipped": "host_sick", "canary_mb_s_pre": canary_pre,
+            "canary_healthy_mb_s": CANARY_HEALTHY_MB_S, "sf": SF_DIR,
+        }
     _corpus_path(n_files)  # generate once, untimed, shared by both runs
     times = {}
     for ncpu in levels:
@@ -253,6 +288,8 @@ def run_scaling() -> dict:
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
+        "canary_mb_s_pre": canary_pre,
+        "canary_mb_s_post": page_fault_canary(256),
     }
 
 

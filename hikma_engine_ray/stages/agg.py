@@ -578,3 +578,31 @@ def grouped_topk(ds, keys: list[str], sort_col: str, k: int,
         .groupby(keys)
         .map_groups(final, batch_format="pandas")
     )
+
+
+def global_topk(ds, sort_cols: list[str], k: int,
+                descending: bool | list[bool] = True):
+    """Global ORDER BY … LIMIT k without the global sort: each block
+    keeps its own top-k (Arrow sort_indices + take), so the final sort
+    runs over ≤ k·nblocks rows — result-sized, never the dataset. At
+    100 TB a naive ``ds.sort().limit(k)`` is an all-to-all shuffle of
+    every block for 10 surviving rows; this is one streaming pass."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_cols)
+    order = [
+        (c, "descending" if d else "ascending")
+        for c, d in zip(sort_cols, descending)
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows <= k:
+            return t
+        return t.take(pc.sort_indices(t, sort_keys=order)[:k])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort(sort_cols, descending=descending)
+        .limit(k)
+    )

@@ -104,7 +104,9 @@ def top_paths(nodes_ds, k: int = 20):
         keys=["path"],
         spec={"n": ("node_id", "count")},
     )
-    return counts.sort(["n", "path"], descending=[True, False]).limit(k)
+    from hikma_engine_ray.stages.agg import global_topk
+
+    return global_topk(counts, ["n", "path"], k, descending=[True, False])
 
 
 def function_complexity(nodes_ds):

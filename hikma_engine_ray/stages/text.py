@@ -190,7 +190,9 @@ def token_vocab(ds, text_col: str = "text", top_n: int = 100):
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
     )
-    return totals.sort(["n", "token"], descending=[True, False]).limit(top_n)
+    from hikma_engine_ray.stages.agg import global_topk
+
+    return global_topk(totals, ["n", "token"], top_n, descending=[True, False])
 
 
 # PII / secret detection rules (RE2 syntax — pyarrow.compute and DuckDB

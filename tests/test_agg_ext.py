@@ -117,3 +117,34 @@ def test_grouped_topk_ties_deterministic(ray_session):
         rd.from_pandas(df).repartition(3), ["g"], "s", 3, tiebreak=["id"]
     ).take_all()
     assert sorted(r["id"] for r in got) == [0, 1, 2]
+
+
+def test_global_topk_matches_full_sort(ray_session):
+    """global_topk ≡ ORDER BY … LIMIT k, including descending mixes and
+    ties broken by the secondary column, across block layouts."""
+    import numpy as np
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.agg import global_topk
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "v": rng.integers(0, 50, 500).astype("int64"),  # many ties
+        "id": np.arange(500, dtype="int64"),
+    })
+    for nblocks in (1, 7):
+        got = global_topk(
+            rd.from_pandas(df).repartition(nblocks),
+            ["v", "id"], 12, descending=[True, False],
+        ).to_pandas()
+        want = (
+            df.sort_values(["v", "id"], ascending=[False, True])
+            .head(12).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+    # ascending variant
+    got = global_topk(
+        rd.from_pandas(df).repartition(5), ["v", "id"], 8, descending=False
+    ).to_pandas()
+    want = df.sort_values(["v", "id"]).head(8).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
