@@ -1720,6 +1720,127 @@ def _q_kll_bound(sf_dir: str):
             .sort_values("l_returnflag").reset_index(drop=True))
 
 
+def _q_events_lagdiff(sf_dir: str):
+    """LAG window op: per-user µs gap to the previous event (ordered by
+    ts, event_id); first event of a user gets the -1 sentinel (NULL-free
+    compared output, NOTES.md driver-compare hygiene)."""
+    from hikma_engine_ray.stages.windows import lag_gap
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return lag_gap(ds, "user_id", "ts", "event_id").sort(
+        ["user_id", "event_id"]
+    )
+
+
+def _q_events_movavg(sf_dir: str):
+    """ROWS-window moving average: avg(value) over the current + 2
+    preceding events per user, ordered by (ts, event_id)."""
+    from hikma_engine_ray.stages.windows import moving_avg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return moving_avg(
+        ds, "user_id", "ts", "event_id", "value", window=3, ndigits=_ROUND
+    ).sort(["user_id", "event_id"])
+
+
+def _q_sources_by_lang(sf_dir: str):
+    """Per-group ordered DISTINCT string aggregation (SQL string_agg):
+    the comma-joined sorted source list per lang."""
+    from hikma_engine_ray.stages.agg import grouped_string_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return grouped_string_agg(ds, "lang", "source").sort("lang")
+
+
+def _q_entropy_by_lang(sf_dir: str):
+    """Shannon entropy (bits) of the source distribution within each
+    lang — the distribution-shape statistic corpus-curation pipelines
+    use for mixture monitoring."""
+    from hikma_engine_ray.stages.agg import grouped_entropy
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return grouped_entropy(ds, "lang", "source").sort("lang")
+
+
+def _q_chi2_lang_source(sf_dir: str):
+    """Pearson chi-square independence statistic over the lang × source
+    contingency table (combiner partials; the table itself is
+    result-sized)."""
+    from hikma_engine_ray.stages.agg import chi2_independence
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return chi2_independence(ds, "lang", "source", ndigits=_ROUND)
+
+
+def _q_lineitem_mad(sf_dir: str):
+    """Per-group median absolute deviation (quantile_disc semantics) of
+    l_quantity — robust-dispersion twin of lineitem_quantiles."""
+    from hikma_engine_ray.stages.agg import grouped_mad
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_mad(ds, ["l_returnflag"], "l_quantity",
+                       ndigits=_ROUND).sort("l_returnflag")
+
+
+def _distinct_partkey_side(ds, hi: bool):
+    """DISTINCT l_partkey of one quantity stratum — per-block distinct
+    (combiner) then a tiny groupby-count dedup; only distinct keys ever
+    shuffle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def pick(t, _hi=hi):
+        mask = (pc.greater_equal(t["l_quantity"], 45) if _hi
+                else pc.less_equal(t["l_quantity"], 5))
+        return (t.filter(mask).select(["l_partkey"])
+                .group_by(["l_partkey"]).aggregate([]))
+
+    return (
+        ds.map_batches(pick, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+
+def _q_parts_intersect(sf_dir: str):
+    """INTERSECT set op: parts sold in BOTH bulk (quantity ≥ 45) and
+    trickle (≤ 5) line items — distinct per side, then the
+    Bloom-accelerated exact semi join (no row-level shuffle)."""
+    from hikma_engine_ray.stages.bloom import semi_join
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    return semi_join(
+        _distinct_partkey_side(ds, True), _distinct_partkey_side(ds, False),
+        on=["l_partkey"], num_bits=1 << 16,
+    ).sort("l_partkey")
+
+
+def _q_parts_except(sf_dir: str):
+    """EXCEPT set op: parts sold in bulk but never in trickle
+    quantities — the Bloom-accelerated exact anti join over the
+    distinct sides."""
+    from hikma_engine_ray.stages.bloom import anti_join
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    return anti_join(
+        _distinct_partkey_side(ds, True), _distinct_partkey_side(ds, False),
+        on=["l_partkey"], num_bits=1 << 16,
+    ).sort("l_partkey")
+
+
+def _q_tfidf_topk(sf_dir: str):
+    """Per-document top-3 salient terms by tf·ln(N/df) — distributed
+    df via token-keyed groupby + bucketed join, per-doc combiner
+    top-k; no vocabulary broadcast (stages/relevance.tfidf_topk)."""
+    from hikma_engine_ray.stages.relevance import tfidf_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_topk(ds, per_doc_k=3).sort(
+        ["doc_id", "score", "token"], descending=[False, True, False]
+    )
+
+
 # ----------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1789,6 +1910,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds per group — VERDICT r3 item 9)
         "hll_bound": _q_hll_bound,
         "kll_bound": _q_kll_bound,
+        # round-4 operator additions (all SQL-oracle-checked)
+        "events_lagdiff": _q_events_lagdiff,
+        "events_movavg": _q_events_movavg,
+        "sources_by_lang": _q_sources_by_lang,
+        "entropy_by_lang": _q_entropy_by_lang,
+        "chi2_lang_source": _q_chi2_lang_source,
+        "lineitem_mad": _q_lineitem_mad,
+        "parts_intersect": _q_parts_intersect,
+        "parts_except": _q_parts_except,
+        "tfidf_topk": _q_tfidf_topk,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -2381,6 +2512,106 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, CAST(1 AS BIGINT) AS within_3pct_rank
             FROM (SELECT DISTINCT l_returnflag FROM lineitem)
             ORDER BY l_returnflag
+        """,
+        "events_lagdiff": """
+            SELECT user_id, event_id,
+                   coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1)
+                     AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, event_id
+        """,
+        "events_movavg": f"""
+            SELECT user_id, event_id,
+                   round(avg(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                         {_ROUND}) AS mov_avg
+            FROM events ORDER BY user_id, event_id
+        """,
+        "sources_by_lang": """
+            SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source)
+                     AS agg
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "entropy_by_lang": """
+            WITH c AS (
+              SELECT lang, source, count(*)::DOUBLE AS n
+              FROM documents GROUP BY lang, source
+            ), t AS (
+              SELECT lang, sum(n) AS tot FROM c GROUP BY lang
+            )
+            SELECT c.lang,
+                   round(-sum((c.n / t.tot) * log2(c.n / t.tot)), 6)
+                     AS entropy
+            FROM c JOIN t USING (lang) GROUP BY c.lang ORDER BY c.lang
+        """,
+        "chi2_lang_source": f"""
+            WITH o AS (
+              SELECT lang, source, count(*)::DOUBLE AS n
+              FROM documents GROUP BY lang, source
+            ), rt AS (SELECT lang, sum(n) AS r FROM o GROUP BY lang),
+            ct AS (SELECT source, sum(n) AS c FROM o GROUP BY source),
+            g AS (SELECT sum(n) AS t FROM o),
+            cells AS (
+              SELECT rt.lang, ct.source,
+                     coalesce(o.n, 0) AS obs, rt.r * ct.c / g.t AS exp
+              FROM rt CROSS JOIN ct CROSS JOIN g
+              LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source
+            )
+            SELECT round(sum((obs - exp) * (obs - exp) / exp), {_ROUND})
+                     AS chi2,
+                   ((SELECT count(*) FROM rt) - 1)
+                     * ((SELECT count(*) FROM ct) - 1) AS dof
+            FROM cells
+        """,
+        "lineitem_mad": f"""
+            WITH m AS (
+              SELECT l_returnflag,
+                     quantile_disc(l_quantity, 0.5) AS med
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l.l_returnflag,
+                   round(quantile_disc(round(abs(l.l_quantity - m.med), 9),
+                                       0.5), {_ROUND}) AS mad
+            FROM lineitem l JOIN m USING (l_returnflag)
+            GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+        """,
+        "parts_intersect": """
+            SELECT l_partkey FROM lineitem WHERE l_quantity >= 45
+            INTERSECT
+            SELECT l_partkey FROM lineitem WHERE l_quantity <= 5
+            ORDER BY l_partkey
+        """,
+        "parts_except": """
+            SELECT l_partkey FROM lineitem WHERE l_quantity >= 45
+            EXCEPT
+            SELECT l_partkey FROM lineitem WHERE l_quantity <= 5
+            ORDER BY l_partkey
+        """,
+        "tfidf_topk": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(trim(coalesce(text, ''))),
+                                        '\S+') AS toks
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, tok AS token, count(*)::BIGINT AS tf
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM t
+                    WHERE len(toks) > 0)
+              GROUP BY doc_id, tok
+            ), df AS (
+              SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token
+            ), n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+            s AS (
+              SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                     round(tf.tf * ln(n.nd / df.df), 6) AS score
+              FROM tf JOIN df USING (token) CROSS JOIN n
+            )
+            SELECT doc_id, token, score FROM s
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, token) <= 3
+            ORDER BY doc_id, score DESC, token
         """,
         # Not SQL-expressible → rows-only driver check; local gates named:
         #   kg_*            golden oracle P/R=1.0 (tests/test_pipeline.py,

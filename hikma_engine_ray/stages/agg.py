@@ -606,3 +606,152 @@ def global_topk(ds, sort_cols: list[str], k: int,
         .sort(sort_cols, descending=descending)
         .limit(k)
     )
+
+
+def grouped_string_agg(ds, key: str, value_col: str, sep: str = ",",
+                       nbuckets: int = 16):
+    """Per-group ordered DISTINCT string aggregation (SQL
+    ``string_agg(DISTINCT v, sep ORDER BY v)``). Combiner-first: each
+    block emits its distinct (key, value) pairs, the shuffle carries
+    only distinct pairs (bounded by the value vocabulary, not the
+    rows), and the per-key reduce sorts + joins. Partitioning
+    assumption: one key's distinct values fit a reduce block."""
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        return t.select([key, value_col]).group_by(
+            [key, value_col]).aggregate([])
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(g[value_col].astype(str).unique())
+        return pd.DataFrame(
+            {key: [g[key].iloc[0]], "agg": [sep.join(vals)]}
+        )
+
+    return (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .repartition(nbuckets)
+        .groupby(key)
+        .map_groups(join_group, batch_format="pandas")
+    )
+
+
+def grouped_entropy(ds, key: str, value_col: str, ndigits: int = 6,
+                    nbuckets: int = 16):
+    """Shannon entropy (bits) of the ``value_col`` distribution within
+    each key: H = -Σ p·log2(p) over value frequencies. Two-stage: the
+    pyarrow combiner pre-aggregates (key, value, n) per block, a
+    sum-shuffle merges partials, and the per-key reduce sees only the
+    distinct-value histogram — never rows."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.num import round_half_away
+
+    partials = ds.map_batches(
+        partial_agg([key, value_col], {"n": (value_col, "count")}),
+        batch_format="pyarrow",
+    )
+    counts = partials.groupby([key, value_col]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(dtype=np.float64)
+        p = n / n.sum()
+        h = float(-(p * np.log2(p)).sum())
+        return pd.DataFrame(
+            {key: [g[key].iloc[0]],
+             "entropy": [float(round_half_away(np.asarray([h]), ndigits)[0])]}
+        )
+
+    return (
+        counts.repartition(nbuckets)
+        .groupby(key)
+        .map_groups(entropy, batch_format="pandas")
+    )
+
+
+def chi2_independence(ds, col_a: str, col_b: str, ndigits: int = 4):
+    """Pearson chi-square statistic of independence over the
+    ``col_a`` × ``col_b`` contingency table: Σ (obs − exp)²/exp with
+    exp = row_total · col_total / grand_total. The shuffle carries only
+    per-block (a, b, n) partials; the contingency table itself is
+    result-sized (|A|·|B| cells), so the final statistic folds in one
+    driver-side pass over the aggregated cells — never the rows.
+
+    Output: one row {chi2, dof}."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.num import round_half_away
+
+    partials = ds.map_batches(
+        partial_agg([col_a, col_b], {"n": (col_a, "count")}),
+        batch_format="pyarrow",
+    )
+    cells = (
+        partials.groupby([col_a, col_b])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # result-sized: one row per contingency cell
+    )
+    obs = cells.pivot_table(index=col_a, columns=col_b, values="n",
+                            fill_value=0, aggfunc="sum")
+    o = obs.to_numpy(dtype=np.float64)
+    row = o.sum(axis=1, keepdims=True)
+    col = o.sum(axis=0, keepdims=True)
+    exp = row @ col / o.sum()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = np.where(exp > 0, (o - exp) ** 2 / exp, 0.0)
+    chi2 = float(round_half_away(np.asarray([terms.sum()]), ndigits)[0])
+    dof = int((o.shape[0] - 1) * (o.shape[1] - 1))
+    return pd.DataFrame({"chi2": [chi2], "dof": [dof]})
+
+
+def grouped_mad(ds, keys: list[str], value_col: str, ndigits: int = 4,
+                nbuckets: int = 16):
+    """Per-group median absolute deviation (quantile_disc semantics,
+    matching grouped_quantiles): m = median(x); mad = median(|x − m|).
+    Two distributed passes: the exact grouped median (distinct-value
+    histogram shuffle), medians broadcast via ray.put (group-count-
+    sized), then the same histogram machinery over |x − m|."""
+    import ray
+
+    from ..functions.num import round_half_away
+
+    med = grouped_quantiles(ds, keys, value_col, [0.5], nbuckets=nbuckets)
+    med_pd = med.to_pandas()  # group-count-sized
+    m_ref = ray.put({
+        tuple(r[k] for k in keys): float(r["q50"])
+        for _, r in med_pd.iterrows()
+    })
+
+    def absdev(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = ray.get(m_ref)
+        key_arrays = [t[k].to_pylist() for k in keys]
+        v = np.asarray(pc.cast(t[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False))
+        meds = np.fromiter(
+            (m[kt] for kt in zip(*key_arrays)), dtype=np.float64,
+            count=t.num_rows,
+        )
+        dev = round_half_away(np.abs(v - meds), 9)
+        cols = {k: t[k] for k in keys}
+        cols["absdev"] = pa.array(dev, pa.float64())
+        return pa.table(cols)
+
+    devs = ds.map_batches(absdev, batch_format="pyarrow")
+    out = grouped_quantiles(devs, keys, "absdev", [0.5], nbuckets=nbuckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {k: t[k] for k in keys}
+        cols["mad"] = pa.array(
+            round_half_away(
+                np.asarray(pc.cast(t["q50"], pa.float64()).to_numpy(
+                    zero_copy_only=False)), ndigits),
+            pa.float64(),
+        )
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")

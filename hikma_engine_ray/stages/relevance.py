@@ -172,3 +172,75 @@ def hybrid_search(docs_ds, emb_ds, query_text: str, query_vec,
     )
     out[id_col] = out[id_col].astype("int64")
     return out
+
+
+def tfidf_topk(ds, per_doc_k: int = 3, text_col: str = "text",
+               id_col: str = "doc_id", ndigits: int = 6,
+               nbuckets: int = 16):
+    """Per-document top-``per_doc_k`` terms by tf-idf (score =
+    tf · ln(N/df)), the classic salient-term extractor.
+
+    Fully distributed, no vocabulary broadcast: one pass emits per-block
+    (doc, token, tf) partials (combiner), a token-keyed groupby derives
+    document frequency FROM those partials (one row per distinct
+    (doc, token) — df = row count per token), a bucketed hash join
+    attaches df back, and grouped_topk keeps per_doc_k rows per doc.
+    Shuffle volume is distinct (doc, token) pairs, never raw text; the
+    df table is vocabulary-sized and stays distributed.
+
+    Ranking uses the ROUNDED score (desc) with the token as tiebreak so
+    a SQL oracle reproduces the exact row set: analytically-equal
+    scores round identically on both engines, while raw last-ulp
+    differences could flip an ordering."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.num import round_half_away
+    from .agg import grouped_topk
+    from .joins import bucketed_join
+
+    n_docs = ds.count()
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        out_id, out_tok, out_tf = [], [], []
+        for i, text in zip(ids, batch[text_col].to_pylist()):
+            toks = _tokens(text)
+            if not toks:
+                continue
+            vals, counts = np.unique(np.asarray(toks, dtype=object),
+                                     return_counts=True)
+            out_id.extend([i] * len(vals))
+            out_tok.extend(vals.tolist())
+            out_tf.extend(counts.tolist())
+        return pa.table({
+            id_col: pa.array(out_id),
+            "token": pa.array(out_tok, pa.string()),
+            "tf": pa.array(out_tf, pa.int64()),
+        })
+
+    # combiner partials, then a global merge: a doc's rows can span
+    # blocks only at block boundaries, but merge anyway for exactness
+    tf_tab = (
+        ds.map_batches(term_counts, batch_format="pyarrow")
+        .groupby([id_col, "token"])
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+    df_tab = tf_tab.groupby("token").aggregate(Count(alias_name="df"))
+    joined = bucketed_join(tf_tab, df_tab, on=["token"], nbuckets=nbuckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tf = pc.cast(t["tf"], pa.float64()).to_numpy(zero_copy_only=False)
+        df = pc.cast(t["df"], pa.float64()).to_numpy(zero_copy_only=False)
+        s = round_half_away(tf * np.log(n_docs / df), ndigits)
+        return pa.table({
+            id_col: t[id_col],
+            "token": t["token"],
+            "score": pa.array(s, pa.float64()),
+        })
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(scored, [id_col], "score", per_doc_k,
+                        descending=True, tiebreak=["token"],
+                        nbuckets=nbuckets)

@@ -125,3 +125,116 @@ def sessionize(ds, key: str, ts_col: str, timeout_sec: int, nbuckets: int = 16):
             batch_format="pandas",
         )
     )
+
+
+def _per_key_rows(ds, key: str, order_cols: list[str], fn, nbuckets: int = 16):
+    """Row-level window machinery: one bucketed shuffle on ``key``,
+    then inside each bucket a single vectorized pandas pass that sorts
+    by (key, *order_cols) and applies ``fn`` — which receives the
+    sorted frame plus a boolean "first row of its key" mask and returns
+    the output frame. Per-key state never crosses the bucket, so block
+    layout cannot change results; keys are hash-spread so no bucket
+    holds more than ~|rows|/nbuckets (skew = one hot key's rows,
+    documented per the north rule)."""
+    from .dedup import BUCKET_COL, add_bucket_column, blocks_for_keys
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[BUCKET_COL]).sort_values(
+            [key, *order_cols], kind="stable"
+        )
+        keys = g[key].to_numpy()
+        first = np.empty(len(g), dtype=bool)
+        first[0:1] = True
+        first[1:] = keys[1:] != keys[:-1]
+        return fn(g, first)
+
+    return (
+        ds.map_batches(add_bucket_column([key], nbuckets), batch_format="pyarrow")
+        .repartition(blocks_for_keys(nbuckets))
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def lag_gap(ds, key: str, ts_col: str, id_col: str, nbuckets: int = 16):
+    """LAG window: per-key time gap (µs) to the previous event, ordered
+    by (ts, id). The first event of a key gets -1 (the NULL sentinel —
+    the driver's value-hash is only proven on null-free columns, so
+    both engine and oracle coalesce identically).
+
+    Output: key, id, gap_us (int64)."""
+
+    def fn(g: pd.DataFrame, first: np.ndarray) -> pd.DataFrame:
+        ts = g[ts_col].astype("int64").to_numpy()
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0:1] = -1
+        gap[1:] = ts[1:] - ts[:-1]
+        gap[first] = -1
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            id_col: g[id_col].to_numpy(),
+            "gap_us": gap,
+        })
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t[key],
+            id_col: t[id_col],
+            ts_col: pc.cast(pc.cast(t[ts_col], pa.int64()), pa.int64()),
+        })
+
+    return _per_key_rows(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        key, [ts_col, id_col], fn, nbuckets,
+    )
+
+
+def moving_avg(ds, key: str, ts_col: str, id_col: str, value_col: str,
+               window: int = 3, ndigits: int = 4, nbuckets: int = 16):
+    """ROWS-window moving average: avg(value) over the current row and
+    the ``window - 1`` preceding rows of the same key, ordered by
+    (ts, id) — SQL ``ROWS BETWEEN {window-1} PRECEDING AND CURRENT
+    ROW``. Vectorized via cumulative sums with a per-key reset.
+
+    Output: key, id, mov_avg (float64, rounded)."""
+    from ..functions.num import round_half_away
+
+    def fn(g: pd.DataFrame, first: np.ndarray) -> pd.DataFrame:
+        v = g[value_col].astype("float64").to_numpy()
+        n = len(v)
+        # position of each row within its key run
+        run_start = np.maximum.accumulate(
+            np.where(first, np.arange(n), -1)
+        )
+        pos = np.arange(n) - run_start
+        # explicit shifted adds IN WINDOW ORDER (oldest first) — the
+        # same left-to-right accumulation a SQL window aggregator uses,
+        # so the pre-rounding float matches the oracle bit-for-bit for
+        # small windows (a cumsum-difference formulation would not)
+        total = np.zeros(n, dtype=np.float64)
+        cnt = np.ones(n, dtype=np.float64)
+        for j in range(window - 1, 0, -1):
+            mask = pos >= j
+            shifted = np.zeros(n, dtype=np.float64)
+            shifted[j:] = v[:-j]
+            total = total + np.where(mask, shifted, 0.0)
+            cnt += mask
+        total = total + v
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            id_col: g[id_col].to_numpy(),
+            "mov_avg": round_half_away(total / cnt, ndigits),
+        })
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t[key],
+            id_col: t[id_col],
+            value_col: t[value_col],
+            ts_col: pc.cast(pc.cast(t[ts_col], pa.int64()), pa.int64()),
+        })
+
+    return _per_key_rows(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        key, [ts_col, id_col], fn, nbuckets,
+    )

@@ -1,0 +1,197 @@
+"""Round-4 operator kernels vs serial references: row windows
+(lag_gap, moving_avg), distribution stats (string_agg, entropy, chi2,
+MAD), and tf-idf salient terms. Every test also varies the block
+layout — results must be layout-invariant."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _events(n=400, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "user_id": rng.integers(0, 12, n).astype("int64"),
+        "event_id": np.arange(n, dtype="int64"),
+        "ts": rng.integers(0, 10_000_000, n).astype("int64"),
+        "value": np.round(rng.uniform(0, 100, n), 3),
+    })
+
+
+def test_lag_gap_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.windows import lag_gap
+
+    df = _events()
+    for nblocks in (1, 5):
+        got = (
+            lag_gap(rd.from_pandas(df).repartition(nblocks),
+                    "user_id", "ts", "event_id")
+            .to_pandas()
+            .sort_values(["user_id", "event_id"])
+            .reset_index(drop=True)
+        )
+        want = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        want["gap_us"] = (
+            want.groupby("user_id")["ts"].diff().fillna(-1).astype("int64")
+        )
+        want = (want[["user_id", "event_id", "gap_us"]]
+                .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_moving_avg_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.windows import moving_avg
+
+    df = _events(seed=5)
+    got = (
+        moving_avg(rd.from_pandas(df).repartition(4),
+                   "user_id", "ts", "event_id", "value", window=3)
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    want["mov_avg"] = (
+        want.groupby("user_id")["value"]
+        .rolling(3, min_periods=1).mean()
+        .reset_index(level=0, drop=True)
+    )
+    want = (want[["user_id", "event_id", "mov_avg"]]
+            .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    assert np.allclose(got["mov_avg"], want["mov_avg"], atol=1e-4)
+    assert (got["user_id"] == want["user_id"]).all()
+
+
+def test_grouped_string_agg(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.agg import grouped_string_agg
+
+    df = pd.DataFrame({
+        "g": ["a", "a", "b", "b", "a", "b"],
+        "v": ["z", "m", "q", "q", "z", "a"],
+    })
+    got = (
+        grouped_string_agg(rd.from_pandas(df).repartition(3), "g", "v")
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    want = pd.DataFrame({"g": ["a", "b"], "agg": ["m,z", "a,q"]})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_entropy_matches_manual(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.agg import grouped_entropy
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y"], 300),
+        "v": rng.choice(list("abcde"), 300, p=[0.5, 0.2, 0.15, 0.1, 0.05]),
+    })
+    got = (
+        grouped_entropy(rd.from_pandas(df).repartition(4), "g", "v")
+        .to_pandas().set_index("g")["entropy"]
+    )
+    for g, sub in df.groupby("g"):
+        p = sub["v"].value_counts(normalize=True).to_numpy()
+        h = float(-(p * np.log2(p)).sum())
+        assert abs(got[g] - h) < 1e-5
+
+
+def test_chi2_matches_manual(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.agg import chi2_independence
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "a": rng.choice(["p", "q", "r"], 500),
+        "b": rng.choice(["u", "v"], 500),
+    })
+    got = chi2_independence(rd.from_pandas(df).repartition(3), "a", "b")
+    obs = pd.crosstab(df["a"], df["b"]).to_numpy(dtype=float)
+    exp = obs.sum(1, keepdims=True) @ obs.sum(0, keepdims=True) / obs.sum()
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    assert abs(got["chi2"].iloc[0] - chi2) < 1e-3
+    assert got["dof"].iloc[0] == 2
+
+
+def test_grouped_mad_matches_manual(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.agg import grouped_mad
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 400),
+        "v": rng.integers(1, 50, 400).astype("int64"),
+    })
+    got = (
+        grouped_mad(rd.from_pandas(df).repartition(4), ["g"], "v")
+        .to_pandas().set_index("g")["mad"]
+    )
+
+    def disc_median(x):  # quantile_disc: element at ceil(0.5*n), 1-based
+        s = np.sort(np.asarray(x))
+        return s[int(np.ceil(0.5 * len(s))) - 1]
+
+    for g, sub in df.groupby("g"):
+        m = disc_median(sub["v"])
+        mad = disc_median(np.round(np.abs(sub["v"] - m), 9))
+        assert got[g] == pytest.approx(mad, abs=1e-4)
+
+
+def test_tfidf_topk_matches_manual(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.relevance import tfidf_topk
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype="int64"),
+        "text": [
+            "apple banana apple cherry",
+            "banana cherry cherry dates",
+            "apple apple apple eel",
+            "dates eel fig fig fig",
+            "",
+            "fig apple banana",
+        ],
+    })
+    for nblocks in (1, 3):
+        got = (
+            tfidf_topk(rd.from_pandas(docs).repartition(nblocks), per_doc_k=2)
+            .to_pandas()
+            .sort_values(["doc_id", "score", "token"],
+                         ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        # manual reference
+        tokd = {r.doc_id: r.text.split() for r in docs.itertuples()
+                if r.text}
+        n = len(docs)
+        df_counts: dict = {}
+        for toks in tokd.values():
+            for t in set(toks):
+                df_counts[t] = df_counts.get(t, 0) + 1
+        rows = []
+        for d, toks in tokd.items():
+            scores = [
+                (round(toks.count(t) * math.log(n / df_counts[t]), 6), t)
+                for t in set(toks)
+            ]
+            scores.sort(key=lambda st: (-st[0], st[1]))
+            rows += [(d, t, s) for s, t in scores[:2]]
+        want = (pd.DataFrame(rows, columns=["doc_id", "token", "score"])
+                .sort_values(["doc_id", "score", "token"],
+                             ascending=[True, False, True])
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "token", "score"]], want, check_dtype=False
+        )
