@@ -1841,6 +1841,39 @@ def _q_tfidf_topk(sf_dir: str):
     )
 
 
+def _q_chunk_docs(sf_dir: str):
+    """Context-window chunking: 32-token windows with 8-token overlap
+    (stride 24), the embedding/RAG ingestion splitter
+    (stages/text.chunk_documents — stateless flat map)."""
+    from hikma_engine_ray.stages.text import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=32, overlap=8).sort(
+        ["doc_id", "chunk_id"]
+    )
+
+
+def _q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per doc: duplicate-token
+    fraction and top-2-gram coverage (stages/text.repetition_stats)."""
+    from hikma_engine_ray.stages.text import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_stats(ds).sort("doc_id")
+
+
+def _q_mix_weights(sf_dir: str):
+    """Domain-mixture reweighting: per-lang down-sampling rates that
+    reshape the corpus into a UNIFORM lang mixture
+    (stages/text.mix_weights; the rate table is what
+    stratified_sample consumes)."""
+    from hikma_engine_ray.stages.text import mix_weights
+
+    ds = _read(sf_dir, "documents", ["lang"])
+    target = {lang: 1.0 for lang in ("de", "en", "es", "fr", "zh")}
+    return mix_weights(ds, "lang", target)
+
+
 # ----------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1920,6 +1953,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_intersect": _q_parts_intersect,
         "parts_except": _q_parts_except,
         "tfidf_topk": _q_tfidf_topk,
+        "chunk_docs": _q_chunk_docs,
+        "doc_repetition": _q_doc_repetition,
+        "mix_weights": _q_mix_weights,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -2588,6 +2624,82 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT l_partkey FROM lineitem WHERE l_quantity <= 5
             ORDER BY l_partkey
+        """,
+        # chunking: 32-token windows at stride 24; windows anchored at
+        # multiples of the stride, the window that reaches the doc end
+        # is the last (short tail truncated, never a separate window)
+        "chunk_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(trim(coalesce(text, '')), '\S+')
+                       AS toks
+              FROM documents
+            ), t2 AS (
+              SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+            ), c AS (
+              SELECT doc_id, toks, n,
+                     unnest(range(CASE WHEN n <= 32 THEN 1
+                                  ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1
+                                  END)) AS chunk_id
+              FROM t2
+            )
+            SELECT doc_id, chunk_id,
+                   least(32, n - chunk_id * 24)::BIGINT AS n_tokens,
+                   array_to_string(
+                     toks[chunk_id * 24 + 1 :
+                          chunk_id * 24 + least(32, n - chunk_id * 24)],
+                     ' ') AS chunk_text
+            FROM c ORDER BY doc_id, chunk_id
+        """,
+        "doc_repetition": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(trim(coalesce(text, ''))),
+                                        '\S+') AS toks
+              FROM documents
+            ), base AS (
+              SELECT doc_id, toks, len(toks) AS n FROM t
+            ), g AS (
+              SELECT b.doc_id,
+                     array_to_string(b.toks[i : i + 1], ' ') AS gram
+              FROM base b,
+                   unnest(generate_series(1, b.n - 1)) AS u(i)
+              WHERE b.n >= 2
+            ), gm AS (
+              SELECT doc_id, gram, count(*) AS c
+              FROM g GROUP BY doc_id, gram
+            ), bg AS (
+              SELECT doc_id, max(c) AS maxc FROM gm GROUP BY doc_id
+            ), dt AS (
+              SELECT doc_id, count(DISTINCT tok) AS n_dist
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+              GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n::BIGINT AS n_tokens,
+                   round(CASE WHEN b.n > 0
+                              THEN 1.0 - dt.n_dist::DOUBLE / b.n
+                              ELSE 0.0 END, 6) AS dup_token_frac,
+                   round(CASE WHEN b.n >= 2
+                              THEN least(2.0 * bg.maxc / b.n, 1.0)
+                              ELSE 0.0 END, 6) AS top_bigram_frac
+            FROM base b
+            LEFT JOIN dt USING (doc_id) LEFT JOIN bg USING (doc_id)
+            ORDER BY b.doc_id
+        """,
+        "mix_weights": """
+            WITH c AS (
+              SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+            ), t AS (
+              SELECT count(*)::DOUBLE AS k, sum(n)::DOUBLE AS tot FROM c
+            ), b AS (
+              SELECT lang, n, n / tot AS obs, 1.0 / k AS tgt,
+                     (1.0 / k) / (n / tot) AS raw
+              FROM c, t
+            )
+            SELECT lang, n, round(obs, 6) AS observed_frac,
+                   round(tgt, 6) AS target_frac,
+                   round(raw / max(raw) OVER (), 6) AS sample_rate
+            FROM b ORDER BY lang
         """,
         "tfidf_topk": r"""
             WITH t AS (

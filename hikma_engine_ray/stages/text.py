@@ -314,3 +314,123 @@ def normalize_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         for t in texts
     ]
     return batch.append_column("text_norm", pa.array(out, pa.string()))
+
+
+def chunk_documents(ds, chunk_tokens: int = 64, overlap: int = 8,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split documents into fixed-size token-window chunks with overlap
+    — the context-window chunker every embedding/RAG ingestion pipeline
+    runs before vectorizing. Whitespace token rule (the shared
+    tokenizer); stride = chunk_tokens − overlap; a final short window
+    is emitted only if it starts before the doc ends (i.e. standard
+    sliding windows anchored at multiples of the stride, last window
+    truncated). Empty docs produce no chunks.
+
+    Stateless flat map — each batch expands independently; expansion
+    factor is n_tokens/stride ≈ 1/(1 − overlap/chunk), so block size
+    grows by a small constant and the stage streams at any corpus
+    size. Output: id, chunk_id (0-based), n_tokens, chunk_text."""
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        out_id, out_cid, out_n, out_txt = [], [], [], []
+        for i, t in zip(ids, batch[text_col].to_pylist()):
+            stripped = (t or "").strip()
+            if not stripped:
+                continue
+            toks = _WS.split(stripped)
+            for c, start in enumerate(range(0, len(toks), stride)):
+                win = toks[start:start + chunk_tokens]
+                out_id.append(i)
+                out_cid.append(c)
+                out_n.append(len(win))
+                out_txt.append(" ".join(win))
+                if start + chunk_tokens >= len(toks):
+                    break
+        return pa.table({
+            id_col: pa.array(out_id),
+            "chunk_id": pa.array(out_cid, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "chunk_text": pa.array(out_txt, pa.string()),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                     ndigits: int = 6):
+    """Gopher-style intra-document repetition signals (Rae et al. 2021
+    Table A1 analog, at the token granularity these single-line docs
+    have): fraction of tokens that repeat an earlier token
+    (1 − distinct/total) and the fraction of tokens covered by the
+    most frequent 2-gram (2·modal-count/total, capped at 1). Stateless
+    per-row map, no shuffle — the standard quality pre-filter a 100 TB
+    curation pass applies before dedup.
+
+    Output: id, n_tokens, dup_token_frac, top_bigram_frac."""
+    from ..functions.num import round_half_away
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        n_tok = np.empty(len(ids), dtype=np.int64)
+        dup_frac = np.zeros(len(ids), dtype=np.float64)
+        big_frac = np.zeros(len(ids), dtype=np.float64)
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            stripped = (t or "").strip().lower()
+            toks = _WS.split(stripped) if stripped else []
+            n_tok[i] = len(toks)
+            if toks:
+                dup_frac[i] = 1.0 - len(set(toks)) / len(toks)
+            if len(toks) >= 2:
+                grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+                _, counts = np.unique(np.asarray(grams, dtype=object),
+                                      return_counts=True)
+                big_frac[i] = min(2.0 * counts.max() / len(toks), 1.0)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "dup_token_frac": pa.array(
+                round_half_away(dup_frac, ndigits), pa.float64()),
+            "top_bigram_frac": pa.array(
+                round_half_away(big_frac, ndigits), pa.float64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def mix_weights(ds, group_col: str, target: dict[str, float],
+                ndigits: int = 6):
+    """Domain-mixture reweighting: per-group sampling rates that
+    reshape the corpus's group distribution into ``target`` (rates
+    normalized so the largest is 1.0 — pure down-sampling, the standard
+    data-mixing computation before a training run). One combiner-first
+    count aggregate (group-count-sized result); the rate table is what
+    a downstream stratified_sample consumes.
+
+    Output: group, n, observed_frac, target_frac, sample_rate."""
+    from .agg import grouped_agg
+    from ..functions.num import round_half_away
+
+    counts = grouped_agg(
+        ds, keys=[group_col], spec={"n": (group_col, "count")}
+    ).to_pandas()  # group-count-sized
+    counts = counts.sort_values(group_col).reset_index(drop=True)
+    total = float(counts["n"].sum())
+    obs = counts["n"].to_numpy(dtype=np.float64) / total
+    tgt = np.asarray(
+        [float(target.get(g, 0.0)) for g in counts[group_col]],
+        dtype=np.float64,
+    )
+    tgt = tgt / tgt.sum() if tgt.sum() > 0 else tgt
+    with np.errstate(divide="ignore", invalid="ignore"):
+        raw = np.where(obs > 0, tgt / obs, 0.0)
+    rate = raw / raw.max() if raw.max() > 0 else raw
+    return pd.DataFrame({
+        group_col: counts[group_col],
+        "n": counts["n"].astype("int64"),
+        "observed_frac": round_half_away(obs, ndigits),
+        "target_frac": round_half_away(tgt, ndigits),
+        "sample_rate": round_half_away(rate, ndigits),
+    })

@@ -195,3 +195,77 @@ def test_tfidf_topk_matches_manual(ray_session):
         pd.testing.assert_frame_equal(
             got[["doc_id", "token", "score"]], want, check_dtype=False
         )
+
+
+def test_chunk_documents_windows(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.text import chunk_documents
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            " ".join(f"t{i}" for i in range(10)),   # 10 toks → 1 chunk @8/2
+            " ".join(f"t{i}" for i in range(8)),    # exactly one window
+            "",                                     # no chunks
+            " ".join(f"t{i}" for i in range(20)),   # 3 chunks (stride 6)
+        ],
+    })
+    got = (
+        chunk_documents(rd.from_pandas(docs).repartition(2),
+                        chunk_tokens=8, overlap=2)
+        .to_pandas().sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    # doc 0 (10 toks): windows at 0 (8 toks) and 6 (4 toks)
+    d0 = got[got.doc_id == 0]
+    assert list(d0.n_tokens) == [8, 4]
+    assert d0.iloc[1].chunk_text == "t6 t7 t8 t9"
+    # overlap: last 2 tokens of window 0 open window 1
+    assert d0.iloc[0].chunk_text.split()[-2:] == d0.iloc[1].chunk_text.split()[:2]
+    assert list(got[got.doc_id == 1].n_tokens) == [8]
+    assert (got.doc_id != 2).all()
+    assert list(got[got.doc_id == 3].n_tokens) == [8, 8, 8]
+    # token conservation: every source token appears in some chunk
+    covered = set()
+    for r in got[got.doc_id == 3].itertuples():
+        covered |= set(r.chunk_text.split())
+    assert covered == {f"t{i}" for i in range(20)}
+
+
+def test_repetition_stats_values(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.text import repetition_stats
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "a b a b a b",        # 6 toks, 2 distinct; modal bigram "a b" ×3
+            "x y z",              # all distinct
+            "",
+        ],
+    })
+    got = (repetition_stats(rd.from_pandas(docs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got.loc[0, "dup_token_frac"] == pytest.approx(1 - 2 / 6)
+    assert got.loc[0, "top_bigram_frac"] == pytest.approx(1.0)
+    assert got.loc[1, "dup_token_frac"] == 0.0
+    assert got.loc[1, "top_bigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got.loc[2, "n_tokens"] == 0
+    assert got.loc[2, "dup_token_frac"] == 0.0
+
+
+def test_mix_weights_uniform_target(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.text import mix_weights
+
+    df = pd.DataFrame({"g": ["a"] * 60 + ["b"] * 30 + ["c"] * 10})
+    got = mix_weights(rd.from_pandas(df).repartition(3), "g",
+                      {"a": 1.0, "b": 1.0, "c": 1.0}).set_index("g")
+    # rarest group keeps everything; others down-sample proportionally
+    assert got.loc["c", "sample_rate"] == pytest.approx(1.0)
+    assert got.loc["b", "sample_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got.loc["a", "sample_rate"] == pytest.approx(1 / 6, abs=1e-6)
+    assert got["observed_frac"].sum() == pytest.approx(1.0)
