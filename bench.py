@@ -184,6 +184,10 @@ def run_bench() -> dict:
         "hll_lang_sources", "kll_qty_by_flag",
         "customer_orders_outer", "doc_percentiles", "kg_pagerank",
         "kg_components",
+        "top_orders", "events_lagdiff", "events_movavg",
+        "sources_by_lang", "entropy_by_lang", "chi2_lang_source",
+        "lineitem_mad", "parts_intersect", "parts_except", "tfidf_topk",
+        "chunk_docs", "doc_repetition", "mix_weights",
     ):
         tq = time.monotonic()
         res = qs[name](SF_DIR)

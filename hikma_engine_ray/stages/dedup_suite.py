@@ -256,7 +256,8 @@ class MinHashSigs:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        ids = batch[self.id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
         sigs = self.signatures(texts)
         # shingle-less docs (empty / sub-k-token text) short-circuit out
         # of banding: their all-max signature would put EVERY empty doc
@@ -634,7 +635,8 @@ def simhash_candidates(ds, max_hamming: int = 3, text_col: str = "text",
     layout = _simhash_band_layout(max_hamming)
 
     def bands(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        ids = batch[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
         texts = batch[text_col].to_pylist()
         hs = simhash64_batch(texts)
         # token-less docs short-circuit out of banding (they'd all share
@@ -742,10 +744,13 @@ def embedding_neardup(ds, threshold: float = 0.95, nplanes: int = 8,
     split_planes = rng.standard_normal((dim, 24)).astype(np.float32)
 
     def bucket(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        ids = batch[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
         if len(ids) == 0:
             return _EMBED_BUCKET_SCHEMA.empty_table()
-        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
+        from .similarity import _to_matrix
+
+        vecs = _to_matrix(batch[vec_col])
         out_bucket = np.empty(len(ids) * nbands, dtype=np.int64)
         for b in range(nbands):
             signs = (vecs @ planes[b]) > 0

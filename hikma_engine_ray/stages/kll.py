@@ -119,7 +119,8 @@ def kll_quantiles(ds, col: str, qs: list[float], k: int = 256) -> dict[str, floa
     block row count). Returns {f"q{q}": value}."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        vals = np.asarray(batch[col].to_pylist(), dtype=np.float64)
+        vals = batch[col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64, copy=False)
         vals = vals[~np.isnan(vals)]
         s = KLL(k)
         if len(vals):

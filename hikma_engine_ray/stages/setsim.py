@@ -68,7 +68,8 @@ def prefix_rows(threshold: float, k: int = 5, text_col: str = "text",
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        ids = batch[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
         all_sh: list[bytes] = []
         lens = np.empty(len(texts), dtype=np.int64)
         for j, t in enumerate(texts):

@@ -243,9 +243,11 @@ def dup_ngram_coverage(ds, text_col: str = "text", id_col: str = "doc_id",
 
         nd = pc.fill_null(batch["n_dup_grams"], 0)
         dt = pc.fill_null(batch["dup_tokens"], 0)
-        lens = np.asarray(batch["n_tokens"].to_pylist(), dtype=np.int64)
+        lens = batch["n_tokens"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
         cov = round_half_away(
-            np.asarray(dt.to_pylist(), dtype=np.int64) / np.maximum(lens, 1), 6
+            pc.cast(dt, pa.int64()).to_numpy(zero_copy_only=False)
+            / np.maximum(lens, 1), 6
         )
         return pa.table({
             id_col: batch[id_col],

@@ -273,7 +273,8 @@ def weighted_sample(ds, weight_col: str, id_col: str = "doc_id",
 
     def part(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
-        w = np.asarray(batch[weight_col].to_pylist(), dtype=np.float64)
+        w = batch[weight_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64, copy=False)
         h = np.fromiter(
             (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
              for i in ids),
