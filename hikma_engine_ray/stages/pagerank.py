@@ -72,7 +72,8 @@ def _distinct_nodes(edges, src_col: str, dst_col: str):
 def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
              damping: float = 0.85, iters: int = 10,
              driver_limit: int = 20_000_000, nbuckets: int = 32,
-             dense_limit_bytes: int = 8 * 1024 * 1024):
+             dense_limit_bytes: int = 8 * 1024 * 1024,
+             driver_edge_bytes: int = 64 * 1024 * 1024):
     """Edge Dataset (src, dst strings) → Dataset (node, rank). Ranks
     sum to 1.0 (up to float error)."""
     import ray
@@ -87,13 +88,14 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
         )
     if n <= driver_limit:
         return _pagerank_broadcast(edges, nodes, src_col, dst_col,
-                                   damping, iters, n, dense_limit_bytes)
+                                   damping, iters, n, dense_limit_bytes,
+                                   driver_edge_bytes)
     return _pagerank_join(edges, nodes, src_col, dst_col, damping, iters,
                           n, nbuckets)
 
 
 def _pagerank_broadcast(edges, nodes, src_col, dst_col, damping, iters, n,
-                        dense_limit_bytes):
+                        dense_limit_bytes, driver_edge_bytes=0):
     import ray
     from ray.data.aggregate import Sum
 
@@ -120,6 +122,38 @@ def _pagerank_broadcast(edges, nodes, src_col, dst_col, damping, iters, n,
                          "di": pa.array(d.astype(np.int64), pa.int64())})
 
     indexed = edges.map_batches(index_edges, batch_format="pyarrow").materialize()
+
+    # driver-resident iteration fast path, count-guarded like every
+    # small-side shortcut in this repo: when the INDEXED edge list
+    # (16 B/edge of dense int32-range indices — never the node strings)
+    # fits a modest driver budget, 10 power iterations are pure numpy
+    # bincounts (~ms) instead of 10 distributed executions (~1 s of
+    # executor fixed cost EACH on an idle cluster). Past the guard the
+    # per-block broadcast iteration below takes over unchanged;
+    # equivalence-gated in tests/test_pagerank.py.
+    m_edges = indexed.count()
+    if m_edges * 16 <= driver_edge_bytes:
+        ei = indexed.to_pandas()
+        si = ei["si"].to_numpy().astype(np.int64, copy=False)
+        di = ei["di"].to_numpy().astype(np.int64, copy=False)
+        outdeg = np.bincount(si, minlength=n).astype(np.float64)
+        dangling_mask = outdeg == 0.0
+        safe_deg = np.where(dangling_mask, 1.0, outdeg)
+        rank = np.full(n, 1.0 / n, dtype=np.float64)
+        for _ in range(iters):
+            share = rank / safe_deg
+            base = (1.0 - damping) / n \
+                + damping * float(rank[dangling_mask].sum()) / n
+            rank = base + damping * np.bincount(
+                di, weights=share[si], minlength=n
+            )
+        inv_order = np.empty(n, dtype=np.int64)
+        inv_order[order] = np.arange(n)
+        out = pa.table({"node": pa.array(node_list, pa.string()),
+                        "rank": pa.array(rank[inv_order], pa.float64())})
+        import ray.data as rd
+
+        return rd.from_arrow(out)
 
     # outdeg once (per-block bincount partials → tiny groupby)
     def deg_partial(t: pa.Table) -> pa.Table:

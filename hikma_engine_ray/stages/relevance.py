@@ -180,23 +180,22 @@ def tfidf_topk(ds, per_doc_k: int = 3, text_col: str = "text",
     """Per-document top-``per_doc_k`` terms by tf-idf (score =
     tf · ln(N/df)), the classic salient-term extractor.
 
-    Fully distributed, no vocabulary broadcast: one pass emits per-block
-    (doc, token, tf) partials (combiner), a token-keyed groupby derives
-    document frequency FROM those partials (one row per distinct
-    (doc, token) — df = row count per token), a bucketed hash join
-    attaches df back, and grouped_topk keeps per_doc_k rows per doc.
-    Shuffle volume is distinct (doc, token) pairs, never raw text; the
-    df table is vocabulary-sized and stays distributed.
+    Fully distributed, no vocabulary broadcast, TWO shuffles total:
+    the term-count pass emits exact per-doc (doc, token, tf) rows (a
+    doc lives in exactly one batch, so np.unique per doc IS the final
+    tf — no merge shuffle needed); ONE token-bucketed hash shuffle
+    computes df (rows per token = distinct docs, since rows are unique
+    per (doc, token)) and scores in place; grouped_topk's combiner
+    keeps ≤ per_doc_k rows per doc per block before the second, tiny
+    shuffle. Volume: distinct (doc, token) pairs once, then k·docs.
 
     Ranking uses the ROUNDED score (desc) with the token as tiebreak so
     a SQL oracle reproduces the exact row set: analytically-equal
     scores round identically on both engines, while raw last-ulp
     differences could flip an ordering."""
-    from ray.data.aggregate import Count, Sum
-
     from ..functions.num import round_half_away
     from .agg import grouped_topk
-    from .joins import bucketed_join
+    from .dedup import BUCKET_COL, add_bucket_column, blocks_for_keys
 
     n_docs = ds.count()
 
@@ -218,29 +217,32 @@ def tfidf_topk(ds, per_doc_k: int = 3, text_col: str = "text",
             "tf": pa.array(out_tf, pa.int64()),
         })
 
-    # combiner partials, then a global merge: a doc's rows can span
-    # blocks only at block boundaries, but merge anyway for exactness
-    tf_tab = (
-        ds.map_batches(term_counts, batch_format="pyarrow")
-        .groupby([id_col, "token"])
-        .aggregate(Sum("tf", alias_name="tf"))
-    )
-    df_tab = tf_tab.groupby("token").aggregate(Count(alias_name="df"))
-    joined = bucketed_join(tf_tab, df_tab, on=["token"], nbuckets=nbuckets)
-
-    def score(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        tf = pc.cast(t["tf"], pa.float64()).to_numpy(zero_copy_only=False)
-        df = pc.cast(t["df"], pa.float64()).to_numpy(zero_copy_only=False)
-        s = round_half_away(tf * np.log(n_docs / df), ndigits)
-        return pa.table({
-            id_col: t[id_col],
-            "token": t["token"],
-            "score": pa.array(s, pa.float64()),
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # df = rows per token (each row is one distinct doc for the
+        # token); every occurrence of a token lands in this bucket
+        df = g.groupby("token", sort=False)["token"].transform("size")
+        s = round_half_away(
+            g["tf"].to_numpy(dtype=np.float64)
+            * np.log(n_docs / df.to_numpy(dtype=np.float64)),
+            ndigits,
+        )
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "token": g["token"].to_numpy(),
+            "score": s,
         })
 
-    scored = joined.map_batches(score, batch_format="pyarrow")
+    scored = (
+        ds.map_batches(term_counts, batch_format="pyarrow")
+        .map_batches(add_bucket_column(["token"], nbuckets),
+                     batch_format="pyarrow")
+        .repartition(blocks_for_keys(nbuckets))
+        .groupby(BUCKET_COL)
+        .map_groups(
+            lambda g: score_bucket(g.drop(columns=[BUCKET_COL])),
+            batch_format="pandas",
+        )
+    )
     return grouped_topk(scored, [id_col], "score", per_doc_k,
                         descending=True, tiebreak=["token"],
                         nbuckets=nbuckets)

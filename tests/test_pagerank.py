@@ -71,15 +71,20 @@ def test_pagerank_join_path_equivalent(ray_session):
 
 
 def test_pagerank_sparse_reduce_equivalent(ray_session):
-    """dense_limit_bytes=0 forces the sparse groupby reduce inside the
-    broadcast path; results are identical to the dense fast path."""
+    """driver_edge_bytes=0 forces the per-block broadcast iteration;
+    dense_limit_bytes=0 additionally forces its sparse groupby reduce.
+    All three shapes (driver-resident, per-block dense, per-block
+    sparse) are value-identical."""
     from hikma_engine_ray.stages.pagerank import pagerank
 
-    dense = _as_dict(pagerank(_edges_ds(), iters=6))
-    sparse = _as_dict(pagerank(_edges_ds(), iters=6, dense_limit_bytes=0))
-    assert set(dense) == set(sparse)
+    driver = _as_dict(pagerank(_edges_ds(), iters=6))
+    dense = _as_dict(pagerank(_edges_ds(), iters=6, driver_edge_bytes=0))
+    sparse = _as_dict(pagerank(_edges_ds(), iters=6, driver_edge_bytes=0,
+                               dense_limit_bytes=0))
+    assert set(driver) == set(dense) == set(sparse)
     for k in dense:
         assert sparse[k] == pytest.approx(dense[k], rel=1e-12), k
+        assert driver[k] == pytest.approx(dense[k], rel=1e-12), k
 
 
 def test_kg_component_sizes_match_serial(ray_session, built_graph):
