@@ -1782,50 +1782,41 @@ def _q_lineitem_mad(sf_dir: str):
                        ndigits=_ROUND).sort("l_returnflag")
 
 
-def _distinct_partkey_side(ds, hi: bool):
-    """DISTINCT l_partkey of one quantity stratum — per-block distinct
-    (combiner) then a tiny groupby-count dedup; only distinct keys ever
-    shuffle."""
+def _partkey_stratum(ds, hi: bool):
+    """One quantity stratum's l_partkey stream (per-block distinct)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
 
     def pick(t, _hi=hi):
         mask = (pc.greater_equal(t["l_quantity"], 45) if _hi
                 else pc.less_equal(t["l_quantity"], 5))
-        return (t.filter(mask).select(["l_partkey"])
-                .group_by(["l_partkey"]).aggregate([]))
+        return t.filter(mask).select(["l_partkey"])
 
-    return (
-        ds.map_batches(pick, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-    )
+    return ds.map_batches(pick, batch_format="pyarrow")
 
 
 def _q_parts_intersect(sf_dir: str):
     """INTERSECT set op: parts sold in BOTH bulk (quantity ≥ 45) and
-    trickle (≤ 5) line items — distinct per side, then the
-    Bloom-accelerated exact semi join (no row-level shuffle)."""
-    from hikma_engine_ray.stages.bloom import semi_join
+    trickle (≤ 5) line items — one tagged-union shuffle of per-block
+    distinct keys with presence-flag aggregation
+    (stages/dedup.distinct_set_op); no join, no second pass."""
+    from hikma_engine_ray.stages.dedup import distinct_set_op
 
     ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
-    return semi_join(
-        _distinct_partkey_side(ds, True), _distinct_partkey_side(ds, False),
-        on=["l_partkey"], num_bits=1 << 16,
+    return distinct_set_op(
+        _partkey_stratum(ds, True), _partkey_stratum(ds, False),
+        on=["l_partkey"], op="intersect",
     ).sort("l_partkey")
 
 
 def _q_parts_except(sf_dir: str):
     """EXCEPT set op: parts sold in bulk but never in trickle
-    quantities — the Bloom-accelerated exact anti join over the
-    distinct sides."""
-    from hikma_engine_ray.stages.bloom import anti_join
+    quantities — same one-shuffle presence-flag machinery."""
+    from hikma_engine_ray.stages.dedup import distinct_set_op
 
     ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
-    return anti_join(
-        _distinct_partkey_side(ds, True), _distinct_partkey_side(ds, False),
-        on=["l_partkey"], num_bits=1 << 16,
+    return distinct_set_op(
+        _partkey_stratum(ds, True), _partkey_stratum(ds, False),
+        on=["l_partkey"], op="except",
     ).sort("l_partkey")
 
 

@@ -136,3 +136,57 @@ def bucketed_map_groups(ds, key_cols: list[str], per_key_fn, nbuckets: int = 64,
         .groupby(BUCKET_COL)
         .map_groups(per_bucket_wrap, batch_format=batch_format)
     )
+
+
+def distinct_set_op(left, right, on: list[str], op: str,
+                    final_blocks: int | None = None):
+    """SQL set operations over DISTINCT key tuples — INTERSECT, EXCEPT,
+    UNION (distinct) — in ONE shuffle: each side emits its per-block
+    distinct keys tagged with a presence flag, and a single groupby
+    aggregates max(in_left), max(in_right) per key; the op is then a
+    stateless filter. Shuffle volume = distinct keys per block per
+    side, never rows; no join, no second pass.
+
+    ``final_blocks``: coalesce partials before the groupby when key
+    cardinality is small (same rationale as grouped_agg)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    if op not in ("intersect", "except", "union"):
+        raise ValueError(op)
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            d = t.select(on).group_by(on).aggregate([])
+            flag = pa.array(
+                np.full(d.num_rows, side, dtype=np.int8), pa.int8()
+            )
+            return (d.append_column("__l", pc.cast(
+                        pc.equal(flag, pa.scalar(0, pa.int8())), pa.int8()))
+                     .append_column("__r", pc.cast(
+                        pc.equal(flag, pa.scalar(1, pa.int8())), pa.int8())))
+
+        return fn
+
+    merged = (
+        left.map_batches(tag(0), batch_format="pyarrow")
+        .union(right.map_batches(tag(1), batch_format="pyarrow"))
+    )
+    if final_blocks is not None:
+        merged = merged.repartition(final_blocks)
+    agg = merged.groupby(on).aggregate(
+        Max("__l", alias_name="__l"), Max("__r", alias_name="__r")
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        l_ = pc.equal(t["__l"], 1)
+        r_ = pc.equal(t["__r"], 1)
+        if op == "intersect":
+            mask = pc.and_(l_, r_)
+        elif op == "except":
+            mask = pc.and_(l_, pc.invert(r_))
+        else:
+            mask = pc.or_(l_, r_)
+        return t.filter(mask).select(on)
+
+    return agg.map_batches(pick, batch_format="pyarrow")

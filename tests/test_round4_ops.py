@@ -269,3 +269,24 @@ def test_mix_weights_uniform_target(ray_session):
     assert got.loc["b", "sample_rate"] == pytest.approx(1 / 3, abs=1e-6)
     assert got.loc["a", "sample_rate"] == pytest.approx(1 / 6, abs=1e-6)
     assert got["observed_frac"].sum() == pytest.approx(1.0)
+
+
+def test_distinct_set_op_all_ops(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.dedup import distinct_set_op
+
+    a = pd.DataFrame({"k": [1, 2, 2, 3, 4, 4]})
+    b = pd.DataFrame({"k": [3, 4, 5, 5]})
+    la, rb = rd.from_pandas(a).repartition(3), rd.from_pandas(b).repartition(2)
+
+    def run(op):
+        return sorted(
+            distinct_set_op(la, rb, ["k"], op).to_pandas()["k"].tolist()
+        )
+
+    assert run("intersect") == [3, 4]
+    assert run("except") == [1, 2]
+    assert run("union") == [1, 2, 3, 4, 5]
+    with pytest.raises(ValueError):
+        distinct_set_op(la, rb, ["k"], "xor")
