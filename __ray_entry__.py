@@ -1865,6 +1865,18 @@ def _q_mix_weights(sf_dir: str):
     return mix_weights(ds, "lang", target)
 
 
+def _q_funnel(sf_dir: str):
+    """First-touch ordered funnel over the event stream: users whose
+    first view precedes their first click precedes their first purchase
+    (stages/windows.funnel — combiner min-ts partials, per-bucket
+    ordered-prefix booleans, one result row)."""
+    from hikma_engine_ray.stages.windows import funnel
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    return funnel(ds, "user_id", "ts", "event_type",
+                  ["view", "click", "purchase"])
+
+
 # ----------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1947,6 +1959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "doc_repetition": _q_doc_repetition,
         "mix_weights": _q_mix_weights,
+        "funnel": _q_funnel,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -2676,6 +2689,27 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN dt USING (doc_id) LEFT JOIN bg USING (doc_id)
             ORDER BY b.doc_id
+        """,
+        "funnel": """
+            WITH m AS (
+              SELECT user_id,
+                     min(epoch_us(ts)) FILTER (WHERE event_type = 'view')
+                       AS mv,
+                     min(epoch_us(ts)) FILTER (WHERE event_type = 'click')
+                       AS mc,
+                     min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')
+                       AS mp
+              FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+              GROUP BY user_id
+            )
+            SELECT count(*)::BIGINT AS n_keys,
+                   count(*) FILTER (WHERE mv IS NOT NULL)::BIGINT AS n_view,
+                   count(*) FILTER (WHERE mv IS NOT NULL AND mc > mv)::BIGINT
+                     AS n_click,
+                   count(*) FILTER (WHERE mv IS NOT NULL AND mc > mv
+                                    AND mp > mc)::BIGINT AS n_purchase
+            FROM m
         """,
         "mix_weights": """
             WITH c AS (

@@ -238,3 +238,78 @@ def moving_avg(ds, key: str, ts_col: str, id_col: str, value_col: str,
         ds.map_batches(to_us, batch_format="pyarrow"),
         key, [ts_col, id_col], fn, nbuckets,
     )
+
+
+def funnel(ds, key: str, ts_col: str, type_col: str, steps: list[str],
+           nbuckets: int = 16):
+    """Ordered-funnel conversion: how many keys performed step 1, then
+    step 2 strictly after their first step 1, then step 3 strictly
+    after that first step 2, … (first-touch funnel — the standard
+    product-analytics sequence query).
+
+    Combiner-first: per-block min-ts per (key, step) partials (pyarrow
+    group_by), a sum… min-shuffle over partials, then a per-bucket
+    pandas pivot computes the ordered-prefix booleans; per-bucket
+    counts reduce to ONE result row. Shuffle volume = keys × |steps|
+    rows, never events.
+
+    Output: one row — n_keys, then n_{step} cumulative-funnel counts
+    in step order."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .agg import partial_agg
+    from .dedup import BUCKET_COL, add_bucket_column, blocks_for_keys
+
+    step_set = pa.array(steps)
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[type_col], value_set=step_set))
+        return pa.table({
+            key: t[key],
+            type_col: t[type_col],
+            "mts": pc.cast(pc.cast(t[ts_col], pa.int64()), pa.int64()),
+        })
+
+    partials = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .map_batches(
+            partial_agg([key, type_col], {"mts": ("mts", "min")}),
+            batch_format="pyarrow",
+        )
+    )
+
+    cols = [f"n_{s}" for s in steps]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # global min per (key, step) — block partials may repeat a pair
+        m = (g.groupby([key, type_col], sort=False)["mts"].min()
+             .unstack(type_col))
+        ok = None
+        prev = None
+        counts = {}
+        for s, c in zip(steps, cols):
+            ts = m[s] if s in m.columns else pd.Series(
+                np.nan, index=m.index, dtype="float64")
+            step_ok = ts.notna() if prev is None else (
+                ok & ts.notna() & (ts > prev))
+            counts[c] = int(step_ok.sum())
+            ok, prev = step_ok, ts
+        counts["n_keys"] = int(len(m))
+        return pd.DataFrame([counts])
+
+    bucket_counts = (
+        partials.map_batches(add_bucket_column([key], nbuckets),
+                             batch_format="pyarrow")
+        .repartition(blocks_for_keys(nbuckets))
+        .groupby(BUCKET_COL)
+        .map_groups(
+            lambda g: per_bucket(g.drop(columns=[BUCKET_COL])),
+            batch_format="pandas",
+        )
+    )
+    aggs = [Sum("n_keys", alias_name="n_keys")] + [
+        Sum(c, alias_name=c) for c in cols
+    ]
+    row = bucket_counts.aggregate(*aggs)
+    return pd.DataFrame([{k: int(row[k]) for k in ["n_keys"] + cols}])

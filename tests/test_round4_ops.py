@@ -290,3 +290,28 @@ def test_distinct_set_op_all_ops(ray_session):
     assert run("union") == [1, 2, 3, 4, 5]
     with pytest.raises(ValueError):
         distinct_set_op(la, rb, ["k"], "xor")
+
+
+def test_funnel_ordered_prefix(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.windows import funnel
+
+    # u1: full ordered funnel; u2: click before view (stops at view);
+    # u3: view only; u4: purchase before click (stops at click)
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3, 4, 4, 4],
+        "ts":      [10, 20, 30, 20, 10, 5, 10, 30, 20],
+        "event_type": ["view", "click", "purchase",
+                       "view", "click",
+                       "view",
+                       "view", "click", "purchase"],
+    })
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    got = funnel(rd.from_pandas(df).repartition(3), "user_id", "ts",
+                 "event_type", ["view", "click", "purchase"])
+    row = got.iloc[0]
+    assert row["n_keys"] == 4
+    assert row["n_view"] == 4
+    assert row["n_click"] == 2      # u1, u4
+    assert row["n_purchase"] == 1   # u1 only (u4's purchase < click)
