@@ -1865,6 +1865,26 @@ def _q_mix_weights(sf_dir: str):
     return mix_weights(ds, "lang", target)
 
 
+def _q_containment_pairs(sf_dir: str):
+    """EXACT directed containment self-join (|Sa∩Sb|/|Sa| ≥ 0.8) —
+    the asymmetric excerpt/subset near-dup relation Jaccard misses;
+    rarest-first prefix filtering (stages/setsim.containment_self_join)
+    with a brute-force DuckDB oracle."""
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.stages.setsim import containment_self_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = containment_self_join(ds, threshold=0.8, k=5)
+    return pairs.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("containment"), "containment",
+            pc.round(t["containment"], 6),
+        ),
+        batch_format="pyarrow",
+    ).sort(["a", "b"])
+
+
 def _q_funnel(sf_dir: str):
     """First-touch ordered funnel over the event stream: users whose
     first view precedes their first click precedes their first purchase
@@ -1960,6 +1980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "mix_weights": _q_mix_weights,
         "funnel": _q_funnel,
+        "containment_pairs": _q_containment_pairs,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -2689,6 +2710,34 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN dt USING (doc_id) LEFT JOIN bg USING (doc_id)
             ORDER BY b.doc_id
+        """,
+        "containment_pairs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')), '\S+')
+                       AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct([array_to_string(toks[i:i+4], ' ')
+                                         for i in range(1, len(toks) - 3)])
+                END AS sh
+              FROM t
+            ), e AS (
+              SELECT doc_id, unnest(sh) AS g FROM s
+            ), sz AS (
+              SELECT doc_id, len(sh) AS n FROM s
+            ), inter AS (
+              SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS i
+              FROM e e1 JOIN e e2 ON e1.g = e2.g AND e1.doc_id != e2.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b, round(i / na.n :: DOUBLE, 6) AS containment
+            FROM inter JOIN sz na ON na.doc_id = a
+            WHERE i / na.n :: DOUBLE >= 0.8
+            ORDER BY a, b
         """,
         "funnel": """
             WITH m AS (

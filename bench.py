@@ -187,7 +187,7 @@ def run_bench() -> dict:
         "top_orders", "events_lagdiff", "events_movavg",
         "sources_by_lang", "entropy_by_lang", "chi2_lang_source",
         "lineitem_mad", "parts_intersect", "parts_except", "tfidf_topk",
-        "chunk_docs", "doc_repetition", "mix_weights",
+        "chunk_docs", "doc_repetition", "mix_weights", "funnel",
     ):
         tq = time.monotonic()
         res = qs[name](SF_DIR)

@@ -154,3 +154,210 @@ def jaccard_self_join(docs_ds, threshold: float = 0.8, k: int = 5,
         cand, docs_ds, threshold, k=k, text_col=text_col, id_col=id_col,
         nbuckets=nbuckets,
     )
+
+
+# g as an int64 BIT-VIEW of the u64 shingle hash: Ray's sort shuffle
+# pickles uint64 KEY columns into extension-object blocks (NOTES.md,
+# found in the substr stage) — the containment path groupbys/joins on
+# g directly, so it must be int64 on the wire. Any fixed total order
+# works for the prefix lemma; the signed view is one.
+_GRAM_SCHEMA = pa.schema(
+    [("g", pa.int64()), ("doc_id", pa.int64()), ("n", pa.int32())]
+)
+
+
+def _all_gram_rows(k: int, text_col: str, id_col: str):
+    """map_batches fn: docs → one row per DISTINCT shingle
+    ``(g, doc_id, n)`` (the containment join's index side — every
+    shingle, not just a prefix)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
+        all_sh: list[bytes] = []
+        lens = np.empty(len(texts), dtype=np.int64)
+        for j, t in enumerate(texts):
+            sh = _shingles(t or "", k)
+            lens[j] = len(sh)
+            all_sh.extend(sh)
+        h = _hash_occurrences(all_sh, _PREFIX_SEED).view(np.int64)
+        doc_idx = np.repeat(np.arange(len(texts)), lens)
+        return pa.Table.from_arrays(
+            [pa.array(h, pa.int64()),
+             pa.array(ids[doc_idx], pa.int64()),
+             pa.array(lens[doc_idx].astype(np.int32), pa.int32())],
+            schema=_GRAM_SCHEMA,
+        )
+
+    return fn
+
+
+def containment_self_join(docs_ds, threshold: float = 0.8, k: int = 5,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          nbuckets: int = 32):
+    """Exact CONTAINMENT self-join: directed pairs (a, b), a ≠ b, with
+    |S_a ∩ S_b| / |S_a| ≥ threshold — the asymmetric near-dup relation
+    Jaccard misses (an excerpt inside a much larger doc has tiny
+    Jaccard but containment ≈ 1). Returns
+    Dataset[(a: i64, b: i64, containment: f64)].
+
+    Prefix lemma (containment form): if |A∩B| ≥ t·|A| then B contains
+    one of A's first |A| − ⌈t·|A|⌉ + 1 shingles in ANY fixed total
+    order of the shingle universe. Unlike the Jaccard join there is no
+    symmetric pruning — the index side must post ALL its shingles — so
+    the order matters enormously: this implementation orders by GLOBAL
+    FREQUENCY (rarest first, hash tiebreak), the standard trick from
+    the all-pairs literature, which makes every candidate group's
+    index list exactly the posting list of a RARE shingle. Hot
+    boilerplate shingles never appear in any prefix and never form a
+    group.
+
+    Shape (gram rows = distinct (doc, shingle) pairs — the same volume
+    dup_ngram_cov shuffles):
+      1. gram rows + a (g, freq) count aggregate       [1 shuffle]
+      2. freq joined back, per-doc rarest-first prefix  [2 shuffles]
+      3. prefix ∪ index rows grouped by g → candidates  [1 shuffle]
+      4. joined exact verify on |S_a ∩ S_b| / |S_a|     [2 joins]
+    Documented assumption: a rare shingle's posting list fits a reduce
+    block (true by construction of "rare"; an all-boilerplate corpus
+    degrades to per-gram lists the size of the boilerplate family —
+    run exact_dedup first, as with the Jaccard join)."""
+    from ray.data.aggregate import Sum
+
+    from .joins import bucketed_join
+
+    assert 0.0 < threshold <= 1.0
+    rows = docs_ds.map_batches(
+        _all_gram_rows(k, text_col, id_col), batch_format="pyarrow"
+    ).materialize()  # reused: freq pass + prefix pass + index side
+
+    def freq_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["g"]).group_by(["g"]).aggregate([("g", "count")])
+        return g.rename_columns(["g", "f"])
+
+    freq = (
+        rows.map_batches(freq_partial, batch_format="pyarrow")
+        .groupby("g").aggregate(Sum("f", alias_name="f"))
+    )
+    rows_f = bucketed_join(rows, freq, on=["g"], nbuckets=nbuckets)
+
+    # per-doc rarest-first prefix: p = n - ceil(t*n) + 1 rows with the
+    # smallest (f, g)
+    def prefix_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "f", "g"], kind="stable")
+        pos = g.groupby("doc_id", sort=False).cumcount().to_numpy()
+        n = g["n"].to_numpy(dtype=np.int64)
+        p = n - np.ceil(threshold * n).astype(np.int64) + 1
+        return g[pos < p]
+
+    qpref = (
+        rows_f.map_batches(add_bucket_column(["doc_id"], nbuckets),
+                           batch_format="pyarrow")
+        .repartition(blocks_for_keys(nbuckets))
+        .groupby(BUCKET_COL)
+        .map_groups(
+            lambda g: prefix_per_bucket(g.drop(columns=[BUCKET_COL]))
+            [["g", "doc_id", "n"]],
+            batch_format="pandas",
+        )
+    )
+
+    def tag(role: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "role", pa.array(np.full(t.num_rows, role, np.int8), pa.int8())
+            )
+
+        return fn
+
+    tagged = qpref.map_batches(tag(0), batch_format="pyarrow").union(
+        rows.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def pairs_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        parts_a, parts_b = [], []
+        for _, sub in g.groupby("g", sort=False):
+            q = sub[sub["role"] == 0]
+            i = sub[sub["role"] == 1]
+            if not len(q) or len(i) < 2:
+                continue
+            qa = q["doc_id"].to_numpy(dtype=np.int64)
+            qn = q["n"].to_numpy(dtype=np.int64)
+            ia = i["doc_id"].to_numpy(dtype=np.int64)
+            inn = i["n"].to_numpy(dtype=np.int64)
+            A = np.repeat(qa, len(ia)); An = np.repeat(qn, len(ia))
+            B = np.tile(ia, len(qa)); Bn = np.tile(inn, len(qa))
+            # |B| >= |A∩B| >= t|A| prune + no self-pairs
+            ok = (A != B) & (Bn >= np.ceil(threshold * An).astype(np.int64))
+            parts_a.append(A[ok]); parts_b.append(B[ok])
+        a = np.concatenate(parts_a) if parts_a else np.empty(0, np.int64)
+        b = np.concatenate(parts_b) if parts_b else np.empty(0, np.int64)
+        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
+                             "b": pd.Series(b, dtype="int64")})
+
+    cand = (
+        tagged.map_batches(add_bucket_column(["g"], nbuckets),
+                           batch_format="pyarrow")
+        .repartition(blocks_for_keys(nbuckets))
+        .groupby(BUCKET_COL)
+        .map_groups(
+            lambda g: pairs_per_bucket(g.drop(columns=[BUCKET_COL])),
+            batch_format="pandas",
+        )
+    )
+    cand = dedup_exact(cand, key_cols=["a", "b"], sort_cols=["a", "b"])
+    return verify_containment_joined(
+        cand, docs_ds, threshold, k=k, text_col=text_col, id_col=id_col,
+        nbuckets=nbuckets,
+    )
+
+
+def verify_containment_joined(pairs_ds, docs_ds, threshold: float,
+                              k: int = 5, text_col: str = "text",
+                              id_col: str = "doc_id", nbuckets: int = 32):
+    """Exact containment verification via two bucketed joins of the
+    (candidate-sized) pair set against the documents — the same
+    no-materialization shape as verify_jaccard_joined."""
+    from .joins import bucketed_join
+
+    docs_a = docs_ds.map_batches(
+        lambda t: pa.table({"a": t[id_col], "text_a": t[text_col]}),
+        batch_format="pyarrow",
+    )
+    docs_b = docs_ds.map_batches(
+        lambda t: pa.table({"b": t[id_col], "text_b": t[text_col]}),
+        batch_format="pyarrow",
+    )
+    pairs_ds = pairs_ds.materialize()
+    joined = bucketed_join(pairs_ds, docs_a, on=["a"],
+                           nbuckets=nbuckets).materialize()
+    joined = bucketed_join(joined, docs_b, on=["b"], nbuckets=nbuckets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        cache: dict[int, set] = {}
+
+        def sh(did, text):
+            s = cache.get(did)
+            if s is None:
+                s = cache[did] = _shingles(text or "", k)
+            return s
+
+        cont = [
+            (len(sh(x, tx) & sh(y, ty)) / len(sh(x, tx))
+             if sh(x, tx) else 0.0)
+            for x, y, tx, ty in zip(a, b, ta, tb)
+        ]
+        keep = [c >= threshold for c in cont]
+        t = pa.Table.from_arrays(
+            [pa.array(a, pa.int64()), pa.array(b, pa.int64()),
+             pa.array(cont, pa.float64())],
+            names=["a", "b", "containment"],
+        )
+        return t.filter(pa.array(keep))
+
+    return joined.map_batches(verify, batch_format="pyarrow")

@@ -315,3 +315,30 @@ def test_funnel_ordered_prefix(ray_session):
     assert row["n_view"] == 4
     assert row["n_click"] == 2      # u1, u4
     assert row["n_purchase"] == 1   # u1 only (u4's purchase < click)
+
+
+def test_containment_catches_excerpts_jaccard_misses(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.setsim import containment_self_join
+    from hikma_engine_ray.stages.dedup_suite import _shingles, jaccard
+
+    base = " ".join(f"w{i}" for i in range(12))           # 12 tokens
+    big = base + " " + " ".join(f"x{i}" for i in range(60))  # base ⊂ big
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [base, big, "completely different tokens only here now"],
+    })
+    # sanity: the excerpt relation is invisible to Jaccard at t=0.8
+    sa, sb = _shingles(base, 5), _shingles(big, 5)
+    assert len(sa & sb) / len(sa) == 1.0 and jaccard(sa, sb) < 0.2
+
+    for nblocks in (1, 3):
+        got = (
+            containment_self_join(
+                rd.from_pandas(docs).repartition(nblocks), threshold=0.8, k=5)
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        )
+        # exactly the directed pair 0 → 1 (base contained in big)
+        assert list(map(tuple, got[["a", "b"]].itertuples(index=False))) == [(0, 1)]
+        assert got["containment"].iloc[0] == 1.0
