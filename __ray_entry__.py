@@ -1885,6 +1885,20 @@ def _q_containment_pairs(sf_dir: str):
     ).sort(["a", "b"])
 
 
+def _q_fuzzy_pairs(sf_dir: str):
+    """EXACT Levenshtein-distance (<= 2) similarity self-join over the
+    DISTINCT part names — SymSpell deletion-neighborhood candidate
+    generation + banded-DP verify (stages/editsim); brute-force DuckDB
+    ``levenshtein`` oracle. The entity-resolution / fuzzy-matching
+    primitive for short string columns."""
+    from hikma_engine_ray.stages.editsim import edit_distance_self_join
+
+    ds = _read(sf_dir, "part", ["p_name"])
+    return edit_distance_self_join(ds, max_dist=2, str_col="p_name").sort(
+        ["a", "b"]
+    )
+
+
 def _q_funnel(sf_dir: str):
     """First-touch ordered funnel over the event stream: users whose
     first view precedes their first click precedes their first purchase
@@ -1981,6 +1995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_weights": _q_mix_weights,
         "funnel": _q_funnel,
         "containment_pairs": _q_containment_pairs,
+        "fuzzy_pairs": _q_fuzzy_pairs,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -2737,6 +2752,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, round(i / na.n :: DOUBLE, 6) AS containment
             FROM inter JOIN sz na ON na.doc_id = a
             WHERE i / na.n :: DOUBLE >= 0.8
+            ORDER BY a, b
+        """,
+        "fuzzy_pairs": """
+            WITH s AS (SELECT DISTINCT p_name AS nm FROM part)
+            SELECT a.nm AS a, b.nm AS b,
+                   levenshtein(a.nm, b.nm)::BIGINT AS dist
+            FROM s a JOIN s b ON a.nm < b.nm
+            WHERE levenshtein(a.nm, b.nm) <= 2
             ORDER BY a, b
         """,
         "funnel": """
