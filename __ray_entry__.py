@@ -1899,6 +1899,39 @@ def _q_fuzzy_pairs(sf_dir: str):
     )
 
 
+def _q_khop(sf_dir: str):
+    """Multi-source k-hop BFS (exact shortest hop distances, <= 4
+    hops) over the part–supplier bipartite graph, seeds = every 50th
+    part (stages/graphops.bfs_khop — count-guarded driver/broadcast/
+    Pregel-join paths); DuckDB recursive-CTE oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.stages.graphops import bfs_khop
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_discount"])
+
+    def mk(direction: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater(t["l_discount"], 0.08))
+            p = pc.binary_join_element_wise(
+                pa.array(["p:"] * t.num_rows, pa.string()),
+                pc.cast(t["l_partkey"], pa.string()), "")
+            s = pc.binary_join_element_wise(
+                pa.array(["s:"] * t.num_rows, pa.string()),
+                pc.cast(t["l_suppkey"], pa.string()), "")
+            return (pa.table({"src": p, "dst": s}) if direction == 0
+                    else pa.table({"src": s, "dst": p}))
+
+        return fn
+
+    edges = li.map_batches(mk(0), batch_format="pyarrow").union(
+        li.map_batches(mk(1), batch_format="pyarrow"))
+    parts = _read(sf_dir, "part", ["p_partkey"]).to_pandas()
+    seeds = [f"p:{k}" for k in parts["p_partkey"] if k % 50 == 1]
+    return bfs_khop(edges, seeds, max_hops=4).sort(["node"])
+
+
 def _q_funnel(sf_dir: str):
     """First-touch ordered funnel over the event stream: users whose
     first view precedes their first click precedes their first purchase
@@ -1996,6 +2029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": _q_funnel,
         "containment_pairs": _q_containment_pairs,
         "fuzzy_pairs": _q_fuzzy_pairs,
+        "khop_reach": _q_khop,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -2761,6 +2795,26 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.nm < b.nm
             WHERE levenshtein(a.nm, b.nm) <= 2
             ORDER BY a, b
+        """,
+        "khop_reach": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT 'p:' || l_partkey AS src,
+                                's:' || l_suppkey AS dst
+                FROM lineitem WHERE l_discount > 0.08
+                UNION
+                SELECT DISTINCT 's:' || l_suppkey, 'p:' || l_partkey
+                FROM lineitem WHERE l_discount > 0.08
+            ), seeds AS (
+                SELECT 'p:' || p_partkey AS node FROM part
+                WHERE p_partkey % 50 = 1
+            ), walk AS (
+                SELECT node, 0 AS dist FROM seeds
+                UNION
+                SELECT e.dst, w.dist + 1 FROM walk w
+                JOIN e ON e.src = w.node WHERE w.dist < 4
+            )
+            SELECT node, min(dist)::BIGINT AS dist FROM walk
+            GROUP BY node ORDER BY node
         """,
         "funnel": """
             WITH m AS (
