@@ -1899,6 +1899,19 @@ def _q_fuzzy_pairs(sf_dir: str):
     )
 
 
+def _q_orders_ntile(sf_dir: str):
+    """EXACT global ROW_NUMBER + NTILE(10) over every order, highest
+    price first (stages/agg.global_row_number — sampled range
+    boundaries, exact count offsets, one bucket shuffle; never a
+    global materialized sort); native window-function oracle."""
+    from hikma_engine_ray.stages.agg import global_row_number
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return global_row_number(
+        ds, "o_totalprice", "o_orderkey", descending=True, n_tiles=10
+    ).sort(["rn"])
+
+
 def _q_khop(sf_dir: str):
     """Multi-source k-hop BFS (exact shortest hop distances, <= 4
     hops) over the part–supplier bipartite graph, seeds = every 50th
@@ -2030,6 +2043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "fuzzy_pairs": _q_fuzzy_pairs,
         "khop_reach": _q_khop,
+        "orders_ntile": _q_orders_ntile,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -2795,6 +2809,14 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.nm < b.nm
             WHERE levenshtein(a.nm, b.nm) <= 2
             ORDER BY a, b
+        """,
+        "orders_ntile": """
+            SELECT o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER w AS rn,
+                   NTILE(10) OVER w AS tile
+            FROM orders
+            WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+            ORDER BY rn
         """,
         "khop_reach": """
             WITH RECURSIVE e AS (

@@ -755,3 +755,121 @@ def grouped_mad(ds, keys: list[str], value_col: str, ndigits: int = 4,
         return pa.table(cols)
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------- exact global row numbering
+
+def global_row_number(ds, value_col: str, id_col: str, *,
+                      descending: bool = False, n_tiles: int | None = None,
+                      nbuckets: int = 64, sample_per_block: int = 64):
+    """EXACT global ``ROW_NUMBER() OVER (ORDER BY value [DESC], id)``
+    (and optionally ``NTILE(n)`` over the same order) without a global
+    materialized sort — the distributed-sort SHAPE, kept streaming:
+
+      1. one sampling pass: each block contributes <= sample_per_block
+         strided (value, id) keys; the driver picks nbuckets-1 RANGE
+         boundary tuples from the sample (equi-depth).
+      2. rows are range-bucketed by vectorized tuple comparison against
+         the boundaries (64 pair-comparisons per row, no shuffle yet).
+      3. one count-per-bucket aggregate (nbuckets rows) -> driver
+         prefix sums = each bucket's global rank offset.
+      4. one shuffle on the bucket id; each bucket sorts locally and
+         stamps offset + local position.
+
+    The id column must be UNIQUE (the tiebreak that makes ROW_NUMBER
+    deterministic — same contract as the SQL oracle). Boundary quality
+    only affects bucket BALANCE, never correctness: ranks are exact for
+    any partitioning because offsets come from exact counts. At 100 TB
+    the only driver state is the sample (nbuckets * blocks keys) and
+    the nbuckets-row count table; each bucket must fit a worker
+    (equi-depth sampling keeps buckets ~ N/nbuckets; a unique tiebreak
+    means no single key can overflow one bucket)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def sample(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.select([value_col, id_col])
+        step = max(1, n // sample_per_block)
+        idx = list(range(0, n, step))[:sample_per_block]
+        return t.select([value_col, id_col]).take(pa.array(idx, pa.int64()))
+
+    samp = ds.map_batches(sample, batch_format="pyarrow").to_pandas()
+    samp = samp.sort_values([value_col, id_col],
+                            ascending=[not descending, True], kind="stable")
+    if len(samp) > 1 and nbuckets > 1:
+        pos = np.linspace(0, len(samp) - 1, nbuckets + 1)[1:-1]
+        b = samp.iloc[np.unique(pos.astype(np.int64))]
+        bvals = b[value_col].to_numpy()
+        bids = b[id_col].to_numpy()
+    else:
+        bvals = np.empty(0, object)
+        bids = np.empty(0, object)
+    bref = ray.put((bvals, bids))
+
+    def bucket_of(t: pa.Table) -> np.ndarray:
+        bv, bi = ray.get(bref)
+        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        i = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        bucket = np.zeros(t.num_rows, dtype=np.int32)
+        for bv_k, bi_k in zip(bv, bi):
+            if descending:
+                gt = v < bv_k
+            else:
+                gt = v > bv_k
+            gt |= (v == bv_k) & (i > bi_k)
+            bucket += gt.astype(np.int32)
+        return bucket
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.select([value_col, id_col]).append_column(
+            "__rbucket", pa.array(bucket_of(t), pa.int32()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    counts = (
+        tagged.map_batches(
+            lambda t: t.select(["__rbucket"]).group_by(["__rbucket"])
+            .aggregate([("__rbucket", "count")])
+            .rename_columns(["__rbucket", "c"]),
+            batch_format="pyarrow",
+        ).groupby("__rbucket").aggregate(Sum("c", alias_name="c")).to_pandas()
+    )
+    nb = int(len(bvals)) + 1
+    sizes = np.zeros(nb, dtype=np.int64)
+    if len(counts):
+        sizes[counts["__rbucket"].to_numpy()] = counts["c"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    total = int(sizes.sum())
+    oref = ray.put(offsets)
+
+    q, r = (divmod(total, n_tiles) if n_tiles else (0, 0))
+
+    def stamp(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(oref)[int(g["__rbucket"].iloc[0])]
+        g = g.sort_values([value_col, id_col],
+                          ascending=[not descending, True], kind="stable")
+        rn = off + np.arange(1, len(g) + 1, dtype=np.int64)
+        out = pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            value_col: g[value_col].to_numpy(),
+            "rn": rn,
+        })
+        if n_tiles:
+            # SQL NTILE: first (total % n) tiles get q+1 rows, rest q
+            cut = r * (q + 1)
+            k = rn - 1
+            out["tile"] = np.where(
+                k < cut, k // max(q + 1, 1) + 1,
+                r + (k - cut) // max(q, 1) + 1,
+            ).astype(np.int64)
+        return out
+
+    from .dedup import blocks_for_keys
+
+    return (
+        tagged.repartition(blocks_for_keys(nb))
+        .groupby("__rbucket")
+        .map_groups(stamp, batch_format="pandas")
+    )

@@ -1,0 +1,72 @@
+"""global_row_number: exact ROW_NUMBER/NTILE vs a pandas reference,
+layout- and boundary-invariant, both directions, heavy ties, empty."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hikma_engine_ray.stages.agg import global_row_number
+
+
+def _want(df, value_col, id_col, descending, n_tiles):
+    w = df.sort_values([value_col, id_col],
+                       ascending=[not descending, True], kind="stable")
+    w = w.reset_index(drop=True)
+    rn = np.arange(1, len(w) + 1)
+    out = pd.DataFrame({id_col: w[id_col].to_numpy(),
+                        value_col: w[value_col].to_numpy(), "rn": rn})
+    if n_tiles:
+        total = len(w)
+        q, r = divmod(total, n_tiles)
+        cut = r * (q + 1)
+        k = rn - 1
+        out["tile"] = np.where(k < cut, k // max(q + 1, 1) + 1,
+                               r + (k - cut) // max(q, 1) + 1).astype("int64")
+    return out
+
+
+@pytest.mark.parametrize("descending", [False, True])
+@pytest.mark.parametrize("nblocks", [1, 7])
+def test_rownumber_matches_pandas(ray_session, descending, nblocks):
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    # heavy ties: values drawn from 10 distinct floats
+    df = pd.DataFrame({
+        "v": rng.choice(np.round(rng.uniform(0, 100, 10), 2), 500),
+        "id": rng.permutation(500).astype("int64"),
+    })
+    got = (
+        global_row_number(rd.from_pandas(df).repartition(nblocks),
+                          "v", "id", descending=descending, n_tiles=7,
+                          nbuckets=9)
+        .to_pandas().sort_values("rn").reset_index(drop=True)
+    )
+    want = _want(df, "v", "id", descending, 7)
+    pd.testing.assert_frame_equal(
+        got[["id", "v", "rn", "tile"]], want[["id", "v", "rn", "tile"]]
+    )
+
+
+def test_rownumber_strings_and_small_buckets(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"v": list("bacbacbacd"),
+                       "id": np.arange(10, dtype="int64")})
+    got = (
+        global_row_number(rd.from_pandas(df), "v", "id", nbuckets=3)
+        .to_pandas().sort_values("rn").reset_index(drop=True)
+    )
+    want = _want(df, "v", "id", False, None)
+    pd.testing.assert_frame_equal(got[["id", "v", "rn"]],
+                                  want[["id", "v", "rn"]])
+
+
+def test_rownumber_ntile_fewer_rows_than_tiles(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"v": [3.0, 1.0], "id": np.array([1, 2], "int64")})
+    got = (global_row_number(rd.from_pandas(df), "v", "id", n_tiles=5)
+           .to_pandas().sort_values("rn").reset_index(drop=True))
+    assert got["tile"].tolist() == [1, 2]
+    assert got["v"].tolist() == [1.0, 3.0]
