@@ -1899,6 +1899,30 @@ def _q_fuzzy_pairs(sf_dir: str):
     )
 
 
+def _q_events_resample(sf_dir: str):
+    """Per-user DAILY resample with zero gap fill — one row per user
+    per calendar day across the user's active span, missing days at
+    n=0 (stages/windows.resample_daily — combiner (key,day) partials,
+    one key shuffle, per-key calendar reindex); generate_series
+    oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.stages.windows import resample_daily
+
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        lambda t: t.filter(pa.array(
+            t["user_id"].combine_chunks().to_numpy() % 10 == 0
+        )),
+        batch_format="pyarrow",
+    )
+    return resample_daily(ds, "user_id", "ts", "value").sort(
+        ["user_id", "day"]
+    )
+
+
 def _q_orders_ntile(sf_dir: str):
     """EXACT global ROW_NUMBER + NTILE(10) over every order, highest
     price first (stages/agg.global_row_number — sampled range
@@ -2044,6 +2068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_pairs": _q_fuzzy_pairs,
         "khop_reach": _q_khop,
         "orders_ntile": _q_orders_ntile,
+        "events_resample": _q_events_resample,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -2809,6 +2834,27 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.nm < b.nm
             WHERE levenshtein(a.nm, b.nm) <= 2
             ORDER BY a, b
+        """,
+        "events_resample": """
+            WITH d AS (
+              SELECT user_id, date_trunc('day', ts) AS day,
+                     count(*) AS n, round(sum(value), 6) AS sum_value
+              FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2
+            ), span AS (
+              SELECT user_id, min(day) AS lo, max(day) AS hi
+              FROM d GROUP BY 1
+            ), cal AS (
+              SELECT s.user_id,
+                     unnest(generate_series(s.lo, s.hi, INTERVAL 1 DAY))
+                       AS day
+              FROM span s
+            )
+            SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day,
+                   coalesce(d.n, 0)::BIGINT AS n,
+                   coalesce(d.sum_value, 0.0) AS sum_value
+            FROM cal c LEFT JOIN d
+              ON d.user_id = c.user_id AND d.day = c.day
+            ORDER BY 1, 2
         """,
         "orders_ntile": """
             SELECT o_orderkey, o_totalprice,

@@ -342,3 +342,52 @@ def test_containment_catches_excerpts_jaccard_misses(ray_session):
         # exactly the directed pair 0 → 1 (base contained in big)
         assert list(map(tuple, got[["a", "b"]].itertuples(index=False))) == [(0, 1)]
         assert got["containment"].iloc[0] == 1.0
+
+
+def test_resample_daily_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.windows import resample_daily
+
+    rng = np.random.default_rng(31)
+    n = 300
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 6, n).astype("int64"),
+        "ts": pd.to_datetime(
+            rng.integers(0, 40, n) * 86_400_000_000
+            + rng.integers(0, 86_400_000_000, n), unit="us"),
+        "value": np.round(rng.uniform(0, 50, n), 3),
+    })
+    # sparse users: drop some whole days to create gaps
+    df = df[~df["ts"].dt.day.isin([3, 4, 11])].reset_index(drop=True)
+
+    def want_df():
+        d = df.copy()
+        d["day"] = d["ts"].dt.strftime("%Y-%m-%d")
+        agg = d.groupby(["user_id", "day"]).agg(
+            n=("value", "size"), sum_value=("value", "sum")).reset_index()
+        outs = []
+        for u, sub in agg.groupby("user_id"):
+            days = pd.date_range(sub["day"].min(), sub["day"].max(),
+                                 freq="D").strftime("%Y-%m-%d")
+            full = sub.set_index("day").reindex(days, fill_value=0)
+            outs.append(pd.DataFrame({
+                "user_id": np.int64(u), "day": days,
+                "n": full["n"].to_numpy().astype("int64"),
+                "sum_value": np.round(
+                    full["sum_value"].to_numpy().astype(float), 6),
+            }))
+        return (pd.concat(outs, ignore_index=True)
+                .sort_values(["user_id", "day"]).reset_index(drop=True))
+
+    want = want_df()
+    for nblocks in (1, 5):
+        got = (
+            resample_daily(rd.from_pandas(df).repartition(nblocks),
+                           "user_id", "ts", "value", nbuckets=4)
+            .to_pandas().sort_values(["user_id", "day"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+    # zero-filled gap rows really exist
+    assert (want["n"] == 0).any()
