@@ -790,6 +790,18 @@ def _q_pack(sf_dir: str):
     )
 
 
+def _q_pca_embed(sf_dir: str):
+    """Distributed PCA over the embeddings table: one sufficient-
+    statistics pass (per-block (n, Σx, XᵀX) rows — no shuffle), d×d
+    eigh on the driver, broadcast projection to the top-2 sign-fixed
+    components. Rows-only check; local gate: tests/test_pca.py
+    (engine ≡ serial numpy across layouts)."""
+    from hikma_engine_ray.stages.pca import pca_embed
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pca_embed(emb, k=2).sort(["vec_id"])
+
+
 def _q_kmeans(sf_dir: str):
     """Distributed k-means over the embeddings table: fit 8 centroids
     (10 Lloyd iterations, broadcast-centroid + combiner-partial shape),
@@ -2096,6 +2108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_price": _q_kll_price,
         "kll_qty_by_flag": _q_kll_by_flag,
         "kmeans_clusters": _q_kmeans,
+        "pca_embed": _q_pca_embed,
         "fingerprint": _q_fingerprint,
         "minhash_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
