@@ -790,6 +790,18 @@ def _q_pack(sf_dir: str):
     )
 
 
+def _q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training over the documents corpus: the first 30
+    learned merges (rank, left, right, freq) — one corpus pass for the
+    word table, then count-guarded driver/distributed merge iterations
+    (stages/bpe, Sennrich et al. 2016). Rows-only check; local gate:
+    tests/test_bpe.py (distributed ≡ serial, hand-checked example)."""
+    from hikma_engine_ray.stages.bpe import bpe_train
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return bpe_train(docs, n_merges=30)
+
+
 def _q_pca_embed(sf_dir: str):
     """Distributed PCA over the embeddings table: one sufficient-
     statistics pass (per-block (n, Σx, XᵀX) rows — no shuffle), d×d
@@ -2109,6 +2121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_qty_by_flag": _q_kll_by_flag,
         "kmeans_clusters": _q_kmeans,
         "pca_embed": _q_pca_embed,
+        "bpe_merges": _q_bpe_merges,
         "fingerprint": _q_fingerprint,
         "minhash_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,

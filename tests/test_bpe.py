@@ -1,0 +1,69 @@
+"""BPE training (stages/bpe): hand-checked merges on a tiny corpus,
+serial ≡ distributed equivalence across layouts, and the corpus query
+shape."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hikma_engine_ray.stages.bpe import (
+    _merge_word,
+    bpe_train,
+    serial_bpe,
+)
+
+
+def test_merge_word_left_to_right():
+    assert _merge_word(tuple("aaa"), "a", "a", "aa") == ("aa", "a")
+    assert _merge_word(tuple("abab"), "a", "b", "ab") == ("ab", "ab")
+    assert _merge_word(("x",), "a", "b", "ab") == ("x",)
+
+
+def test_serial_bpe_hand_example():
+    # classic Sennrich toy: "low" x5, "lower" x2, "newest" x6, "widest" x3
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = serial_bpe(wc, 4)
+    # first merge: 'es' (9) — ('e','s') appears in newest(6)+widest(3)
+    assert merges[0] == ("e", "s", 9)
+    # second: ('es','t') 9
+    assert merges[1] == ("es", "t", 9)
+    # third: count ties at 7 ('l','o' in low+lower) vs ... deterministic
+    assert merges[2][2] >= merges[3][2]
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_distributed_equals_serial(ray_session, nblocks):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.bpe import (
+        _bpe_train_distributed,
+        word_table,
+    )
+
+    rng = np.random.default_rng(41)
+    vocab = ["alpha", "alps", "beta", "betray", "gamma", "gamut", "delta"]
+    docs = [" ".join(rng.choice(vocab, rng.integers(3, 12)))
+            for _ in range(80)]
+    ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(nblocks)
+
+    # serial (driver path through bpe_train)
+    got_serial = bpe_train(ds, n_merges=8).to_pandas()
+
+    # forced distributed path on the same word table
+    wt = word_table(ds, "text").materialize()
+    dist = _bpe_train_distributed(wt, 8)
+    got_dist = pd.DataFrame(dist, columns=["left", "right", "freq"])
+
+    pd.testing.assert_frame_equal(
+        got_serial[["left", "right", "freq"]].astype({"freq": "int64"}),
+        got_dist.astype({"freq": "int64"}),
+    )
+    assert len(got_serial) == 8
+
+
+def test_empty_corpus(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({"text": ["", None]}))
+    out = bpe_train(ds, n_merges=5).to_pandas()
+    assert len(out) == 0
