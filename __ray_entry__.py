@@ -1947,6 +1947,63 @@ def _q_events_resample(sf_dir: str):
     )
 
 
+def _q_part_triangles(sf_dir: str):
+    """Exact triangle count of the part co-order graph (parts sharing
+    an order are adjacent) — degree-ordered wedge counting
+    (stages/graphops.triangle_count, count-guarded driver / wedge-join
+    paths); three-way self-join oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.stages.dedup import dedup_exact
+    from hikma_engine_ray.stages.graphops import triangle_count
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    po = dedup_exact(
+        li.map_batches(
+            lambda t: pa.table({"o": t["l_orderkey"],
+                                "p": pc.cast(t["l_partkey"], pa.string())}),
+            batch_format="pyarrow",
+        ),
+        key_cols=["o", "p"], sort_cols=["o", "p"],
+    )
+
+    # per-order part pairs (orders are small groups — pair expansion
+    # is bounded by order size, vectorized triu per order)
+    import numpy as np
+    import pandas as pd
+
+    from hikma_engine_ray.stages.dedup import (
+        BUCKET_COL,
+        add_bucket_column,
+        blocks_for_keys,
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for _, sub in g.groupby("o", sort=False):
+            ps = np.sort(sub["p"].to_numpy(dtype=object))
+            if len(ps) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ps), k=1)
+            outs_a.append(ps[ia])
+            outs_b.append(ps[ib])
+        a = (np.concatenate(outs_a) if outs_a else np.empty(0, object))
+        b = (np.concatenate(outs_b) if outs_b else np.empty(0, object))
+        return pd.DataFrame({"src": pd.Series(a, dtype=object),
+                             "dst": pd.Series(b, dtype=object)})
+
+    nb = 16
+    edges = (
+        po.map_batches(add_bucket_column(["o"], nb), batch_format="pyarrow")
+        .repartition(blocks_for_keys(nb))
+        .groupby(BUCKET_COL)
+        .map_groups(lambda g: pairs(g.drop(columns=[BUCKET_COL])),
+                    batch_format="pandas")
+    )
+    return triangle_count(edges)
+
+
 def _q_orders_ntile(sf_dir: str):
     """EXACT global ROW_NUMBER + NTILE(10) over every order, highest
     price first (stages/agg.global_row_number — sampled range
@@ -2093,6 +2150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "khop_reach": _q_khop,
         "orders_ntile": _q_orders_ntile,
         "events_resample": _q_events_resample,
+        "part_triangles": _q_part_triangles,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -2860,6 +2918,20 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.nm < b.nm
             WHERE levenshtein(a.nm, b.nm) <= 2
             ORDER BY a, b
+        """,
+        "part_triangles": """
+            WITH po AS (
+              SELECT DISTINCT l_orderkey o, l_partkey::VARCHAR p
+              FROM lineitem
+            ), e AS (
+              SELECT DISTINCT a.p AS s1, b.p AS s2
+              FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+            )
+            SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+                   (SELECT count(*) FROM e e1
+                    JOIN e e2 ON e2.s1 = e1.s2
+                    JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+                   )::BIGINT AS n_triangles
         """,
         "events_resample": """
             WITH d AS (

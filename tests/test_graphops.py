@@ -74,3 +74,45 @@ def test_empty_edges_and_seeds(ray_session):
     assert dict(zip(out["node"], out["dist"])) == {"a": 0, "b": 0}
     out2 = bfs_khop(ds, [], 3).to_pandas()
     assert len(out2) == 0
+
+
+def _brute_triangles(edges):
+    es = set()
+    for a, b in edges:
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    nodes = sorted({x for e in es for x in e})
+    import itertools
+
+    cnt = 0
+    for a, b, c in itertools.combinations(nodes, 3):
+        if ((a, b) in es and (b, c) in es and (a, c) in es):
+            cnt += 1
+    return len(es), cnt
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_triangle_paths_agree_with_brute(ray_session, seed):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.graphops import triangle_count
+
+    edges = _rand_graph(25, 140, seed=seed)
+    m_want, t_want = _brute_triangles(edges)
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    ds = rd.from_pandas(df).repartition(3)
+    drv = triangle_count(ds).to_pandas()
+    dist = triangle_count(ds, driver_edge_bytes=0, nbuckets=4).to_pandas()
+    assert (drv["n_edges"][0], drv["n_triangles"][0]) == (m_want, t_want)
+    assert (dist["n_edges"][0], dist["n_triangles"][0]) == (m_want, t_want)
+    assert t_want > 0
+
+
+def test_triangle_empty_and_selfloops(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.graphops import triangle_count
+
+    df = pd.DataFrame({"src": ["a", "b"], "dst": ["a", "b"]})
+    out = triangle_count(rd.from_pandas(df)).to_pandas()
+    assert out["n_edges"][0] == 0 and out["n_triangles"][0] == 0
