@@ -1947,6 +1947,30 @@ def _q_events_resample(sf_dir: str):
     )
 
 
+def _q_part_skyline(sf_dir: str):
+    """Exact Pareto frontier of parts maximizing (p_size,
+    p_retailprice) — per-block local skyline, candidate-union exact
+    finish (stages/skyline); NOT EXISTS dominance oracle."""
+    from hikma_engine_ray.stages.skyline import skyline
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+    return skyline(ds, ["p_size", "p_retailprice"]).sort(["p_partkey"])
+
+
+def _q_price_regression(sf_dir: str):
+    """Per-group simple OLS (extendedprice ~ quantity per returnflag)
+    from the six-moment combiner (stages/agg.grouped_regression —
+    six floats per key per block cross the shuffle); native regr_*
+    oracle."""
+    from hikma_engine_ray.stages.agg import grouped_regression
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_regression(
+        ds, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    ).sort(["l_returnflag"])
+
+
 def _q_part_triangles(sf_dir: str):
     """Exact triangle count of the part co-order graph (parts sharing
     an order are adjacent) — degree-ordered wedge counting
@@ -2151,6 +2175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_ntile": _q_orders_ntile,
         "events_resample": _q_events_resample,
         "part_triangles": _q_part_triangles,
+        "price_regression": _q_price_regression,
+        "part_skyline": _q_part_skyline,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -2918,6 +2944,27 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.nm < b.nm
             WHERE levenshtein(a.nm, b.nm) <= 2
             ORDER BY a, b
+        """,
+        "part_skyline": """
+            SELECT a.p_partkey, a.p_size, a.p_retailprice
+            FROM part a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part b
+              WHERE b.p_size >= a.p_size
+                AND b.p_retailprice >= a.p_retailprice
+                AND (b.p_size > a.p_size
+                     OR b.p_retailprice > a.p_retailprice))
+            ORDER BY a.p_partkey
+        """,
+        "price_regression": """
+            SELECT l_returnflag,
+                   round(regr_slope(l_extendedprice, l_quantity), 6)
+                     AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6)
+                     AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                   regr_count(l_extendedprice, l_quantity)::BIGINT AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "part_triangles": """
             WITH po AS (

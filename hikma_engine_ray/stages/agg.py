@@ -873,3 +873,66 @@ def global_row_number(ds, value_col: str, id_col: str, *,
         .groupby("__rbucket")
         .map_groups(stamp, batch_format="pandas")
     )
+
+
+def grouped_regression(ds, keys: list[str], x_col: str, y_col: str,
+                       ndigits: int = 6):
+    """Per-group simple OLS (y = a·x + b) from the same six-moment
+    combiner grouped_corr uses — slope, intercept, r², n per key with
+    ANSI ``regr_*`` semantics. Shuffle volume: six floats per key per
+    block, never rows."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..functions.num import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [(k, t.schema.field(k).type) for k in keys]
+                + [(c, pa.float64()) for c in
+                   ("n", "sx", "sy", "sxx", "syy", "sxy")]
+            ).empty_table()
+        x = pc.cast(t[x_col], pa.float64())
+        y = pc.cast(t[y_col], pa.float64())
+        aux = pa.table({
+            **{k: t[k] for k in keys},
+            "n": pa.array(np.ones(t.num_rows)),
+            "sx": x, "sy": y,
+            "sxx": pc.multiply(x, x), "syy": pc.multiply(y, y),
+            "sxy": pc.multiply(x, y),
+        })
+        return aux.group_by(keys).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+        ).rename_columns(keys + ["n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    moments = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        keys
+    ).aggregate(*[Sum(c, alias_name=c) for c in
+                  ("n", "sx", "sy", "sxx", "syy", "sxy")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"])
+        sx, sy = np.asarray(t["sx"]), np.asarray(t["sy"])
+        sxx = np.asarray(t["sxx"])
+        syy = np.asarray(t["syy"])
+        sxy = np.asarray(t["sxy"])
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = np.where(varx > 0, cov / varx, np.nan)
+            intercept = (sy - slope * sx) / n
+            r2 = np.where((varx > 0) & (vary > 0),
+                          (cov * cov) / (varx * vary), np.nan)
+        out = t.select(keys)
+        out = out.append_column("slope", pa.array(
+            round_half_away(slope, ndigits), pa.float64()))
+        out = out.append_column("intercept", pa.array(
+            round_half_away(intercept, ndigits), pa.float64()))
+        out = out.append_column("r2", pa.array(
+            round_half_away(r2, ndigits), pa.float64()))
+        return out.append_column("n", pa.array(
+            n.astype(np.int64), pa.int64()))
+
+    return moments.map_batches(finish, batch_format="pyarrow")
