@@ -188,6 +188,9 @@ def run_bench() -> dict:
         "sources_by_lang", "entropy_by_lang", "chi2_lang_source",
         "lineitem_mad", "parts_intersect", "parts_except", "tfidf_topk",
         "chunk_docs", "doc_repetition", "mix_weights", "funnel",
+        "containment_pairs", "fuzzy_pairs", "khop_reach", "orders_ntile",
+        "events_resample", "part_triangles", "price_regression",
+        "part_skyline", "pca_embed", "bpe_merges",
     ):
         tq = time.monotonic()
         res = qs[name](SF_DIR)
