@@ -1947,6 +1947,30 @@ def _q_events_resample(sf_dir: str):
     )
 
 
+def _q_qty_mode(sf_dir: str):
+    """Per-group MODE with deterministic ties (max count, min value) —
+    combiner-first (stages/agg.grouped_mode); window-ranked oracle."""
+    from hikma_engine_ray.stages.agg import grouped_mode
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_mode(ds, ["l_returnflag"], "l_quantity").sort(
+        ["l_returnflag"]
+    )
+
+
+def _q_user_first_last(sf_dir: str):
+    """Per-user FIRST_VALUE / LAST_VALUE of event_type in
+    (ts, event_id) order — two rows per key per block cross the
+    shuffle (stages/agg.grouped_first_last); window oracle."""
+    from hikma_engine_ray.stages.agg import grouped_first_last
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    return grouped_first_last(
+        ds, "user_id", ["ts", "event_id"], "event_type"
+    ).sort(["user_id"])
+
+
 def _q_part_skyline(sf_dir: str):
     """Exact Pareto frontier of parts maximizing (p_size,
     p_retailprice) — per-block local skyline, candidate-union exact
@@ -2177,6 +2201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangles": _q_part_triangles,
         "price_regression": _q_price_regression,
         "part_skyline": _q_part_skyline,
+        "qty_mode": _q_qty_mode,
+        "user_first_last": _q_user_first_last,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -2944,6 +2970,29 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.nm < b.nm
             WHERE levenshtein(a.nm, b.nm) <= 2
             ORDER BY a, b
+        """,
+        "qty_mode": """
+            SELECT l_returnflag, mode, n FROM (
+              SELECT l_returnflag, l_quantity AS mode, count(*) AS n,
+                     row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY count(*) DESC, l_quantity) AS rn
+              FROM lineitem GROUP BY l_returnflag, l_quantity
+            ) WHERE rn = 1 ORDER BY l_returnflag
+        """,
+        "user_first_last": """
+            WITH w AS (
+              SELECT user_id, event_type,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS rn,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rnd
+              FROM events)
+            SELECT user_id,
+                   max(CASE WHEN rn = 1 THEN event_type END)
+                     AS first_event_type,
+                   max(CASE WHEN rnd = 1 THEN event_type END)
+                     AS last_event_type
+            FROM w GROUP BY user_id ORDER BY user_id
         """,
         "part_skyline": """
             SELECT a.p_partkey, a.p_size, a.p_retailprice

@@ -936,3 +936,85 @@ def grouped_regression(ds, keys: list[str], x_col: str, y_col: str,
             n.astype(np.int64), pa.int64()))
 
     return moments.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_mode(ds, keys: list[str], value_col: str,
+                 nbuckets: int = 32):
+    """Per-group MODE with deterministic ties (highest count, then
+    lowest value) — combiner-first: per-block (key, value) counts,
+    one groupby to total them, then a key-bucketed argmax. Shuffle
+    volume = distinct (key, value) pairs per block. Returns
+    (keys..., mode: value type, n: int64)."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import BUCKET_COL, add_bucket_column, blocks_for_keys
+
+    cols = keys + [value_col]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(cols).group_by(cols).aggregate([(value_col, "count")])
+        return g.rename_columns(cols + ["n"])
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(cols).aggregate(Sum("n", alias_name="n")))
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + ["n", value_col],
+                          ascending=[True] * len(keys) + [False, True],
+                          kind="stable")
+        out = g.groupby(keys, sort=False, as_index=False).first()
+        out = out.rename(columns={value_col: "mode"})
+        out["n"] = out["n"].astype("int64")
+        return out[keys + ["mode", "n"]]
+
+    return (
+        counts.map_batches(add_bucket_column(keys, nbuckets),
+                           batch_format="pyarrow")
+        .repartition(blocks_for_keys(nbuckets))
+        .groupby(BUCKET_COL)
+        .map_groups(lambda g: argmax(g.drop(columns=[BUCKET_COL])),
+                    batch_format="pandas")
+    )
+
+
+def grouped_first_last(ds, key: str, order_cols: list[str],
+                       value_col: str, nbuckets: int = 32):
+    """Per-group FIRST_VALUE / LAST_VALUE of ``value_col`` in
+    (order_cols) order with a deterministic composite tiebreak —
+    combiner-first: each block keeps only its own first+last row per
+    key (2 rows/key/block cross the shuffle), the final pass repeats
+    the same reduction per key bucket. Returns
+    (key, first_<value_col>, last_<value_col>)."""
+    from .dedup import BUCKET_COL, add_bucket_column, blocks_for_keys
+
+    keep = [key, *order_cols, value_col]
+
+    def ends(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, *order_cols], kind="stable")
+        g = df.groupby(key, sort=False)
+        return pd.concat([g.head(1), g.tail(1)]).drop_duplicates()
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(keep).to_pandas()
+        return pa.Table.from_pandas(ends(df), preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values([key, *order_cols], kind="stable")
+        gb = df.groupby(key, sort=False)
+        first = gb.head(1).set_index(key)[value_col]
+        last = gb.tail(1).set_index(key)[value_col]
+        return pd.DataFrame({
+            key: first.index,
+            f"first_{value_col}": first.to_numpy(),
+            f"last_{value_col}": last.to_numpy(),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return (
+        parts.map_batches(add_bucket_column([key], nbuckets),
+                          batch_format="pyarrow")
+        .repartition(blocks_for_keys(nbuckets))
+        .groupby(BUCKET_COL)
+        .map_groups(lambda g: finish(g.drop(columns=[BUCKET_COL])),
+                    batch_format="pandas")
+    )

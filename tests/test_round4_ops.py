@@ -391,3 +391,55 @@ def test_resample_daily_matches_pandas(ray_session):
         pd.testing.assert_frame_equal(got, want)
     # zero-filled gap rows really exist
     assert (want["n"] == 0).any()
+
+
+def test_grouped_mode_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.agg import grouped_mode
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], 600),
+        "v": rng.integers(0, 7, 600).astype("int64"),
+    })
+    for nblocks in (1, 5):
+        got = (grouped_mode(rd.from_pandas(df).repartition(nblocks),
+                            ["g"], "v", nbuckets=4)
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        want_rows = []
+        for g, sub in df.groupby("g"):
+            vc = sub["v"].value_counts()
+            top = vc.max()
+            mode = min(vc[vc == top].index)
+            want_rows.append((g, mode, int(top)))
+        want = pd.DataFrame(want_rows, columns=["g", "mode", "n"]).astype(
+            {"mode": "int64", "n": "int64"})
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_first_last_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.agg import grouped_first_last
+
+    rng = np.random.default_rng(13)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 9, n).astype("int64"),
+        "ts": rng.integers(0, 40, n).astype("int64"),  # heavy ts ties
+        "id": rng.permutation(n).astype("int64"),
+        "val": rng.choice(list("abcd"), n),
+    })
+    for nblocks in (1, 6):
+        got = (grouped_first_last(
+                   rd.from_pandas(df).repartition(nblocks),
+                   "k", ["ts", "id"], "val", nbuckets=4)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        s = df.sort_values(["k", "ts", "id"], kind="stable")
+        first = s.groupby("k").head(1).set_index("k")["val"].sort_index()
+        last = s.groupby("k").tail(1).set_index("k")["val"].sort_index()
+        want = pd.DataFrame({"k": first.index,
+                             "first_val": first.to_numpy(),
+                             "last_val": last.to_numpy()})
+        pd.testing.assert_frame_equal(got, want)
