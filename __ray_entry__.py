@@ -1187,6 +1187,27 @@ def _q_embed_neardup(sf_dir: str):
     return embedding_neardup(ds, threshold=0.35, nplanes=3, nbands=12)
 
 
+def _q_media_transform(sf_dir: str):
+    """REAL numpy media transforms in an actor-pool stage: netpbm
+    images nearest-neighbor-resized to 16x16 (re-encoded size +
+    resized luma), WAV audio -> FFT spectral centroid/rolloff,
+    codec-free 'video' payloads (concatenated P6 frames) frame-sampled
+    every 4th (stages/multimodal.transform_media). Rows-only; local
+    gates: tests/test_multimodal_transform.py (exact resize map, sine
+    centroid, frame round-trip)."""
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.multimodal import (
+        synthesize_decodable_media_table,
+        synthesize_video_table,
+        transform_media,
+    )
+
+    ds = rd.from_arrow(synthesize_decodable_media_table(96)).union(
+        rd.from_arrow(synthesize_video_table(16)))
+    return transform_media(ds).sort(["media_id", "kind"])
+
+
 def _q_media_features(sf_dir: str):
     """REAL pure-numpy decode of codec-free payloads (netpbm images,
     WAV PCM16): per-row pixel/sample statistics extracted from the
@@ -2239,6 +2260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup": _q_embed_neardup,
         # multimodal plumbing
         "media_features": _q_media_features,
+        "media_transform": _q_media_transform,
     }
 
 

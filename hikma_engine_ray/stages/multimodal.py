@@ -251,3 +251,161 @@ def extract_features(ds, concurrency=(1, 4), dim: int = 32):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# ---------------------------------------------- real transform kernels
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Exact nearest-neighbor resize (pure numpy index mapping) — the
+    canonical pre-embedding image normalization step."""
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return img[yi][:, xi]
+
+
+def spectral_features(samples: np.ndarray, rate: int) -> dict:
+    """FFT spectral shape of a PCM16 clip (downmixed): centroid,
+    85%-energy rolloff, bandwidth — the audio-quality triage features.
+    Pure numpy rfft; a pure sine's centroid/rolloff ≈ its frequency
+    (closed-form-tested)."""
+    x = samples.astype(np.float32)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    x = x / 32768.0
+    n = len(x)
+    if n == 0:
+        return {"centroid_hz": 0.0, "rolloff_hz": 0.0, "bandwidth_hz": 0.0}
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    tot = float(mag.sum())
+    if tot <= 0:
+        return {"centroid_hz": 0.0, "rolloff_hz": 0.0, "bandwidth_hz": 0.0}
+    centroid = float((freqs * mag).sum() / tot)
+    cum = np.cumsum(mag)
+    rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * tot))])
+    bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * mag).sum() / tot))
+    return {"centroid_hz": centroid, "rolloff_hz": rolloff,
+            "bandwidth_hz": bandwidth}
+
+
+def encode_frames(frames: list[np.ndarray]) -> bytes:
+    """Codec-free "video": back-to-back P6 frames in one payload."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def iter_frames(payload: bytes):
+    """Walk a concatenated-netpbm payload frame by frame."""
+    pos = 0
+    while pos < len(payload):
+        if payload[pos:pos + 2] not in (b"P5", b"P6"):
+            raise ValueError(f"bad frame magic at {pos}")
+        frame = decode_ppm(payload[pos:])
+        nch = 3 if payload[pos:pos + 2] == b"P6" else 1
+        # re-find the raster offset to advance (same header walk)
+        p, vals = pos + 2, []
+        while len(vals) < 3:
+            while payload[p:p + 1].isspace():
+                p += 1
+            if payload[p:p + 1] == b"#":
+                while payload[p] != 0x0A:
+                    p += 1
+                continue
+            s = p
+            while not payload[p:p + 1].isspace():
+                p += 1
+            vals.append(int(payload[s:p]))
+        p += 1
+        pos = p + vals[0] * vals[1] * nch
+        yield frame
+
+
+def sample_frames(payload: bytes, stride: int) -> list[np.ndarray]:
+    """Every stride-th frame (frame 0 always included) — the
+    frame-sampling step before per-frame embedding."""
+    return [f for i, f in enumerate(iter_frames(payload))
+            if i % stride == 0]
+
+
+class TransformMedia:
+    """Actor-pool stage: decode → REAL numpy transform → compact row.
+    Images: nearest-neighbor resize to (out_h, out_w), re-encoded PPM
+    size + resized luma mean. Audio: FFT spectral centroid/rolloff/
+    bandwidth. Video (concatenated P6 frames): sample every
+    ``frame_stride``-th frame, mean per-frame luma of the sample.
+    Non-codec-free payloads follow DecodeStub's contract (deterministic
+    fake row, or strict=True honest failure)."""
+
+    def __init__(self, out_h: int = 16, out_w: int = 16,
+                 frame_stride: int = 4, strict: bool = False):
+        self.out_h, self.out_w = out_h, out_w
+        self.stride = frame_stride
+        self.strict = strict
+
+    def _row(self, payload: bytes, kind: str) -> tuple:
+        if kind == "video" and payload[:2] == b"P6":
+            frames = sample_frames(payload, self.stride)
+            luma = float(np.mean([f.mean() for f in frames]))
+            return ("video", len(frames), 0.0, 0.0, round(luma, 4))
+        if payload[:2] in (b"P5", b"P6"):
+            img = resize_nearest(decode_ppm(payload), self.out_h, self.out_w)
+            out = encode_ppm(img)
+            return ("image", len(out), 0.0, 0.0,
+                    round(float(img.astype(np.float64).mean()), 4))
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            sp = spectral_features(*decode_wav(payload))
+            return ("audio", 0, round(sp["centroid_hz"], 2),
+                    round(sp["rolloff_hz"], 2), 0.0)
+        if self.strict:
+            raise NotImplementedError(
+                "payload needs a codec absent from this environment")
+        seed = zlib.crc32(hashlib.md5(payload).digest())
+        return ("opaque", int(seed % 1000), 0.0, 0.0, 0.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._row(p, k) for p, k in
+                zip(batch["payload"].to_pylist(), batch["kind"].to_pylist())]
+        kinds = [r[0] for r in rows]
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": pa.array(kinds, pa.string()),
+            "out_units": pa.array([r[1] for r in rows], pa.int64()),
+            "centroid_hz": pa.array([r[2] for r in rows], pa.float64()),
+            "rolloff_hz": pa.array([r[3] for r in rows], pa.float64()),
+            "mean_luma": pa.array([r[4] for r in rows], pa.float64()),
+        })
+
+
+def transform_media(ds, out_h: int = 16, out_w: int = 16,
+                    frame_stride: int = 4, concurrency=(1, 4)):
+    """Resize / spectral / frame-sample over a media table — small
+    batches, payload dropped at the stage boundary."""
+    return ds.map_batches(
+        TransformMedia,
+        fn_constructor_kwargs={"out_h": out_h, "out_w": out_w,
+                               "frame_stride": frame_stride},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def synthesize_video_table(n: int = 16, seed: int = 7,
+                           frames: int = 9, size: int = 24) -> pa.Table:
+    """Deterministic codec-free 'videos': concatenated P6 frames."""
+    rng = np.random.RandomState(seed)
+    rows = {"media_id": [], "kind": [], "payload": [],
+            "meta_width": [], "meta_height": [], "meta_duration_ms": []}
+    for i in range(n):
+        fs = [rng.randint(0, 256, (size, size, 3)).astype(np.uint8)
+              for _ in range(frames)]
+        rows["media_id"].append(i)
+        rows["kind"].append("video")
+        rows["payload"].append(encode_frames(fs))
+        rows["meta_width"].append(size)
+        rows["meta_height"].append(size)
+        rows["meta_duration_ms"].append(frames * 40)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
