@@ -1323,6 +1323,45 @@ def _q_rollup(sf_dir: str):
     return out.map_batches(rounded, batch_format="pyarrow")
 
 
+def _q_kg_ppr(sf_dir: str):
+    """Personalized PageRank from the Repository nodes over the KG
+    edges — structural proximity to the repo roots (stages/
+    pagerank.personalized_pagerank, Haveliwala 2002; count-guarded
+    driver/broadcast shapes). Top-20 non-seed nodes. Rows-only;
+    local gate: tests/test_pagerank.py (engine ≡ dense numpy with an
+    isolated seed)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.functions.num import round_half_away
+    from hikma_engine_ray.stages.agg import global_topk
+    from hikma_engine_ray.stages.pagerank import personalized_pagerank
+
+    g = _kg(sf_dir)
+    nodes = g["nodes"]
+    seeds = nodes.map_batches(
+        lambda t: pa.table({"node_id": t.filter(
+            pc.equal(t["node_type"], "Repository"))["node_id"]}),
+        batch_format="pyarrow",
+    ).to_pandas()["node_id"].tolist()
+    edges = g["triples"].select_columns(["subj", "obj"])
+    ranks = personalized_pagerank(edges, seeds, src_col="subj",
+                                  dst_col="obj", iters=10)
+
+    def rounded(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"],
+            "rank": pa.array(
+                round_half_away(np.asarray(t["rank"].to_pylist()), 6),
+                pa.float64(),
+            ),
+        })
+
+    return global_topk(ranks.map_batches(rounded, batch_format="pyarrow"),
+                       ["rank", "node"], 20, descending=[True, False])
+
+
 def _q_kg_pagerank(sf_dir: str):
     """PageRank centrality over the built KG's edges (stages/
     pagerank.py, damped power iteration, broadcast-rank path with a
@@ -2244,6 +2283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_top_paths": _kg_top_paths,
         "kg_complexity": _kg_complexity,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_ppr": _q_kg_ppr,
         "kg_components": _q_kg_components,
         # sketches / iterative / banded-LSH (approximate by design)
         "hll_sources": _q_hll_sources,

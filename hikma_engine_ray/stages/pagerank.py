@@ -315,3 +315,127 @@ def _pagerank_join(edges, nodes, src_col, dst_col, damping, iters, n,
 
         ranks = merged.map_batches(new_rank, batch_format="pyarrow").materialize()
     return ranks
+
+
+def personalized_pagerank(edges, seeds: list[str], src_col: str = "src",
+                          dst_col: str = "dst", damping: float = 0.85,
+                          iters: int = 10,
+                          driver_limit: int = 20_000_000,
+                          driver_edge_bytes: int = 64 * 1024 * 1024):
+    """Personalized PageRank (topic-sensitive; Haveliwala 2002): the
+    restart distribution is uniform over ``seeds`` instead of all
+    nodes, so rank mass measures structural proximity TO THE SEEDS —
+    the recommendation / related-entities primitive that pairs with
+    bfs_khop's hard hop cutoff.
+
+    r_{t+1} = (1-d)·p + d·(Mᵀ r_t + dangling_t·p),  p = 1/|seeds| on
+    seeds, 0 elsewhere. Same count-guarded shapes as pagerank(): the
+    node index is interned once; under ``driver_edge_bytes`` the
+    iteration is driver-resident numpy bincounts; past it each block
+    emits sparse contribution partials against a ray.put rank vector
+    (node count must fit ``driver_limit`` — the broadcast path's
+    standing guard; a join path would mirror _pagerank_join with a
+    restart column and is deliberately omitted until a caller needs
+    >20M-node personalization). Gates: tests/test_pagerank.py
+    (engine ≡ dense numpy on random graphs, seeds-sum sanity)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    seeds = sorted(set(seeds))
+    if not seeds:
+        raise ValueError("personalized_pagerank needs >= 1 seed")
+    nodes = _distinct_nodes(edges, src_col, dst_col).materialize()
+    node_list = nodes.to_pandas()["node"].to_list()
+    # seeds outside the edge set still carry restart mass
+    extra = sorted(set(seeds) - set(node_list))
+    node_list = node_list + extra
+    n = len(node_list)
+    if n > driver_limit:
+        raise ValueError(
+            f"node count {n} exceeds driver_limit ({driver_limit}); "
+            "personalization beyond the broadcast guard needs the join "
+            "path — see docstring")
+    h = _hash_col(node_list)
+    order = np.argsort(h, kind="stable")
+    h_sorted = h[order]
+    href = ray.put(h_sorted)
+
+    def index_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hs = ray.get(href)
+        s = np.searchsorted(hs, _hash_col(
+            pc.cast(t[src_col], pa.string()).to_pylist()))
+        d = np.searchsorted(hs, _hash_col(
+            pc.cast(t[dst_col], pa.string()).to_pylist()))
+        return pa.table({"si": pa.array(s.astype(np.int64), pa.int64()),
+                         "di": pa.array(d.astype(np.int64), pa.int64())})
+
+    indexed = edges.map_batches(index_edges,
+                                batch_format="pyarrow").materialize()
+
+    seed_pos = np.searchsorted(h_sorted, _hash_col(seeds))
+    p = np.zeros(n, dtype=np.float64)
+    p[seed_pos] = 1.0 / len(seeds)
+
+    def outdeg_and_iters(si, di):
+        outdeg = np.bincount(si, minlength=n).astype(np.float64)
+        dangling = outdeg == 0.0
+        safe = np.where(dangling, 1.0, outdeg)
+        rank = p.copy()
+        for _ in range(iters):
+            share = rank / safe
+            dang = float(rank[dangling].sum())
+            rank = (1.0 - damping) * p + damping * (
+                np.bincount(di, weights=share[si], minlength=n) + dang * p)
+        return rank
+
+    if indexed.count() * 16 <= driver_edge_bytes:
+        ei = indexed.to_pandas()
+        rank = outdeg_and_iters(
+            ei["si"].to_numpy().astype(np.int64, copy=False),
+            ei["di"].to_numpy().astype(np.int64, copy=False))
+    else:
+        # per-block sparse partials against a broadcast share vector
+        def deg_partial(t: pa.Table) -> pa.Table:
+            si = t["si"].to_numpy(zero_copy_only=False)
+            u, c = np.unique(si, return_counts=True)
+            return pa.table({"i": pa.array(u, pa.int64()),
+                             "c": pa.array(c.astype(np.int64), pa.int64())})
+
+        rows = (indexed.map_batches(deg_partial, batch_format="pyarrow")
+                .groupby("i").aggregate(Sum("c", alias_name="c")).to_pandas())
+        outdeg = np.zeros(n, dtype=np.float64)
+        if len(rows):
+            outdeg[rows["i"].to_numpy()] = rows["c"].to_numpy()
+        dangling = outdeg == 0.0
+        safe = np.where(dangling, 1.0, outdeg)
+        rank = p.copy()
+        for _ in range(iters):
+            share = rank / safe
+            sref = ray.put(share)
+            dang = float(rank[dangling].sum())
+
+            def contrib(t: pa.Table, _s=sref) -> pa.Table:
+                sh = ray.get(_s)
+                si = t["si"].to_numpy(zero_copy_only=False)
+                di = t["di"].to_numpy(zero_copy_only=False)
+                u, inv = np.unique(di, return_inverse=True)
+                acc = np.zeros(u.size, dtype=np.float64)
+                np.add.at(acc, inv, sh[si])
+                return pa.table({"i": pa.array(u, pa.int64()),
+                                 "v": pa.array(acc, pa.float64())})
+
+            rs = (indexed.map_batches(contrib, batch_format="pyarrow")
+                  .groupby("i").aggregate(Sum("v", alias_name="v"))
+                  .to_pandas())
+            rank = (1.0 - damping) * p + damping * dang * p
+            if len(rs):
+                rank[rs["i"].to_numpy()] += damping * rs["v"].to_numpy()
+
+    inv_order = np.empty(n, dtype=np.int64)
+    inv_order[order] = np.arange(n)
+    out = pa.table({"node": pa.array(node_list, pa.string()),
+                    "rank": pa.array(rank[inv_order], pa.float64())})
+    return rd.from_arrow(out)

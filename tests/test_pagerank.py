@@ -2,6 +2,7 @@
 power-iteration reference; broadcast ≡ join path equivalence."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -153,3 +154,49 @@ def test_pagerank_skewed_indegree(ray_session):
     # at convergence (more iterations) the hub dominates
     got50 = _as_dict(pagerank(rd.from_arrow(t).repartition(8), iters=50))
     assert max(got50, key=got50.get) == "hub"
+
+
+def _dense_ppr(edges, nodes, seeds, d=0.85, iters=10):
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    p = np.zeros(n)
+    for s in seeds:
+        p[idx[s]] = 1.0 / len(seeds)
+    outdeg = np.zeros(n)
+    for a, _b in edges:
+        outdeg[idx[a]] += 1
+    dangling = outdeg == 0
+    safe = np.where(dangling, 1.0, outdeg)
+    r = p.copy()
+    for _ in range(iters):
+        share = r / safe
+        acc = np.zeros(n)
+        for a, b in edges:
+            acc[idx[b]] += share[idx[a]]
+        r = (1 - d) * p + d * (acc + float(r[dangling].sum()) * p)
+    return {v: r[i] for v, i in idx.items()}
+
+
+@pytest.mark.parametrize("force_dist", [False, True])
+def test_personalized_pagerank_matches_dense(ray_session, force_dist):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.pagerank import personalized_pagerank
+
+    rng = np.random.default_rng(19)
+    edges = [(f"n{a}", f"n{b}") for a, b in
+             zip(rng.integers(0, 30, 120), rng.integers(0, 30, 120))]
+    seeds = ["n1", "n2", "n999"]  # n999 isolated seed
+    nodes = sorted({x for e in edges for x in e} | set(seeds))
+    want = _dense_ppr(edges, nodes, seeds)
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"])) \
+        .repartition(3)
+    kw = {"driver_edge_bytes": 0} if force_dist else {}
+    got = personalized_pagerank(ds, seeds, **kw).to_pandas()
+    gm = dict(zip(got["node"], got["rank"]))
+    assert set(gm) == set(want)
+    for k in want:
+        assert abs(gm[k] - want[k]) < 1e-9, k
+    # mass concentrates near seeds; total mass == 1
+    assert abs(sum(gm.values()) - 1.0) < 1e-9
+    assert gm["n1"] > np.median(list(gm.values()))
