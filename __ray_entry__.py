@@ -1969,6 +1969,18 @@ def _q_containment_pairs(sf_dir: str):
     ).sort(["a", "b"])
 
 
+def _q_corpus_funnel(sf_dir: str):
+    """Composed quality-filter funnel (length → alpha ratio →
+    repetition → PII, cumulative) in ONE streaming pass
+    (stages/text.corpus_funnel, reusing the per-kernel tested
+    semantics); the oracle rebuilds the same cumulative counts from
+    the kernels' SQL fragments."""
+    from hikma_engine_ray.stages.text import corpus_funnel
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return corpus_funnel(ds, min_alpha=0.82).sort(["stage"])
+
+
 def _q_fuzzy_pairs(sf_dir: str):
     """EXACT Levenshtein-distance (<= 2) similarity self-join over the
     DISTINCT part names — SymSpell deletion-neighborhood candidate
@@ -2256,6 +2268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "fuzzy_pairs": _q_fuzzy_pairs,
         "khop_reach": _q_khop,
+        "corpus_funnel": _q_corpus_funnel,
         "orders_ntile": _q_orders_ntile,
         "events_resample": _q_events_resample,
         "part_triangles": _q_part_triangles,
@@ -3024,6 +3037,41 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz na ON na.doc_id = a
             WHERE i / na.n :: DOUBLE >= 0.8
             ORDER BY a, b
+        """,
+        "corpus_funnel": r"""
+            WITH m AS (
+              SELECT doc_id,
+                length(text)::BIGINT AS n_chars,
+                round((length(text) - length(regexp_replace(
+                        text, '[A-Za-z]', '', 'g')))
+                      / greatest(length(text), 1) :: DOUBLE, 6) AS alpha,
+                round(CASE WHEN len(regexp_extract_all(
+                        lower(trim(coalesce(text, ''))), '\S+')) > 0
+                  THEN 1.0 - len(list_distinct(regexp_extract_all(
+                        lower(trim(coalesce(text, ''))), '\S+')))::DOUBLE
+                       / len(regexp_extract_all(
+                        lower(trim(coalesce(text, ''))), '\S+'))
+                  ELSE 0.0 END, 6) AS dupf,
+                (len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                 + len(regexp_extract_all(text,
+                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                 + len(regexp_extract_all(text,
+                   '\b[A-Za-z0-9]{32,}\b'))) AS pii
+              FROM documents
+            )
+            SELECT '0_total' AS stage, count(*)::BIGINT AS n FROM m
+            UNION ALL SELECT '1_len', count(*) FROM m
+              WHERE n_chars BETWEEN 100 AND 5000
+            UNION ALL SELECT '2_alpha', count(*) FROM m
+              WHERE n_chars BETWEEN 100 AND 5000 AND alpha >= 0.82
+            UNION ALL SELECT '3_repetition', count(*) FROM m
+              WHERE n_chars BETWEEN 100 AND 5000 AND alpha >= 0.82
+                AND dupf <= 0.5
+            UNION ALL SELECT '4_pii', count(*) FROM m
+              WHERE n_chars BETWEEN 100 AND 5000 AND alpha >= 0.82
+                AND dupf <= 0.5 AND pii = 0
+            ORDER BY stage
         """,
         "fuzzy_pairs": """
             WITH s AS (SELECT DISTINCT p_name AS nm FROM part)

@@ -371,34 +371,44 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id",
     curation pass applies before dedup.
 
     Output: id, n_tokens, dup_token_frac, top_bigram_frac."""
-    from ..functions.num import round_half_away
 
     def stats(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        n_tok = np.empty(len(ids), dtype=np.int64)
-        dup_frac = np.zeros(len(ids), dtype=np.float64)
-        big_frac = np.zeros(len(ids), dtype=np.float64)
-        for i, t in enumerate(batch[text_col].to_pylist()):
-            stripped = (t or "").strip().lower()
-            toks = _WS.split(stripped) if stripped else []
-            n_tok[i] = len(toks)
-            if toks:
-                dup_frac[i] = 1.0 - len(set(toks)) / len(toks)
-            if len(toks) >= 2:
-                grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
-                _, counts = np.unique(np.asarray(grams, dtype=object),
-                                      return_counts=True)
-                big_frac[i] = min(2.0 * counts.max() / len(toks), 1.0)
-        return pa.table({
-            id_col: batch[id_col],
-            "n_tokens": pa.array(n_tok, pa.int64()),
-            "dup_token_frac": pa.array(
-                round_half_away(dup_frac, ndigits), pa.float64()),
-            "top_bigram_frac": pa.array(
-                round_half_away(big_frac, ndigits), pa.float64()),
-        })
+        return repetition_stats_batch(batch, text_col, id_col, ndigits)
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           ndigits: int = 6) -> pa.Table:
+    """The per-batch kernel behind repetition_stats (exposed so
+    composed pipelines — corpus_funnel — reuse the exact tested
+    semantics)."""
+    from ..functions.num import round_half_away
+
+    ids = batch[id_col].to_pylist()
+    n_tok = np.empty(len(ids), dtype=np.int64)
+    dup_frac = np.zeros(len(ids), dtype=np.float64)
+    big_frac = np.zeros(len(ids), dtype=np.float64)
+    for i, t in enumerate(batch[text_col].to_pylist()):
+        stripped = (t or "").strip().lower()
+        toks = _WS.split(stripped) if stripped else []
+        n_tok[i] = len(toks)
+        if toks:
+            dup_frac[i] = 1.0 - len(set(toks)) / len(toks)
+        if len(toks) >= 2:
+            grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            _, counts = np.unique(np.asarray(grams, dtype=object),
+                                  return_counts=True)
+            big_frac[i] = min(2.0 * counts.max() / len(toks), 1.0)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_tokens": pa.array(n_tok, pa.int64()),
+        "dup_token_frac": pa.array(
+            round_half_away(dup_frac, ndigits), pa.float64()),
+        "top_bigram_frac": pa.array(
+            round_half_away(big_frac, ndigits), pa.float64()),
+    })
 
 
 def mix_weights(ds, group_col: str, target: dict[str, float],
@@ -435,3 +445,40 @@ def mix_weights(ds, group_col: str, target: dict[str, float],
         "target_frac": round_half_away(tgt, ndigits),
         "sample_rate": round_half_away(rate, ndigits),
     })
+
+
+def corpus_funnel(ds, text_col: str = "text", id_col: str = "doc_id",
+                  min_chars: int = 100, max_chars: int = 5000,
+                  min_alpha: float = 0.55, max_dup_frac: float = 0.5):
+    """The composed C4/Gopher-style QUALITY-FILTER FUNNEL: length →
+    alphabetic-ratio → repetition → PII, applied cumulatively in ONE
+    streaming pass, reporting survivors after each stage — the
+    curation report a 100 TB pipeline emits before dedup. Reuses the
+    exact tested kernels (quality_score_batch, repetition_stats_batch,
+    pii_scan_batch), so each stage's semantics are the ones the
+    per-kernel oracles already verify. No shuffle: per-block cumulative
+    mask counts → a 5-row aggregate."""
+    from ray.data.aggregate import Sum
+
+    stages = ["0_total", "1_len", "2_alpha", "3_repetition", "4_pii"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = quality_score_batch(t)
+        r = repetition_stats_batch(t, text_col, id_col)
+        p = pii_scan_batch(t, text_col)
+        n = q["n_chars_calc"].to_numpy(zero_copy_only=False)
+        alpha = q["alpha_ratio"].to_numpy(zero_copy_only=False)
+        dup = r["dup_token_frac"].to_numpy(zero_copy_only=False)
+        pii = p["has_pii"].to_numpy(zero_copy_only=False)
+        m1 = (n >= min_chars) & (n <= max_chars)
+        m2 = m1 & (alpha >= min_alpha)
+        m3 = m2 & (dup <= max_dup_frac)
+        m4 = m3 & ~pii
+        return pa.table({
+            "stage": pa.array(stages, pa.string()),
+            "n": pa.array([t.num_rows, int(m1.sum()), int(m2.sum()),
+                           int(m3.sum()), int(m4.sum())], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("stage").aggregate(Sum("n", alias_name="n")))

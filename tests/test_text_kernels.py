@@ -125,3 +125,51 @@ def test_hash_sample_full_rate_passthrough(ray_session):
     assert len(full) == 500
     none = hash_sample(rd.from_arrow(t), rate=0.0).take_all()
     assert len(none) == 0
+
+
+def test_corpus_funnel_matches_pandas(ray_session):
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.text import corpus_funnel
+
+    rng = np.random.default_rng(3)
+    texts = []
+    for i in range(120):
+        n_words = int(rng.integers(5, 80))
+        words = rng.choice(["alpha", "beta", "Gamma", "123", "x" * 40], n_words)
+        texts.append(" ".join(words))
+    texts += ["", "short", "a" * 6000]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                       "text": texts})
+    got = (corpus_funnel(rd.from_pandas(df).repartition(4),
+                         min_chars=20, max_chars=500, min_alpha=0.5,
+                         max_dup_frac=0.6)
+           .to_pandas().sort_values("stage").reset_index(drop=True))
+
+    def ref():
+        n = df["text"].str.len().to_numpy()
+        alpha = np.round(np.array([
+            sum(c.isascii() and c.isalpha() for c in t) / max(len(t), 1)
+            for t in df["text"]]), 6)
+        dup = np.round(np.array([
+            (1 - len(set(toks)) / len(toks)) if (toks := _re.split(
+                r"\s+", t.strip().lower()) if t.strip() else []) else 0.0
+            for t in df["text"]]), 6)
+        keyish = np.array([
+            bool(_re.search(r"\b[A-Za-z0-9]{32,}\b", t))
+            for t in df["text"]])
+        m1 = (n >= 20) & (n <= 500)
+        m2 = m1 & (alpha >= 0.5)
+        m3 = m2 & (dup <= 0.6)
+        m4 = m3 & ~keyish  # the x*40 word is key-ish PII
+        return [len(df), m1.sum(), m2.sum(), m3.sum(), m4.sum()]
+
+    assert got["n"].tolist() == [int(x) for x in ref()]
+    # every stage monotone non-increasing and at least two stages bite
+    ns = got["n"].tolist()
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+    assert len(set(ns)) >= 3
