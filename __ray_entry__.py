@@ -1541,6 +1541,34 @@ def _q_dedup_cut(sf_dir: str):
     return remove_dup_spans(ds, L=8).sort("doc_id")
 
 
+def _q_kg_communities(sf_dir: str):
+    """Communities of the KG's semantic code graph via deterministic
+    synchronous label propagation (stages/graphops.label_propagation,
+    Raghavan et al. 2007; min-label ties, simple-graph votes).
+    Community-size distribution, largest first. Rows-only; local
+    gates: tests/test_graphops.py (engine ≡ serial LPA, both paths,
+    layout-invariant)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from hikma_engine_ray.stages.agg import global_topk
+    from hikma_engine_ray.stages.graphops import label_propagation
+
+    edges = _kg(sf_dir)["triples"].map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["pred"],
+                     value_set=pa.array(["CALLS", "EXTENDS", "IMPLEMENTS"]))
+        ).select(["subj", "obj"]),
+        batch_format="pyarrow",
+    )
+    labels = label_propagation(edges, iters=10, src_col="subj",
+                               dst_col="obj")
+    sizes = labels.groupby("community").aggregate(Count(alias_name="size"))
+    dist = sizes.groupby("size").aggregate(Count(alias_name="n_communities"))
+    return global_topk(dist, ["size"], 20, descending=True)
+
+
 def _q_kg_components(sf_dir: str):
     """Weakly connected components of the KG edge graph — reuses the
     dup-cluster machinery (driver union-find ≤ limit, alternating
@@ -2298,6 +2326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_ppr": _q_kg_ppr,
         "kg_components": _q_kg_components,
+        "kg_communities": _q_kg_communities,
         # sketches / iterative / banded-LSH (approximate by design)
         "hll_sources": _q_hll_sources,
         "hll_lang_sources": _q_hll_lang_sources,

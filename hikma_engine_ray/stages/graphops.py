@@ -356,3 +356,137 @@ def _triangles_joined(e, nbuckets: int) -> int:
     joined = bucketed_join(w, ej, on=["lo", "hi"], nbuckets=nbuckets,
                            how="inner")
     return joined.count()
+
+
+# ------------------------------------------------- label propagation
+
+def label_propagation(edges, iters: int = 10, src_col: str = "src",
+                      dst_col: str = "dst",
+                      driver_limit: int = 20_000_000,
+                      driver_edge_bytes: int = 128 * 1024 * 1024,
+                      nbuckets: int = 32):
+    """Community detection by SYNCHRONOUS label propagation (public
+    algorithm: Raghavan, Albert, Kumara 2007), made deterministic:
+    every node starts as its own label; each round every node adopts
+    the most frequent label among its neighbors (undirected — the
+    reverse edge is added internally), ties broken by the SMALLEST
+    label, isolated nodes keep their own. Fixed ``iters`` synchronous
+    rounds → layout-independent, reproducible output (asynchronous LPA
+    is order-dependent; the synchronous form can oscillate on bipartite
+    structures, which a fixed round count simply truncates).
+
+    Returns Dataset (node: string, community: string) where the
+    community id is the member node's final label rendered as the node
+    name it started from.
+
+    Count-guarded shapes like bfs_khop: driver numpy under the edge
+    byte budget; past it, per-round per-block (node,label) count
+    partials → one groupby — shuffle volume is distinct (node, label)
+    pairs per block, never edges — with the n-sized label vector
+    ray.put each round (node count under ``driver_limit``, the same
+    standing guard as pagerank's broadcast path)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    nodes = _distinct_nodes(edges, src_col, dst_col).materialize()
+    node_list = nodes.to_pandas()["node"].to_list()
+    n = len(node_list)
+    if n == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
+                                       "community": pa.array([], pa.string())}))
+    if n > driver_limit:
+        raise ValueError(
+            f"node count {n} exceeds driver_limit ({driver_limit}); the "
+            "fully-distributed label table variant is deliberately "
+            "omitted until a caller needs it — see pagerank join path "
+            "for the shape it would take")
+    h = _hash_col(node_list)
+    order = np.argsort(h, kind="stable")
+    h_sorted = h[order]
+    href = ray.put(h_sorted)
+
+    def index_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hs = ray.get(href)
+        s = np.searchsorted(hs, _hash_col(
+            pc.cast(t[src_col], pa.string()).to_pylist()))
+        d = np.searchsorted(hs, _hash_col(
+            pc.cast(t[dst_col], pa.string()).to_pylist()))
+        # undirected: both directions; per-block dedup (simple-graph
+        # semantics — parallel edges don't multiply label votes)
+        si = np.concatenate([s, d]).astype(np.int64)
+        di = np.concatenate([d, s]).astype(np.int64)
+        uniq = np.unique(si * np.int64(len(hs)) + di)
+        return pa.table({
+            "si": pa.array(uniq // len(hs), pa.int64()),
+            "di": pa.array(uniq % len(hs), pa.int64()),
+        })
+
+    from .dedup import dedup_exact
+
+    indexed = dedup_exact(
+        edges.map_batches(index_edges, batch_format="pyarrow"),
+        key_cols=["si", "di"], sort_cols=["si", "di"],
+    ).materialize()
+
+    # label of dense index i = the node's ORIGINAL-ORDER position so
+    # "smallest label" is the lexicographically-smallest node name
+    inv_order = np.empty(n, dtype=np.int64)
+    inv_order[order] = np.arange(n)
+    name_rank = np.argsort(np.asarray(node_list, dtype=object),
+                           kind="stable")
+    rank_of = np.empty(n, dtype=np.int64)
+    rank_of[name_rank] = np.arange(n)  # original pos -> lexicographic rank
+    lab = rank_of[order]  # dense idx i holds node_list[order[i]]'s rank
+
+    def argmax_update(vi, li, cnt, lab):
+        """new label per node = max count, tie min label (vectorized:
+        sort by (v, -count, label), take first per v)."""
+        o = np.lexsort((li, -cnt, vi))
+        vi, li = vi[o], li[o]
+        first = np.ones(len(vi), dtype=bool)
+        first[1:] = vi[1:] != vi[:-1]
+        new = lab.copy()
+        new[vi[first]] = li[first]
+        return new
+
+    if indexed.count() * 16 <= driver_edge_bytes:
+        ei = indexed.to_pandas()
+        si = ei["si"].to_numpy().astype(np.int64, copy=False)
+        di = ei["di"].to_numpy().astype(np.int64, copy=False)
+        for _ in range(iters):
+            key = di * np.int64(n) + lab[si]
+            uk, cnt = np.unique(key, return_counts=True)
+            lab = argmax_update(uk // n, uk % n, cnt, lab)
+    else:
+        for _ in range(iters):
+            lref = ray.put(lab)
+
+            def cpart(t: pa.Table, _l=lref) -> pa.Table:
+                ll = ray.get(_l)
+                si = t["si"].to_numpy(zero_copy_only=False)
+                di = t["di"].to_numpy(zero_copy_only=False)
+                key = di * np.int64(n) + ll[si]
+                uk, cnt = np.unique(key, return_counts=True)
+                return pa.table({"k": pa.array(uk, pa.int64()),
+                                 "c": pa.array(cnt.astype(np.int64),
+                                               pa.int64())})
+
+            rows = (indexed.map_batches(cpart, batch_format="pyarrow")
+                    .groupby("k").aggregate(Sum("c", alias_name="c"))
+                    .to_pandas())
+            if not len(rows):
+                break
+            uk = rows["k"].to_numpy().astype(np.int64)
+            cnt = rows["c"].to_numpy().astype(np.int64)
+            lab = argmax_update(uk // n, uk % n, cnt, lab)
+
+    # render: community = node name at the label's lexicographic rank
+    names_sorted = np.asarray(node_list, dtype=object)[name_rank]
+    comm = names_sorted[lab[inv_order]]
+    return rd.from_arrow(pa.table({
+        "node": pa.array(node_list, pa.string()),
+        "community": pa.array(comm, pa.string()),
+    }))

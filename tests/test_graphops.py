@@ -116,3 +116,69 @@ def test_triangle_empty_and_selfloops(ray_session):
     df = pd.DataFrame({"src": ["a", "b"], "dst": ["a", "b"]})
     out = triangle_count(rd.from_pandas(df)).to_pandas()
     assert out["n_edges"][0] == 0 and out["n_triangles"][0] == 0
+
+
+def _serial_lpa(edges, iters):
+    und = set()
+    nodes = set()
+    for a, b in edges:
+        nodes.update((a, b))
+        und.add((a, b))
+        und.add((b, a))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(b, []).append(a)  # neighbors contributing to b
+    lab = {v: v for v in nodes}
+    for _ in range(iters):
+        new = {}
+        for v in nodes:
+            nbrs = adj.get(v, [])
+            if not nbrs:
+                new[v] = lab[v]
+                continue
+            counts = {}
+            for u in nbrs:
+                counts[lab[u]] = counts.get(lab[u], 0) + 1
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            new[v] = best[0]
+        lab = new
+    return lab
+
+
+@pytest.mark.parametrize("force_dist", [False, True])
+def test_label_propagation_matches_serial(ray_session, force_dist):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.graphops import label_propagation
+
+    rng = np.random.default_rng(29)
+    # two dense blobs + a bridge: clear community structure
+    edges = []
+    for base in (0, 40):
+        for _ in range(150):
+            a, b = rng.integers(base, base + 20, 2)
+            edges.append((f"n{a:03d}", f"n{b:03d}"))
+    edges.append(("n000", "n040"))
+    want = _serial_lpa(edges, 10)
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    kw = {"driver_edge_bytes": 0} if force_dist else {}
+    got = label_propagation(
+        rd.from_pandas(df).repartition(3), iters=10, nbuckets=4, **kw
+    ).to_pandas()
+    gm = dict(zip(got["node"], got["community"]))
+    assert gm == want
+    # community structure found: the two blobs end in different labels
+    assert len(set(gm.values())) >= 2
+
+
+def test_label_propagation_layout_invariant(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.graphops import label_propagation
+
+    edges = _rand_graph(30, 80, seed=4)
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    a = label_propagation(rd.from_pandas(df).repartition(1)).to_pandas()
+    b = label_propagation(rd.from_pandas(df).repartition(7)).to_pandas()
+    assert dict(zip(a["node"], a["community"])) == \
+        dict(zip(b["node"], b["community"]))
