@@ -1997,6 +1997,35 @@ def _q_containment_pairs(sf_dir: str):
     ).sort(["a", "b"])
 
 
+def _q_overlap_sessions(sf_dir: str):
+    """Keyed interval-overlap join: per user, purchase attention
+    windows [ts, ts+2h] against click windows [ts, ts+2h] that
+    intersect (stages/joins.interval_join — one key shuffle, per-key
+    searchsorted lo-window sweep); inequality-join oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.stages.joins import interval_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    two_h = 2 * 3600 * 1_000_000
+
+    def win(kind: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], kind))
+            lo = pc.cast(t["ts"], pa.int64())
+            return pa.table({"user_id": t["user_id"], "lo": lo,
+                             "hi": pc.add(lo, pa.scalar(two_h, pa.int64()))})
+
+        return fn
+
+    purchases = ev.map_batches(win("purchase"), batch_format="pyarrow")
+    clicks = ev.map_batches(win("click"), batch_format="pyarrow")
+    return interval_join(purchases, clicks, by=["user_id"]).sort(
+        ["user_id", "lo", "lo_r"]
+    )
+
+
 def _q_corpus_funnel(sf_dir: str):
     """Composed quality-filter funnel (length → alpha ratio →
     repetition → PII, cumulative) in ONE streaming pass
@@ -2297,6 +2326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_pairs": _q_fuzzy_pairs,
         "khop_reach": _q_khop,
         "corpus_funnel": _q_corpus_funnel,
+        "overlap_sessions": _q_overlap_sessions,
         "orders_ntile": _q_orders_ntile,
         "events_resample": _q_events_resample,
         "part_triangles": _q_part_triangles,
@@ -3066,6 +3096,21 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz na ON na.doc_id = a
             WHERE i / na.n :: DOUBLE >= 0.8
             ORDER BY a, b
+        """,
+        "overlap_sessions": """
+            WITH p AS (
+              SELECT user_id, epoch_us(ts) AS lo,
+                     epoch_us(ts) + 7200000000 AS hi
+              FROM events WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT user_id, epoch_us(ts) AS lo,
+                     epoch_us(ts) + 7200000000 AS hi
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT p.user_id, p.lo, p.hi, c.lo AS lo_r, c.hi AS hi_r
+            FROM p JOIN c ON p.user_id = c.user_id
+              AND p.lo <= c.hi AND c.lo <= p.hi
+            ORDER BY p.user_id, p.lo, c.lo
         """,
         "corpus_funnel": r"""
             WITH m AS (

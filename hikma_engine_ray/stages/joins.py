@@ -319,3 +319,109 @@ def range_join(left, right, by: list[str], *, left_on: str, right_on: str,
 
     return (lt.union(rt).repartition(blocks_for_keys(nbuckets))
             .groupby("__jbucket").map_groups(merge, batch_format="pyarrow"))
+
+
+def interval_join(left, right, by: list[str], *,
+                  left_lo: str = "lo", left_hi: str = "hi",
+                  right_lo: str = "lo", right_hi: str = "hi",
+                  suffix: str = "_r", nbuckets: int = 32):
+    """Keyed INTERVAL-OVERLAP join — pairs of rows with the same
+    ``by`` key whose closed intervals intersect
+    ([l.lo, l.hi] ∩ [r.lo, r.hi] ≠ ∅, i.e. l.lo <= r.hi AND
+    r.lo <= l.hi). The interval×interval sibling of asof_join
+    (nearest-point) and the range join (point-in-interval) — Ray Data
+    has none of the three.
+
+    Shape: one hash shuffle on the ``by`` key (tagged union, both
+    sides renamed to one internal schema); per bucket the right side
+    sorts by lo and each left interval takes the right rows in its
+    searchsorted lo-window, then filters on hi —
+    O(n log n + candidates) per key. PARTITIONING ASSUMPTION (same as
+    asof_join): one key's rows fit a bucket; for keyless use or one
+    giant key, pre-split the time axis into coarse ranges and emit
+    each pair only in the range owning max(l.lo, r.lo) — the standard
+    dedup-free interval bucketing. Output columns:
+    (by..., left_lo, left_hi, right_lo+suffix, right_hi+suffix)."""
+    out_rlo, out_rhi = right_lo + suffix, right_hi + suffix
+
+    def keyed(side: int, lo_col: str, hi_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            import polars as pl
+            import pyarrow.compute as pc
+
+            n = t.num_rows
+            cols = {c: t[c] for c in by}
+            cols["__lo"] = t[lo_col]
+            cols["__hi"] = t[hi_col]
+            sel = pa.table(cols)
+            if n == 0:
+                buckets = pa.array([], pa.int32())
+            else:
+                combined = pc.binary_join_element_wise(
+                    *[pc.fill_null(pc.cast(sel[c], pa.string()), "None")
+                      for c in by], "\x1f")
+                h = pl.Series(pl.from_arrow(combined)).hash(seed=0).to_numpy()
+                buckets = pa.array(
+                    (h % np.uint64(nbuckets)).astype(np.int32), pa.int32())
+            return sel.append_column("__jbucket", buckets).append_column(
+                "__side", pa.array([side] * n, pa.int32()))
+
+        return fn
+
+    lt = left.map_batches(keyed(0, left_lo, left_hi),
+                          batch_format="pyarrow")
+    rt = right.map_batches(keyed(1, right_lo, right_hi),
+                           batch_format="pyarrow")
+    out_cols = [*by, left_lo, left_hi, out_rlo, out_rhi]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        ls = g[g["__side"] == 0]
+        rs = g[g["__side"] == 1]
+        outs = []
+        for key, lsub in ls.groupby(by, sort=False):
+            key_t = key if isinstance(key, tuple) else (key,)
+            rsub = rs
+            for c, v in zip(by, key_t):
+                rsub = rsub[rsub[c] == v]
+            if not len(rsub):
+                continue
+            rlo = rsub["__lo"].to_numpy()
+            rhi = rsub["__hi"].to_numpy()
+            o = np.argsort(rlo, kind="stable")
+            rlo, rhi = rlo[o], rhi[o]
+            llo = lsub["__lo"].to_numpy()
+            lhi = lsub["__hi"].to_numpy()
+            ends = np.searchsorted(rlo, lhi, side="right")
+            li, ri = [], []
+            for i, e in enumerate(ends):
+                if e == 0:
+                    continue
+                w = np.nonzero(rhi[:e] >= llo[i])[0]
+                if len(w):
+                    li.append(np.full(len(w), i))
+                    ri.append(w)
+            if not li:
+                continue
+            lidx = np.concatenate(li).astype(np.int64)
+            ridx = np.concatenate(ri).astype(np.int64)
+            out = pd.DataFrame(
+                {c: np.repeat(lsub[c].iloc[0], len(lidx)) for c in by})
+            out[left_lo] = llo[lidx]
+            out[left_hi] = lhi[lidx]
+            out[out_rlo] = rlo[ridx]
+            out[out_rhi] = rhi[ridx]
+            outs.append(out)
+        if not outs:
+            return pd.DataFrame({
+                **{c: pd.Series([], dtype=g[c].dtype) for c in by},
+                left_lo: pd.Series([], dtype=g["__lo"].dtype),
+                left_hi: pd.Series([], dtype=g["__hi"].dtype),
+                out_rlo: pd.Series([], dtype=g["__lo"].dtype),
+                out_rhi: pd.Series([], dtype=g["__hi"].dtype),
+            })
+        return pd.concat(outs, ignore_index=True)[out_cols]
+
+    return (lt.union(rt).repartition(blocks_for_keys(nbuckets))
+            .groupby("__jbucket")
+            .map_groups(lambda g: merge(g.drop(columns=["__jbucket"])),
+                        batch_format="pandas"))

@@ -443,3 +443,35 @@ def test_grouped_first_last_matches_pandas(ray_session):
                              "first_val": first.to_numpy(),
                              "last_val": last.to_numpy()})
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.joins import interval_join
+
+    rng = np.random.default_rng(7)
+
+    def mk(n):
+        lo = rng.integers(0, 1000, n).astype("int64")
+        return pd.DataFrame({
+            "k": rng.integers(0, 6, n).astype("int64"),
+            "lo": lo,
+            "hi": lo + rng.integers(0, 80, n).astype("int64"),
+        })
+
+    a, b = mk(150), mk(120)
+    want = a.merge(b, on="k", suffixes=("", "_r"))
+    want = want[(want["lo"] <= want["hi_r"]) & (want["lo_r"] <= want["hi"])]
+    want = (want[["k", "lo", "hi", "lo_r", "hi_r"]]
+            .sort_values(["k", "lo", "hi", "lo_r", "hi_r"])
+            .reset_index(drop=True))
+    for nblocks in (1, 5):
+        got = (interval_join(rd.from_pandas(a).repartition(nblocks),
+                             rd.from_pandas(b).repartition(nblocks),
+                             by=["k"], nbuckets=4)
+               .to_pandas()
+               .sort_values(["k", "lo", "hi", "lo_r", "hi_r"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+    assert len(want) > 0
