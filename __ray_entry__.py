@@ -1932,6 +1932,56 @@ def _q_parts_except(sf_dir: str):
     ).sort("l_partkey")
 
 
+def _q_parts_intersect_all(sf_dir: str):
+    """INTERSECT ALL (multiset): per-part multiplicity =
+    min(bulk-line count, trickle-line count) — the ALL-variant from
+    the same one-shuffle (key, count) partials
+    (stages/dedup.multiset_set_op); native INTERSECT ALL oracle
+    re-grouped to multiplicities."""
+    from hikma_engine_ray.stages.dedup import multiset_set_op
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    return multiset_set_op(
+        _partkey_stratum(ds, True), _partkey_stratum(ds, False),
+        on=["l_partkey"], op="intersect_all",
+    ).sort("l_partkey")
+
+
+def _q_parts_except_all(sf_dir: str):
+    """EXCEPT ALL (multiset): multiplicity = max(bulk − trickle, 0)."""
+    from hikma_engine_ray.stages.dedup import multiset_set_op
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    return multiset_set_op(
+        _partkey_stratum(ds, True), _partkey_stratum(ds, False),
+        on=["l_partkey"], op="except_all",
+    ).sort("l_partkey")
+
+
+def _q_doc_shuffle(sf_dir: str):
+    """Deterministic corpus shuffle (seeded epoch ordering): global
+    position of every doc under the md5(doc_id) permutation — exact
+    global ROW_NUMBER machinery (agg.global_row_number) over the hash
+    key, never a materialized global sort; md5-ordered window
+    oracle."""
+    import pyarrow as pa
+
+    from hikma_engine_ray.stages.agg import global_row_number
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda t: t.append_column("shuffle_key", pa.array(
+            [__import__("hashlib").md5(str(x).encode()).hexdigest()
+             for x in t["doc_id"].to_pylist()], pa.string())),
+        batch_format="pyarrow",
+    )
+    out = global_row_number(ds, "shuffle_key", "doc_id")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "rn"]).rename_columns(
+            ["doc_id", "shuffle_pos"]),
+        batch_format="pyarrow",
+    ).sort(["shuffle_pos"])
+
+
 def _q_tfidf_topk(sf_dir: str):
     """Per-document top-3 salient terms by tf·ln(N/df) — distributed
     df via token-keyed groupby + bucketed join, per-doc combiner
@@ -2334,6 +2384,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_skyline": _q_part_skyline,
         "qty_mode": _q_qty_mode,
         "user_first_last": _q_user_first_last,
+        "parts_intersect_all": _q_parts_intersect_all,
+        "parts_except_all": _q_parts_except_all,
+        "doc_shuffle": _q_doc_shuffle,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -3177,6 +3230,27 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rnd = 1 THEN event_type END)
                      AS last_event_type
             FROM w GROUP BY user_id ORDER BY user_id
+        """,
+        "parts_intersect_all": """
+            SELECT l_partkey, count(*) AS mult FROM (
+              SELECT l_partkey FROM lineitem WHERE l_quantity >= 45
+              INTERSECT ALL
+              SELECT l_partkey FROM lineitem WHERE l_quantity <= 5
+            ) GROUP BY l_partkey ORDER BY l_partkey
+        """,
+        "parts_except_all": """
+            SELECT l_partkey, count(*) AS mult FROM (
+              SELECT l_partkey FROM lineitem WHERE l_quantity >= 45
+              EXCEPT ALL
+              SELECT l_partkey FROM lineitem WHERE l_quantity <= 5
+            ) GROUP BY l_partkey ORDER BY l_partkey
+        """,
+        "doc_shuffle": """
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                     AS shuffle_pos
+            FROM documents ORDER BY shuffle_pos
         """,
         "part_skyline": """
             SELECT a.p_partkey, a.p_size, a.p_retailprice

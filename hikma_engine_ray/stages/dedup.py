@@ -190,3 +190,57 @@ def distinct_set_op(left, right, on: list[str], op: str,
         return t.filter(mask).select(on)
 
     return agg.map_batches(pick, batch_format="pyarrow")
+
+
+def multiset_set_op(left, right, on: list[str], op: str,
+                    final_blocks: int | None = None):
+    """SQL ALL-variant set operations — INTERSECT ALL / EXCEPT ALL —
+    in ONE shuffle: each side ships per-block (key, count) partials,
+    a single groupby totals (n_left, n_right), and the result
+    MULTIPLICITY per key is min(l, r) (intersect) or max(l - r, 0)
+    (except). Returns (on..., mult: int64) — the compact multiset form
+    (callers expand with flat_map if positional rows are wanted; the
+    oracle compares against GROUP BY over the ALL-op's output, which
+    is exactly this table). Shuffle volume = distinct keys per block,
+    never rows — the ALL semantics cost nothing over the distinct
+    form."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if op not in ("intersect_all", "except_all"):
+        raise ValueError(op)
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            d = t.select(on).group_by(on).aggregate([(on[0], "count")])
+            d = d.rename_columns(on + ["__n"])
+            n = d["__n"].to_numpy(zero_copy_only=False)
+            zero = np.zeros(d.num_rows, dtype=np.int64)
+            return (d.drop_columns(["__n"])
+                    .append_column("__l", pa.array(
+                        n if side == 0 else zero, pa.int64()))
+                    .append_column("__r", pa.array(
+                        n if side == 1 else zero, pa.int64())))
+
+        return fn
+
+    merged = (
+        left.map_batches(tag(0), batch_format="pyarrow")
+        .union(right.map_batches(tag(1), batch_format="pyarrow"))
+    )
+    if final_blocks is not None:
+        merged = merged.repartition(final_blocks)
+    agg = merged.groupby(on).aggregate(
+        Sum("__l", alias_name="__l"), Sum("__r", alias_name="__r")
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        l_ = t["__l"].to_numpy(zero_copy_only=False)
+        r_ = t["__r"].to_numpy(zero_copy_only=False)
+        mult = (np.minimum(l_, r_) if op == "intersect_all"
+                else np.maximum(l_ - r_, 0))
+        out = t.select(on).append_column(
+            "mult", pa.array(mult.astype(np.int64), pa.int64()))
+        return out.filter(pc.greater(out["mult"], 0))
+
+    return agg.map_batches(pick, batch_format="pyarrow")

@@ -292,6 +292,28 @@ def test_distinct_set_op_all_ops(ray_session):
         distinct_set_op(la, rb, ["k"], "xor")
 
 
+def test_multiset_set_op(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.dedup import multiset_set_op
+
+    # multiplicities: left {1:1, 2:3, 3:1, 4:2}; right {2:1, 3:2, 5:1}
+    a = pd.DataFrame({"k": [1, 2, 2, 2, 3, 4, 4]})
+    b = pd.DataFrame({"k": [2, 3, 3, 5]})
+    la, rb = rd.from_pandas(a).repartition(3), rd.from_pandas(b).repartition(2)
+
+    def run(op):
+        df = multiset_set_op(la, rb, ["k"], op).to_pandas()
+        return dict(zip(df["k"].tolist(), df["mult"].tolist()))
+
+    # INTERSECT ALL: min(l, r) where both > 0
+    assert run("intersect_all") == {2: 1, 3: 1}
+    # EXCEPT ALL: max(l - r, 0) where > 0
+    assert run("except_all") == {1: 1, 2: 2, 4: 2}
+    with pytest.raises(ValueError):
+        multiset_set_op(la, rb, ["k"], "union_all")
+
+
 def test_funnel_ordered_prefix(ray_session):
     import ray.data as rd
 
