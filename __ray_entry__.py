@@ -1982,6 +1982,38 @@ def _q_doc_shuffle(sf_dir: str):
     ).sort(["shuffle_pos"])
 
 
+def _q_line_dedup(sf_dir: str):
+    """C4/RefinedWeb-style corpus-wide LINE dedup (keep global first
+    occurrence of every duplicated line, blanks exempt) — the synthetic
+    docs are single-line token streams, so both sides first reflow each
+    doc into 8-token lines with the shared whitespace rule; the
+    operator itself (stages/linededup.line_dedup) takes any
+    newline-delimited text. Window-function oracle."""
+    import re
+
+    import pyarrow as pa
+
+    from hikma_engine_ray.stages.linededup import line_dedup
+
+    tok = re.compile(r"\S+")
+
+    def reflow(t: pa.Table) -> pa.Table:
+        out = []
+        for s in t["text"].to_pylist():
+            toks = tok.findall((s or "").strip())
+            out.append("\n".join(
+                " ".join(toks[i:i + 8]) for i in range(0, len(toks), 8)
+            ) if toks else "")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pa.array(out, pa.string()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        reflow, batch_format="pyarrow")
+    return line_dedup(ds).sort("doc_id")
+
+
 def _q_tfidf_topk(sf_dir: str):
     """Per-document top-3 salient terms by tf·ln(N/df) — distributed
     df via token-keyed groupby + bucketed join, per-doc combiner
@@ -2387,6 +2419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_intersect_all": _q_parts_intersect_all,
         "parts_except_all": _q_parts_except_all,
         "doc_shuffle": _q_doc_shuffle,
+        "line_dedup": _q_line_dedup,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -3251,6 +3284,38 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                      AS shuffle_pos
             FROM documents ORDER BY shuffle_pos
+        """,
+        # line dedup over the 8-token reflow (see _q_line_dedup):
+        # duplicated trimmed lines keep only the global (doc_id,
+        # line_no)-first occurrence; blank lines exempt
+        "line_dedup": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(trim(coalesce(text, '')), '\S+')
+                       AS toks
+              FROM documents
+            ), ln AS (
+              SELECT doc_id, i AS line_no,
+                     array_to_string(toks[(i-1)*8+1 : (i-1)*8+8], ' ')
+                       AS line
+              FROM t, unnest(range(1,
+                     greatest(CAST(ceil(len(toks) / 8.0) AS BIGINT), 1)
+                     + 1)) AS u(i)
+            ), dec AS (
+              SELECT doc_id, line_no, line,
+                     (trim(line) = '') AS blank,
+                     row_number() OVER (PARTITION BY trim(line)
+                       ORDER BY doc_id, line_no) AS rn
+              FROM ln
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                            FILTER (WHERE blank OR rn = 1), '')
+                     AS clean_text,
+                   count(*) FILTER (WHERE blank OR rn = 1) AS n_kept,
+                   count(*) FILTER (WHERE NOT (blank OR rn = 1))
+                     AS n_removed
+            FROM dec GROUP BY doc_id ORDER BY doc_id
         """,
         "part_skyline": """
             SELECT a.p_partkey, a.p_size, a.p_retailprice
