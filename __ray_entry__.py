@@ -2014,6 +2014,17 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(ds).sort("doc_id")
 
 
+def _q_pmi_bigrams(sf_dir: str):
+    """Top-20 adjacent-bigram collocations by PMI (count >= 5), Church
+    & Hanks statistic — one corpus pass, one gram shuffle, count-guarded
+    unigram broadcast, per-block partial top-k
+    (stages/collocate.pmi_bigrams); window-free SQL oracle."""
+    from hikma_engine_ray.stages.collocate import pmi_bigrams
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return pmi_bigrams(ds, k=20, min_count=5)
+
+
 def _q_tfidf_topk(sf_dir: str):
     """Per-document top-3 salient terms by tf·ln(N/df) — distributed
     df via token-keyed groupby + bucketed join, per-doc combiner
@@ -2420,6 +2431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_except_all": _q_parts_except_all,
         "doc_shuffle": _q_doc_shuffle,
         "line_dedup": _q_line_dedup,
+        "pmi_bigrams": _q_pmi_bigrams,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -3284,6 +3296,40 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                      AS shuffle_pos
             FROM documents ORDER BY shuffle_pos
+        """,
+        # adjacent-bigram PMI: shared whitespace tokenization, PMI in
+        # the exact operand order the engine mirrors (float parity)
+        "pmi_bigrams": r"""
+            WITH t AS (
+              SELECT regexp_extract_all(lower(trim(coalesce(text, ''))),
+                                        '\S+') AS toks
+              FROM documents
+            ), u AS (
+              SELECT row_number() OVER () AS did, toks FROM t
+            ), w AS (
+              SELECT did, unnest(toks) AS w,
+                     generate_subscripts(toks, 1) AS pos
+              FROM u
+            ), bi AS (
+              SELECT a.w AS w1, b.w AS w2
+              FROM w a JOIN w b ON a.did = b.did AND b.pos = a.pos + 1
+            ), cb AS (
+              SELECT w1, w2, count(*) AS c_xy FROM bi GROUP BY w1, w2
+            ), cu AS (
+              SELECT w, count(*) AS c FROM w GROUP BY w
+            ), tot AS (
+              SELECT (SELECT count(*) FROM w) AS n_uni,
+                     (SELECT count(*) FROM bi) AS n_bi
+            )
+            SELECT cb.w1, cb.w2, cb.c_xy,
+                   round(ln((cb.c_xy / tot.n_bi) /
+                            ((cx.c / tot.n_uni) * (cy.c / tot.n_uni))),
+                         6) AS pmi
+            FROM cb, tot
+            JOIN cu cx ON cx.w = cb.w1
+            JOIN cu cy ON cy.w = cb.w2
+            WHERE cb.c_xy >= 5
+            ORDER BY pmi DESC, cb.w1, cb.w2 LIMIT 20
         """,
         # line dedup over the 8-token reflow (see _q_line_dedup):
         # duplicated trimmed lines keep only the global (doc_id,
