@@ -2014,6 +2014,29 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(ds).sort("doc_id")
 
 
+def _q_price_histogram(sf_dir: str):
+    """Per-returnflag equi-width 16-bin histogram of l_extendedprice
+    over GLOBAL min/max bounds — two streaming passes, (group, bin)
+    partials only (agg.grouped_histogram); floor-division oracle."""
+    from hikma_engine_ray.stages.agg import grouped_histogram
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return grouped_histogram(ds, "l_returnflag", "l_extendedprice",
+                             bins=16).sort(["l_returnflag", "bin"])
+
+
+def _q_value_outliers(sf_dir: str):
+    """Events outside their user's [p10, p90] discrete-quantile band —
+    exact quantile_disc semantics so the comparisons involve only
+    stored values (agg.quantile_outliers: grouped-quantile shuffle +
+    guarded band broadcast); native quantile_disc oracle."""
+    from hikma_engine_ray.stages.agg import quantile_outliers
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return quantile_outliers(ds, "user_id", "value", "event_id",
+                             lo=0.10, hi=0.90).sort("event_id")
+
+
 def _q_pmi_bigrams(sf_dir: str):
     """Top-20 adjacent-bigram collocations by PMI (count >= 5), Church
     & Hanks statistic — one corpus pass, one gram shuffle, count-guarded
@@ -2432,6 +2455,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle": _q_doc_shuffle,
         "line_dedup": _q_line_dedup,
         "pmi_bigrams": _q_pmi_bigrams,
+        "price_histogram": _q_price_histogram,
+        "value_outliers": _q_value_outliers,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -3296,6 +3321,37 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                      AS shuffle_pos
             FROM documents ORDER BY shuffle_pos
+        """,
+        # equi-width histogram over global [min, max]; bin clamped to
+        # bins-1 so max lands in the last bin (same float expression
+        # as the engine)
+        "price_histogram": """
+            WITH mm AS (
+              SELECT min(l_extendedprice) AS mn,
+                     max(l_extendedprice) AS mx
+              FROM lineitem
+            )
+            SELECT l_returnflag,
+                   least(CAST(floor((l_extendedprice - mn) /
+                                    ((mx - mn) / 16.0)) AS BIGINT),
+                         15) AS bin,
+                   count(*) AS n
+            FROM lineitem, mm
+            GROUP BY l_returnflag, bin ORDER BY l_returnflag, bin
+        """,
+        "value_outliers": """
+            WITH s AS (
+              SELECT user_id,
+                     quantile_disc(value, 0.10) AS lo,
+                     quantile_disc(value, 0.90) AS hi
+              FROM events GROUP BY user_id
+            )
+            SELECT e.event_id, e.user_id, e.value,
+                   CASE WHEN e.value < s.lo THEN 'low'
+                        ELSE 'high' END AS side
+            FROM events e JOIN s USING (user_id)
+            WHERE e.value < s.lo OR e.value > s.hi
+            ORDER BY e.event_id
         """,
         # adjacent-bigram PMI: shared whitespace tokenization, PMI in
         # the exact operand order the engine mirrors (float parity)

@@ -1018,3 +1018,108 @@ def grouped_first_last(ds, key: str, order_cols: list[str],
         .map_groups(lambda g: finish(g.drop(columns=[BUCKET_COL])),
                     batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------- histogram
+
+def grouped_histogram(ds, group_col: str, value_col: str,
+                      bins: int = 16):
+    """Per-group equi-width histogram over GLOBAL [min, max] bounds.
+
+    Two streaming passes, no row-sized shuffle: (1) one global
+    Min/Max aggregate fixes the bin edges; (2) each block bins its
+    rows vectorized (same float expression as the SQL oracle:
+    ``floor((x - mn) / ((mx - mn) / bins))``, clamped to bins-1) and
+    emits (group, bin, n) partials — the final groupby sums
+    group×bins rows. Scale: shuffle volume = groups × bins per block,
+    independent of row count."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = ds.aggregate(Min(value_col), Max(value_col))
+    mn = float(mm[f"min({value_col})"])
+    mx = float(mm[f"max({value_col})"])
+    width = (mx - mn) / float(bins)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if width > 0:
+            b = np.minimum(np.floor((x - mn) / width), bins - 1)
+        else:  # degenerate: all values equal
+            b = np.zeros(len(x))
+        part = pa.table({
+            group_col: t[group_col],
+            "bin": pa.array(b.astype(np.int64), pa.int64()),
+        })
+        agg = part.group_by([group_col, "bin"]).aggregate(
+            [("bin", "count")])
+        return agg.rename_columns([group_col, "bin", "n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+# ---------------------------------------------------------- outliers
+
+def quantile_outliers(ds, key: str, value_col: str, id_col: str,
+                      lo: float = 0.10, hi: float = 0.90,
+                      driver_limit: int = 5_000_000, nbuckets: int = 16):
+    """Rows outside their group's [quantile_disc(lo), quantile_disc(hi)]
+    band — per-entity anomaly flagging with EXACT quantile semantics
+    (no mean/stddev float accumulation, so oracle parity is exact: the
+    comparisons are between stored values only).
+
+    Shape: grouped_quantiles (distinct-value-count shuffle) → band
+    table, then a count-guarded driver broadcast (sorted key arrays +
+    searchsorted) applies the band as a pure map over the stream; past
+    ``driver_limit`` groups the band joins back via the bucketed hash
+    join instead. Returns (id, key, value, side) with side in
+    {'low','high'}."""
+    import ray
+
+    lo_col, hi_col = f"q{int(lo * 100)}", f"q{int(hi * 100)}"
+    bands = grouped_quantiles(ds, [key], value_col, [lo, hi],
+                              nbuckets=nbuckets).materialize()
+    n_groups = bands.count()
+
+    def flag(t: pa.Table, lov: np.ndarray, hiv: np.ndarray) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        low = v < lov
+        high = v > hiv
+        m = low | high
+        side = np.where(low, "low", "high").astype(object)
+        out = pa.table({
+            id_col: t[id_col].filter(pa.array(m)),
+            key: t[key].filter(pa.array(m)),
+            value_col: t[value_col].filter(pa.array(m)),
+            "side": pa.array(side[m], pa.string()),
+        })
+        return out
+
+    if n_groups <= driver_limit:
+        from .dedup import collect_arrow
+
+        bt = collect_arrow(bands)
+        ks = bt[key].to_numpy(zero_copy_only=False)
+        lov = bt[lo_col].to_numpy(zero_copy_only=False)
+        hiv = bt[hi_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ks)
+        bc = ray.put((ks[order], lov[order], hiv[order]))
+
+        def apply_bc(t: pa.Table) -> pa.Table:
+            k_s, lo_s, hi_s = ray.get(bc)
+            pos = np.searchsorted(k_s, t[key].to_numpy(zero_copy_only=False))
+            return flag(t, lo_s[pos], hi_s[pos])
+
+        return ds.map_batches(apply_bc, batch_format="pyarrow")
+
+    from .joins import bucketed_join
+
+    j = bucketed_join(ds, bands, on=[key])
+    return j.map_batches(
+        lambda t: flag(t, t[lo_col].to_numpy(zero_copy_only=False),
+                       t[hi_col].to_numpy(zero_copy_only=False)),
+        batch_format="pyarrow")

@@ -110,7 +110,9 @@ def pmi_bigrams(ds, text_col: str = "text", *, k: int = 20,
 
     n_vocab = uni.count()
     if n_vocab <= driver_limit:
-        ut = pa.concat_tables([ray.get(b) for b in uni.to_arrow_refs()])
+        from .dedup import collect_arrow
+
+        ut = collect_arrow(uni)
         words = np.asarray(ut["w1"].to_pylist(), dtype=object)
         counts = ut["c"].to_numpy(zero_copy_only=False).astype(np.float64)
         order = np.argsort(words)

@@ -244,3 +244,17 @@ def multiset_set_op(left, right, on: list[str], op: str,
         return out.filter(pc.greater(out["mult"], 0))
 
     return agg.map_batches(pick, batch_format="pyarrow")
+
+
+def collect_arrow(ds) -> pa.Table:
+    """Driver-side collect of a SMALL dataset as one Arrow table,
+    skipping the zero-column placeholder blocks Ray's sort shuffle can
+    emit for empty ranges (they carry no schema and break
+    concat_tables). Callers must count-guard before collecting."""
+    import ray
+
+    tables = [ray.get(b) for b in ds.to_arrow_refs()]
+    tables = [t for t in tables if t.num_columns]
+    if not tables:
+        raise ValueError("collect_arrow: no non-empty blocks")
+    return pa.concat_tables(tables)

@@ -163,8 +163,9 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
 
     if n_dups <= driver_limit:
         if n_dups:
-            dt = pa.concat_tables([ray.get(b) for b in
-                                   dups.to_arrow_refs()])
+            from .dedup import collect_arrow
+
+            dt = collect_arrow(dups)
             hs = dt["h"].to_numpy(zero_copy_only=False)
             wk = np.asarray(dt["wkey"].to_pylist(), dtype=object)
             order = np.argsort(hs)
