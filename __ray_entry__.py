@@ -2014,6 +2014,44 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(ds).sort("doc_id")
 
 
+def _q_events_dau(sf_dir: str):
+    """Daily active users: exact per-day COUNT(DISTINCT user) via the
+    combiner-first distinct shuffle (agg.distinct_count — per-block
+    distinct (day, user) partials, never events); native oracle."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.stages.agg import distinct_count
+
+    us_day = 86_400_000_000
+
+    def add_day(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        days = pd.to_datetime((epoch // us_day) * us_day,
+                              unit="us").strftime("%Y-%m-%d")
+        return pa.table({"day": pa.array(days, pa.string()),
+                         "user_id": t["user_id"]})
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        add_day, batch_format="pyarrow")
+    return distinct_count(ds, ["user_id"], group_cols=["day"]).sort("day")
+
+
+def _q_retention_7d(sf_dir: str):
+    """7-day cohort retention: users grouped by first-event day; a user
+    is retained iff some later event lands within 7 days (exact µs
+    integer comparisons — windows.cohort_retention: combiner-first
+    first-seen pass + guarded broadcast second pass); SQL oracle via
+    min(ts) + interval join."""
+    from hikma_engine_ray.stages.windows import cohort_retention
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ds, "user_id", "ts",
+                            window_days=7).sort("cohort_day")
+
+
 def _q_price_histogram(sf_dir: str):
     """Per-returnflag equi-width 16-bin histogram of l_extendedprice
     over GLOBAL min/max bounds — two streaming passes, (group, bin)
@@ -2457,6 +2495,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": _q_pmi_bigrams,
         "price_histogram": _q_price_histogram,
         "value_outliers": _q_value_outliers,
+        "events_dau": _q_events_dau,
+        "retention_7d": _q_retention_7d,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -3321,6 +3361,29 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                      AS shuffle_pos
             FROM documents ORDER BY shuffle_pos
+        """,
+        "events_dau": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(DISTINCT user_id) AS n
+            FROM events GROUP BY day ORDER BY day
+        """,
+        "retention_7d": """
+            WITH f AS (
+              SELECT user_id, min(ts) AS first_ts
+              FROM events GROUP BY user_id
+            ), r AS (
+              SELECT f.user_id, f.first_ts,
+                     max(CASE WHEN e.ts > f.first_ts
+                               AND e.ts <= f.first_ts + INTERVAL 7 DAY
+                          THEN 1 ELSE 0 END) AS retained
+              FROM f JOIN events e USING (user_id)
+              GROUP BY f.user_id, f.first_ts
+            )
+            SELECT strftime(date_trunc('day', first_ts), '%Y-%m-%d')
+                     AS cohort_day,
+                   count(*) AS n_users,
+                   CAST(sum(retained) AS BIGINT) AS n_retained
+            FROM r GROUP BY cohort_day ORDER BY cohort_day
         """,
         # equi-width histogram over global [min, max]; bin clamped to
         # bins-1 so max lands in the last bin (same float expression

@@ -191,6 +191,10 @@ def run_bench() -> dict:
         "containment_pairs", "fuzzy_pairs", "khop_reach", "orders_ntile",
         "events_resample", "part_triangles", "price_regression",
         "part_skyline", "pca_embed", "bpe_merges",
+        "qty_mode", "user_first_last", "parts_intersect_all",
+        "parts_except_all", "doc_shuffle", "line_dedup", "pmi_bigrams",
+        "price_histogram", "value_outliers", "overlap_sessions",
+        "corpus_funnel",
     ):
         tq = time.monotonic()
         res = qs[name](SF_DIR)

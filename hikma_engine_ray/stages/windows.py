@@ -374,3 +374,104 @@ def resample_daily(ds, key: str, ts_col: str, value_col: str,
         .map_groups(lambda g: reindex(g.drop(columns=[BUCKET_COL])),
                     batch_format="pandas")
     )
+
+
+def cohort_retention(ds, key: str, ts_col: str, *, window_days: int = 7,
+                     driver_limit: int = 5_000_000, nbuckets: int = 16):
+    """Cohort retention: group every entity by its FIRST-event calendar
+    day and count how many came back within ``window_days`` — the
+    classic product-analytics rollup, here with exact microsecond
+    semantics (retained iff some event has
+    ``first_ts < ts <= first_ts + window`` — integer µs comparisons,
+    no float arithmetic, so oracle parity is exact).
+
+    Shape: (1) one combiner-first groupby → per-entity min timestamp;
+    (2) the first-seen table applies back as a count-guarded driver
+    broadcast (sorted id array + searchsorted) during a second
+    streaming pass that emits per-block (entity, retained) partials —
+    past ``driver_limit`` entities it becomes a bucketed hash join;
+    (3) per-entity OR via groupby Max, then a tiny per-day rollup.
+    Nothing event-sized ever shuffles: pass 2's shuffle carries one row
+    per entity per block."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    us_window = int(window_days) * 86_400_000_000
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        g = pa.table({key: t[key], "__us": epoch}) \
+            .group_by([key]).aggregate([("__us", "min")])
+        return g.rename_columns([key, "first_us"])
+
+    firsts = (
+        ds.map_batches(first_partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Min("first_us", alias_name="first_us"))
+        .materialize()
+    )
+
+    def retained_partial(t: pa.Table, first_of) -> pa.Table:
+        epoch = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        ks = t[key].to_numpy(zero_copy_only=False)
+        f = first_of(ks)
+        ret = ((epoch > f) & (epoch <= f + us_window)).astype(np.int64)
+        g = pa.table({
+            key: t[key],
+            "first_us": pa.array(f, pa.int64()),
+            "retained": pa.array(ret, pa.int64()),
+        }).group_by([key, "first_us"]).aggregate([("retained", "max")])
+        return g.rename_columns([key, "first_us", "retained"])
+
+    n_entities = firsts.count()
+    if n_entities <= driver_limit:
+        from .dedup import collect_arrow
+
+        ft = collect_arrow(firsts)
+        ids = ft[key].to_numpy(zero_copy_only=False)
+        fus = ft["first_us"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        bc = ray.put((ids[order], fus[order]))
+
+        def part_bc(t: pa.Table) -> pa.Table:
+            id_s, f_s = ray.get(bc)
+            return retained_partial(
+                t, lambda ks: f_s[np.searchsorted(id_s, ks)])
+
+        parts = ds.map_batches(part_bc, batch_format="pyarrow")
+    else:
+        from .joins import bucketed_join
+
+        j = bucketed_join(ds.select_columns([key, ts_col]), firsts,
+                          on=[key])
+        parts = j.map_batches(
+            lambda t: retained_partial(
+                t, lambda _ks, _f=t["first_us"].to_numpy(
+                    zero_copy_only=False): _f),
+            batch_format="pyarrow")
+
+    per_entity = parts.groupby(key).aggregate(
+        Min("first_us", alias_name="first_us"),
+        Max("retained", alias_name="retained"),
+    )
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        us_day = 86_400_000_000
+        f = t["first_us"].to_numpy(zero_copy_only=False)
+        days = pd.to_datetime((f // us_day) * us_day,
+                              unit="us").strftime("%Y-%m-%d")
+        g = pa.table({
+            "cohort_day": pa.array(days, pa.string()),
+            "n_users": pa.array(np.ones(len(f), np.int64), pa.int64()),
+            "n_retained": t["retained"],
+        }).group_by(["cohort_day"]).aggregate(
+            [("n_users", "sum"), ("n_retained", "sum")])
+        return g.rename_columns(["cohort_day", "n_users", "n_retained"])
+
+    return (
+        per_entity.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("cohort_day")
+        .aggregate(Sum("n_users", alias_name="n_users"),
+                   Sum("n_retained", alias_name="n_retained"))
+    )
