@@ -2290,13 +2290,16 @@ def _q_part_triangles(sf_dir: str):
     from hikma_engine_ray.stages.graphops import triangle_count
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    po = dedup_exact(
-        li.map_batches(
-            lambda t: pa.table({"o": t["l_orderkey"],
-                                "p": pc.cast(t["l_partkey"], pa.string())}),
-            batch_format="pyarrow",
-        ),
-        key_cols=["o", "p"], sort_cols=["o", "p"],
+    # int64 part keys end-to-end: triangle_count keeps integer
+    # endpoints native (string interning was the driver path's
+    # dominant cost at sf0.1). (o, p) dedup happens INSIDE the same
+    # per-order bucket pass that expands pairs — one shuffle, not two
+    # (the bucket key o co-locates every copy of a given (o, p) row).
+    po = li.map_batches(
+        lambda t: pa.table({"o": t["l_orderkey"],
+                            "p": t["l_partkey"]})
+        .group_by(["o", "p"]).aggregate([]),
+        batch_format="pyarrow",
     )
 
     # per-order part pairs (orders are small groups — pair expansion
@@ -2311,18 +2314,19 @@ def _q_part_triangles(sf_dir: str):
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["o", "p"])  # cross-block dups
         outs_a, outs_b = [], []
         for _, sub in g.groupby("o", sort=False):
-            ps = np.sort(sub["p"].to_numpy(dtype=object))
+            ps = np.sort(sub["p"].to_numpy(dtype=np.int64))
             if len(ps) < 2:
                 continue
             ia, ib = np.triu_indices(len(ps), k=1)
             outs_a.append(ps[ia])
             outs_b.append(ps[ib])
-        a = (np.concatenate(outs_a) if outs_a else np.empty(0, object))
-        b = (np.concatenate(outs_b) if outs_b else np.empty(0, object))
-        return pd.DataFrame({"src": pd.Series(a, dtype=object),
-                             "dst": pd.Series(b, dtype=object)})
+        a = (np.concatenate(outs_a) if outs_a else np.empty(0, np.int64))
+        b = (np.concatenate(outs_b) if outs_b else np.empty(0, np.int64))
+        return pd.DataFrame({"src": pd.Series(a, dtype="int64"),
+                             "dst": pd.Series(b, dtype="int64")})
 
     nb = 16
     edges = (

@@ -214,15 +214,25 @@ def _bfs_join(edges, seeds, max_hops, src_col, dst_col, nbuckets):
 # ------------------------------------------------------ triangle counting
 
 def _canon_edges(edges, src_col: str, dst_col: str):
-    """Undirected canonical form: (lo, hi) string pairs, self-loops
-    dropped, deduplicated."""
+    """Undirected canonical form: (lo, hi) pairs, self-loops dropped,
+    deduplicated. Integer endpoint columns stay int64 (np.unique /
+    sorts on int64 are ~10x faster than on strings at the
+    million-edge scale the driver path handles); everything else is
+    canonicalized through Arrow's string cast. Either way (lo, hi) is
+    a valid canonical pair — only the order CONVENTION differs, never
+    the edge set, so counts are unchanged."""
     from .dedup import dedup_exact
 
     def canon(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        a = pc.cast(t[src_col], pa.string())
-        b = pc.cast(t[dst_col], pa.string())
+        a, b = t[src_col], t[dst_col]
+        if pa.types.is_integer(a.type) and pa.types.is_integer(b.type):
+            a = pc.cast(a, pa.int64())
+            b = pc.cast(b, pa.int64())
+        else:
+            a = pc.cast(a, pa.string())
+            b = pc.cast(b, pa.string())
         lo = pc.min_element_wise(a, b)
         hi = pc.max_element_wise(a, b)
         keep = pc.not_equal(lo, hi)
@@ -293,27 +303,39 @@ def _triangles_driver(e) -> int:
     fwd = rank[a] < rank[b]
     u = np.where(fwd, a, b)
     v = np.where(fwd, b, a)
-    order = np.lexsort((v, u))
+    # adjacency sorted by RANK within each u-run: wedge pairs (ia<ib)
+    # then come out already rank-oriented, so the closure key needs no
+    # rank gathers / np.where — half the memory traffic of the naive
+    # form at tens of millions of wedges
+    order = np.lexsort((rank[v], u))
     u, v = u[order], v[order]
     eset = np.sort(_pack(u, v))
     # per-node forward adjacency slices
     starts = np.searchsorted(u, np.arange(n), side="left")
     ends = np.searchsorted(u, np.arange(n), side="right")
+    k_all = ends - starts
     total = 0
-    for x in range(n):
-        s, t = starts[x], ends[x]
-        k = t - s
+    # degree-class vectorization: all nodes of forward degree k share
+    # one triu template, so the wedge expansion is a single 2-D gather
+    # per class (chunked to bound peak memory) instead of a Python
+    # loop over every node
+    _CHUNK = 8_000_000  # max wedge cells materialized at once
+    for k in np.unique(k_all):
         if k < 2:
             continue
-        nb = v[s:t]
-        ia, ib = np.triu_indices(k, k=1)
-        wa, wb = nb[ia], nb[ib]
-        lo = np.where(rank[wa] < rank[wb], wa, wb)
-        hi = np.where(rank[wa] < rank[wb], wb, wa)
-        keys = _pack(lo, hi)
-        pos = np.searchsorted(eset, keys)
-        pos[pos >= len(eset)] = len(eset) - 1
-        total += int((eset[pos] == keys).sum())
+        nodes = np.nonzero(k_all == k)[0]
+        ia, ib = np.triu_indices(int(k), k=1)
+        w = len(ia)
+        step = max(1, _CHUNK // w)
+        for c0 in range(0, len(nodes), step):
+            ch = nodes[c0:c0 + step]
+            base = starts[ch][:, None]
+            wa = v[base + ia[None, :]]
+            wb = v[base + ib[None, :]]
+            keys = _pack(wa, wb).ravel()  # already rank-oriented
+            pos = np.searchsorted(eset, keys)
+            pos[pos >= len(eset)] = len(eset) - 1
+            total += int((eset[pos] == keys).sum())
     return total
 
 

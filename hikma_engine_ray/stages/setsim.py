@@ -195,7 +195,10 @@ def _all_gram_rows(k: int, text_col: str, id_col: str):
 
 def containment_self_join(docs_ds, threshold: float = 0.8, k: int = 5,
                           text_col: str = "text", id_col: str = "doc_id",
-                          nbuckets: int = 32):
+                          nbuckets: int = 32,
+                          freq_driver_limit: int = 5_000_000,
+                          pair_driver_limit: int = 100_000,
+                          rows_driver_limit: int = 2_000_000):
     """Exact CONTAINMENT self-join: directed pairs (a, b), a ≠ b, with
     |S_a ∩ S_b| / |S_a| ≥ threshold — the asymmetric near-dup relation
     Jaccard misses (an excerpt inside a much larger doc has tiny
@@ -232,6 +235,16 @@ def containment_self_join(docs_ds, threshold: float = 0.8, k: int = 5,
         _all_gram_rows(k, text_col, id_col), batch_format="pyarrow"
     ).materialize()  # reused: freq pass + prefix pass + index side
 
+    # count-guarded driver fast path (repo convention — cf. PageRank /
+    # BFS / triangles): the gram-row table is 20 B/row, so below the
+    # guard the WHOLE candidate generation is one in-process
+    # numpy/pandas pass instead of 4+ sort-shuffle executions whose
+    # fixed cost dwarfs 5 MB of data. The distributed path below is
+    # the 100 TB shape and stays equivalence-tested.
+    if rows.count() <= rows_driver_limit:
+        return _containment_driver(rows, docs_ds, threshold, k,
+                                   text_col, id_col)
+
     def freq_partial(t: pa.Table) -> pa.Table:
         g = t.select(["g"]).group_by(["g"]).aggregate([("g", "count")])
         return g.rename_columns(["g", "f"])
@@ -239,8 +252,8 @@ def containment_self_join(docs_ds, threshold: float = 0.8, k: int = 5,
     freq = (
         rows.map_batches(freq_partial, batch_format="pyarrow")
         .groupby("g").aggregate(Sum("f", alias_name="f"))
+        .materialize()
     )
-    rows_f = bucketed_join(rows, freq, on=["g"], nbuckets=nbuckets)
 
     # per-doc rarest-first prefix: p = n - ceil(t*n) + 1 rows with the
     # smallest (f, g)
@@ -251,17 +264,48 @@ def containment_self_join(docs_ds, threshold: float = 0.8, k: int = 5,
         p = n - np.ceil(threshold * n).astype(np.int64) + 1
         return g[pos < p]
 
-    qpref = (
-        rows_f.map_batches(add_bucket_column(["doc_id"], nbuckets),
-                           batch_format="pyarrow")
-        .repartition(blocks_for_keys(nbuckets))
-        .groupby(BUCKET_COL)
-        .map_groups(
-            lambda g: prefix_per_bucket(g.drop(columns=[BUCKET_COL]))
-            [["g", "doc_id", "n"]],
-            batch_format="pandas",
+    n_grams = freq.count()
+    if n_grams <= freq_driver_limit:
+        # broadcast the (g, f) table: a gram-row block holds whole
+        # docs (emitted per input batch), so the rarest-first prefix
+        # is a PURE MAP — no join, no doc-bucket shuffle
+        import ray
+
+        from .dedup import collect_arrow
+
+        ft = collect_arrow(freq)
+        gs = ft["g"].to_numpy(zero_copy_only=False)
+        fs = ft["f"].to_numpy(zero_copy_only=False)
+        order = np.argsort(gs)
+        fref = ray.put((gs[order], fs[order]))
+
+        def prefix_map(t: pa.Table) -> pa.Table:
+            g_s, f_s = ray.get(fref)
+            gh = t["g"].to_numpy(zero_copy_only=False)
+            f = f_s[np.searchsorted(g_s, gh)]
+            df = pd.DataFrame({
+                "g": gh,
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "n": t["n"].to_numpy(zero_copy_only=False),
+                "f": f,
+            })
+            out = prefix_per_bucket(df)[["g", "doc_id", "n"]]
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        qpref = rows.map_batches(prefix_map, batch_format="pyarrow")
+    else:
+        rows_f = bucketed_join(rows, freq, on=["g"], nbuckets=nbuckets)
+        qpref = (
+            rows_f.map_batches(add_bucket_column(["doc_id"], nbuckets),
+                               batch_format="pyarrow")
+            .repartition(blocks_for_keys(nbuckets))
+            .groupby(BUCKET_COL)
+            .map_groups(
+                lambda g: prefix_per_bucket(g.drop(columns=[BUCKET_COL]))
+                [["g", "doc_id", "n"]],
+                batch_format="pandas",
+            )
         )
-    )
 
     def tag(role: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -306,11 +350,103 @@ def containment_self_join(docs_ds, threshold: float = 0.8, k: int = 5,
             batch_format="pandas",
         )
     )
-    cand = dedup_exact(cand, key_cols=["a", "b"], sort_cols=["a", "b"])
+    cand = dedup_exact(cand, key_cols=["a", "b"],
+                       sort_cols=["a", "b"]).materialize()
+    if cand.count() <= pair_driver_limit:
+        return _verify_containment_driver(
+            cand, docs_ds, threshold, k=k, text_col=text_col,
+            id_col=id_col)
     return verify_containment_joined(
         cand, docs_ds, threshold, k=k, text_col=text_col, id_col=id_col,
         nbuckets=nbuckets,
     )
+
+
+def _containment_driver(rows, docs_ds, threshold: float, k: int,
+                        text_col: str, id_col: str):
+    """In-process candidate generation + verify for gram tables under
+    the count guard: identical semantics to the distributed path
+    (rarest-first prefix, |B| size prune, exact verify), pure pandas/
+    numpy."""
+    import ray.data as rd
+
+    from .dedup import collect_arrow
+
+    rt = collect_arrow(rows)
+    df = pd.DataFrame({
+        "g": rt["g"].to_numpy(zero_copy_only=False),
+        "doc_id": rt["doc_id"].to_numpy(zero_copy_only=False),
+        "n": rt["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+    })
+    if not len(df):
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "containment": pa.array([], pa.float64())}))
+    gs, inv, counts = np.unique(df["g"].to_numpy(), return_inverse=True,
+                                return_counts=True)
+    df["f"] = counts[inv]
+    df = df.sort_values(["doc_id", "f", "g"], kind="stable")
+    pos = df.groupby("doc_id", sort=False).cumcount().to_numpy()
+    n = df["n"].to_numpy()
+    pref = df[pos < n - np.ceil(threshold * n).astype(np.int64) + 1]
+    cand = pref.merge(df[["g", "doc_id", "n"]], on="g",
+                      suffixes=("_a", "_b"))
+    a = cand["doc_id_a"].to_numpy(np.int64)
+    b = cand["doc_id_b"].to_numpy(np.int64)
+    na = cand["n_a"].to_numpy(np.int64)
+    nb_ = cand["n_b"].to_numpy(np.int64)
+    ok = (a != b) & (nb_ >= np.ceil(threshold * na).astype(np.int64))
+    pairs = pd.DataFrame({"a": a[ok], "b": b[ok]}).drop_duplicates()
+    ct = pa.table({"a": pa.array(pairs["a"].to_numpy(np.int64), pa.int64()),
+                   "b": pa.array(pairs["b"].to_numpy(np.int64), pa.int64())})
+    return _verify_containment_driver(rd.from_arrow(ct), docs_ds,
+                                      threshold, k=k, text_col=text_col,
+                                      id_col=id_col)
+
+
+def _verify_containment_driver(cand, docs_ds, threshold: float, k: int,
+                               text_col: str, id_col: str):
+    """Result-sized verify: the candidate pair set is small, so fetch
+    ONLY the involved docs (broadcast id filter — one streaming pass,
+    no join) and score the pairs on the driver. The joined fallback
+    above handles candidate sets past the guard."""
+    import ray
+    import ray.data as rd
+
+    from .dedup import collect_arrow
+
+    ct = collect_arrow(cand)
+    a = ct["a"].to_numpy(zero_copy_only=False)
+    b = ct["b"].to_numpy(zero_copy_only=False)
+    if len(a) == 0:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "containment": pa.array([], pa.float64())}))
+    involved = np.unique(np.concatenate([a, b]))
+    iref = ray.put(involved)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        inv = ray.get(iref)
+        pos = np.searchsorted(inv, ids)
+        pos[pos >= len(inv)] = 0
+        m = inv[pos] == ids
+        return pa.table({id_col: t[id_col].filter(pa.array(m)),
+                         text_col: t[text_col].filter(pa.array(m))})
+
+    dt = collect_arrow(docs_ds.map_batches(pick, batch_format="pyarrow"))
+    texts = dict(zip(dt[id_col].to_pylist(), dt[text_col].to_pylist()))
+    sets = {i: _shingles(texts.get(i) or "", k) for i in involved.tolist()}
+    cont = np.array([
+        (len(sets[x] & sets[y]) / len(sets[x]) if sets[x] else 0.0)
+        for x, y in zip(a.tolist(), b.tolist())
+    ], dtype=np.float64)
+    keep = cont >= threshold
+    return rd.from_arrow(pa.table({
+        "a": pa.array(a[keep], pa.int64()),
+        "b": pa.array(b[keep], pa.int64()),
+        "containment": pa.array(cont[keep], pa.float64()),
+    }))
 
 
 def verify_containment_joined(pairs_ds, docs_ds, threshold: float,

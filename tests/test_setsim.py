@@ -100,3 +100,37 @@ def test_size_ratio_filter_cuts_candidates():
     doc 32 shares no qualifying partner at t=0.95 with 30/31."""
     table = _corpus()
     assert (30, 32) not in _brute(table, 0.95)
+
+
+def test_containment_paths_equivalent(ray_session):
+    """Driver fast path ≡ distributed path ≡ brute force for the
+    directed containment join, hostile fixture included."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.setsim import containment_self_join
+
+    t = _corpus()
+    ds = rd.from_arrow(t).repartition(3)
+
+    def run(**kw):
+        return (containment_self_join(ds, threshold=0.8, k=5, **kw)
+                .to_pandas().sort_values(["a", "b"])
+                .reset_index(drop=True).round({"containment": 9}))
+
+    fast = run()
+    dist = run(rows_driver_limit=0)
+    dist_joined = run(rows_driver_limit=0, pair_driver_limit=0,
+                      freq_driver_limit=0)
+    pd.testing.assert_frame_equal(fast, dist)
+    pd.testing.assert_frame_equal(fast, dist_joined)
+
+    # brute force: directed containment |A∩B|/|A| >= t
+    sh = {r["doc_id"]: _shingles(r["text"] or "", 5)
+          for r in t.to_pylist()}
+    exp = sorted(
+        (a, b) for a in sh for b in sh
+        if a != b and sh[a]
+        and len(sh[a] & sh[b]) / len(sh[a]) >= 0.8
+    )
+    assert list(map(tuple, fast[["a", "b"]].to_numpy())) == exp
