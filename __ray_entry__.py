@@ -2339,6 +2339,57 @@ def _q_part_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def _q_sssp_parts(sf_dir: str):
+    """Weighted shortest walks (<= 4 hops) from supplier s:1 over the
+    undirected supplier-part graph, edge weight = min l_extendedprice
+    per (s, p) — synchronous Bellman-Ford (stages/graphops.sssp,
+    count-guarded driver / join paths, exact float parity by addend
+    monotonicity); bounded recursive-CTE oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from hikma_engine_ray.stages.graphops import sssp
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_partkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = np.char.add("s:", t["l_suppkey"].to_numpy(
+            zero_copy_only=False).astype("U20"))
+        p = np.char.add("p:", t["l_partkey"].to_numpy(
+            zero_copy_only=False).astype("U20"))
+        g = pa.table({
+            "u": pa.array(s, pa.string()),
+            "v": pa.array(p, pa.string()),
+            "w": pc.cast(t["l_extendedprice"], pa.float64()),
+        }).group_by(["u", "v"]).aggregate([("w", "min")])
+        return g.rename_columns(["u", "v", "w"])
+
+    e = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Min("w", alias_name="w"))
+    )
+    both = e.map_batches(
+        lambda t: pa.concat_tables([
+            t.select(["u", "v", "w"]),
+            t.select(["v", "u", "w"]).rename_columns(["u", "v", "w"]),
+        ]),
+        batch_format="pyarrow",
+    )
+    from hikma_engine_ray.functions.num import round_half_away
+
+    out = sssp(both, ["s:1"], 4, src_col="u", dst_col="v", w_col="w")
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("dist"), "dist",
+            round_half_away(t["dist"].combine_chunks(), 6)),
+        batch_format="pyarrow",
+    ).sort("node")
+
+
 def _q_orders_ntile(sf_dir: str):
     """EXACT global ROW_NUMBER + NTILE(10) over every order, highest
     price first (stages/agg.global_row_number — sampled range
@@ -2501,6 +2552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": _q_value_outliers,
         "events_dau": _q_events_dau,
         "retention_7d": _q_retention_7d,
+        "sssp_parts": _q_sssp_parts,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -3365,6 +3417,28 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                      AS shuffle_pos
             FROM documents ORDER BY shuffle_pos
+        """,
+        # bounded-walk recursive CTE: min over all <= 4-edge walk sums
+        # equals the engine's synchronous Bellman-Ford bit-for-bit
+        # (shared-addend float monotonicity; see graphops.sssp)
+        "sssp_parts": """
+            WITH RECURSIVE e AS (
+              SELECT 's:' || l_suppkey AS u, 'p:' || l_partkey AS v,
+                     min(l_extendedprice) AS w
+              FROM lineitem GROUP BY 1, 2
+            ), ee AS (
+              SELECT u, v, w FROM e
+              UNION ALL
+              SELECT v, u, w FROM e
+            ), walk(node, dist, hops) AS (
+              SELECT 's:1', CAST(0.0 AS DOUBLE), 0
+              UNION ALL
+              SELECT ee.v, walk.dist + ee.w, walk.hops + 1
+              FROM walk JOIN ee ON ee.u = walk.node
+              WHERE walk.hops < 4
+            )
+            SELECT node, round(min(dist), 6) AS dist
+            FROM walk GROUP BY node ORDER BY node
         """,
         "events_dau": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

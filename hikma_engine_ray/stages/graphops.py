@@ -512,3 +512,113 @@ def label_propagation(edges, iters: int = 10, src_col: str = "src",
         "node": pa.array(node_list, pa.string()),
         "community": pa.array(comm, pa.string()),
     }))
+
+
+# ------------------------------------------------------------- SSSP
+
+def sssp(edges, sources: list[str], max_hops: int,
+         src_col: str = "src", dst_col: str = "dst", w_col: str = "w",
+         driver_edge_bytes: int = 128 * 1024 * 1024, nbuckets: int = 32):
+    """Weighted single/multi-source shortest WALKS of <= ``max_hops``
+    edges (synchronous Bellman-Ford). Edge Dataset (src, dst, w —
+    DIRECTED; pre-union the reverse rows for an undirected walk) →
+    Dataset (node: string, dist: float64); every source appears at
+    dist 0.0.
+
+    EXACT float parity with a bounded recursive-CTE oracle: the
+    relaxation ``min(dist_prev) + w`` equals the min over per-walk
+    left-to-right running sums because float addition of a shared
+    addend is monotone — min-then-add == add-then-min, bit for bit.
+    Iterations are SYNCHRONOUS (Jacobi: each round reads the previous
+    round's table) so round k covers exactly walks of <= k edges, the
+    CTE's ``hops < k`` semantics — an in-place (Gauss-Seidel) update
+    would race ahead of the hop bound.
+
+    Count-guarded like the BFS: interned-edge numpy iterations on the
+    driver under ``driver_edge_bytes`` (np.minimum.at over a dist
+    snapshot per round); past the guard, ``max_hops`` bucketed
+    join+min rounds — per-round shuffle volume is the frontier-sized
+    dist table plus one (dist ⋈ edges) join, never all walks.
+    Equivalence-gated in tests/test_graphops.py."""
+    import ray
+    import ray.data as rd
+
+    sources = sorted(set(sources))
+    if max_hops < 0 or not sources:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "dist": pa.array([], pa.float64())}))
+
+    def canon(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "u": pc.cast(t[src_col], pa.string()),
+            "v": pc.cast(t[dst_col], pa.string()),
+            "w": pc.cast(t[w_col], pa.float64()),
+        })
+
+    e = edges.map_batches(canon, batch_format="pyarrow").materialize()
+    m = e.count()
+    if m * 24 <= driver_edge_bytes:
+        return _sssp_driver(e, sources, max_hops)
+    return _sssp_join(e, sources, max_hops, nbuckets)
+
+
+def _sssp_driver(e, sources, max_hops) -> "ray.data.Dataset":
+    import ray.data as rd
+
+    df = e.to_pandas()
+    names, inv = np.unique(
+        np.concatenate([df["u"].to_numpy(), df["v"].to_numpy(),
+                        np.asarray(sources, dtype=object)]),
+        return_inverse=True)
+    n = len(names)
+    su = inv[: len(df)].astype(np.int64)
+    sv = inv[len(df): 2 * len(df)].astype(np.int64)
+    si = inv[2 * len(df):].astype(np.int64)
+    w = df["w"].to_numpy(dtype=np.float64)
+    dist = np.full(n, np.inf)
+    dist[si] = 0.0
+    for _ in range(max_hops):
+        prev = dist.copy()          # synchronous round
+        cand = prev[su] + w
+        np.minimum.at(dist, sv, cand)
+    keep = np.isfinite(dist)
+    return rd.from_arrow(pa.table({
+        "node": pa.array(names[keep], pa.string()),
+        "dist": pa.array(dist[keep], pa.float64()),
+    }))
+
+
+def _sssp_join(e, sources, max_hops, nbuckets) -> "ray.data.Dataset":
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from .joins import bucketed_join
+
+    dist = rd.from_arrow(pa.table({
+        "node": pa.array(sources, pa.string()),
+        "dist": pa.array([0.0] * len(sources), pa.float64()),
+    }))
+    for _ in range(max_hops):
+        fr = dist.map_batches(
+            lambda t: t.rename_columns(["u", "du"]),
+            batch_format="pyarrow")
+        relaxed = bucketed_join(fr, e, on=["u"], nbuckets=nbuckets)
+        new = relaxed.map_batches(
+            lambda t: pa.table({
+                "node": t["v"],
+                "dist": pa.array(
+                    t["du"].to_numpy(zero_copy_only=False)
+                    + t["w"].to_numpy(zero_copy_only=False),
+                    pa.float64()),
+            }),
+            batch_format="pyarrow")
+        dist = (
+            dist.union(new)
+            .groupby("node")
+            .aggregate(Min("dist", alias_name="dist"))
+            .materialize()          # synchronous round boundary
+        )
+    return dist

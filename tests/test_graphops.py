@@ -182,3 +182,34 @@ def test_label_propagation_layout_invariant(ray_session):
     b = label_propagation(rd.from_pandas(df).repartition(7)).to_pandas()
     assert dict(zip(a["node"], a["community"])) == \
         dict(zip(b["node"], b["community"]))
+
+
+def test_sssp_hand_checked_and_paths(ray_session):
+    """4-node weighted graph: hop-bounded min walk sums, driver ≡ join
+    path, source at dist 0, unreachable nodes absent."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.graphops import sssp
+
+    # a->b(1), a->c(10), b->c(2), c->d(1); e isolated via f->e only
+    e = pd.DataFrame({
+        "src": ["a", "a", "b", "c", "f"],
+        "dst": ["b", "c", "c", "d", "e"],
+        "w": [1.0, 10.0, 2.0, 1.0, 5.0],
+    })
+    ds = rd.from_pandas(e).repartition(2)
+
+    def run(**kw):
+        return (sssp(ds, ["a"], 3, **kw).to_pandas()
+                .sort_values("node").reset_index(drop=True))
+
+    got = run()
+    assert dict(zip(got["node"], got["dist"])) == {
+        "a": 0.0, "b": 1.0, "c": 3.0, "d": 4.0}  # a-b-c-d within 3 hops
+    # hop bound: with 2 hops d is reachable only via a-c-d = 11
+    got2 = sssp(ds, ["a"], 2).to_pandas()
+    assert dict(zip(got2["node"], got2["dist"]))["d"] == 11.0
+    # join path equivalence
+    slow = run(driver_edge_bytes=0)
+    pd.testing.assert_frame_equal(got, slow)
