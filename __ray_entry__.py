@@ -2339,6 +2339,72 @@ def _q_part_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def _q_events_cumsum(sf_dir: str):
+    """Per-user cumulative SUM(value) ordered by (ts, event_id) —
+    sequential per-key accumulation for float parity with the SQL
+    window aggregator (windows.running_total, one bucket shuffle);
+    ROWS UNBOUNDED PRECEDING oracle."""
+    from hikma_engine_ray.stages.windows import running_total
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    return running_total(ds, "user_id", "ts", "event_id",
+                         "value").sort(["event_id"])
+
+
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid, long form (label, pos, centroid)
+    — the vector-mean aggregate every IVF/k-means stage needs, as
+    per-block (label, pos, sum, cnt) partials; unnest+avg oracle."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from hikma_engine_ray.functions.num import round_half_away
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        lens = emb.value_lengths().to_numpy(zero_copy_only=False)
+        dim = int(lens[0]) if len(lens) else 0
+        assert dim == 0 or (lens == dim).all()
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(-1, dim)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        ulab, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(ulab), dim))
+        np.add.at(sums, inv, mat)
+        cnts = np.bincount(inv)
+        lab_rep = np.repeat(ulab.astype(np.int64), dim)
+        pos = np.tile(np.arange(1, dim + 1, dtype=np.int64), len(ulab))
+        return pa.table({
+            "label": pa.array(lab_rep, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "c": pa.array(np.repeat(cnts, dim).astype(np.int64),
+                          pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "pos"])
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = t["s"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "label": t["label"], "pos": t["pos"],
+            "centroid": pa.array(round_half_away(s / c, 6), pa.float64()),
+        })
+
+    return agg.map_batches(finish,
+                           batch_format="pyarrow").sort(["label", "pos"])
+
+
 def _q_sssp_parts(sf_dir: str):
     """Weighted shortest walks (<= 4 hops) from supplier s:1 over the
     undirected supplier-part graph, edge weight = min l_extendedprice
@@ -2553,6 +2619,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau": _q_events_dau,
         "retention_7d": _q_retention_7d,
         "sssp_parts": _q_sssp_parts,
+        "events_cumsum": _q_events_cumsum,
+        "label_centroids": _q_label_centroids,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -3417,6 +3485,23 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                      AS shuffle_pos
             FROM documents ORDER BY shuffle_pos
+        """,
+        "events_cumsum": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING), 6) AS running_total
+            FROM events ORDER BY event_id
+        """,
+        "label_centroids": """
+            WITH u AS (
+              SELECT label,
+                     generate_subscripts(embedding, 1) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings
+            )
+            SELECT label, pos, round(sum(x) / count(*), 6) AS centroid
+            FROM u GROUP BY label, pos ORDER BY label, pos
         """,
         # bounded-walk recursive CTE: min over all <= 4-edge walk sums
         # equals the engine's synchronous Bellman-Ford bit-for-bit

@@ -475,3 +475,42 @@ def cohort_retention(ds, key: str, ts_col: str, *, window_days: int = 7,
         .aggregate(Sum("n_users", alias_name="n_users"),
                    Sum("n_retained", alias_name="n_retained"))
     )
+
+
+def running_total(ds, key: str, ts_col: str, id_col: str,
+                  value_col: str, ndigits: int = 6, nbuckets: int = 16):
+    """Cumulative SUM window per key, ordered by (ts, id) — SQL
+    ``SUM(value) OVER (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED
+    PRECEDING)``. np.cumsum accumulates left-to-right in frame order —
+    the same association a sequential window aggregator uses — with a
+    per-key reset via first-row offsets.
+
+    Output: key, id, running_total (float64, half-away rounded)."""
+    from ..functions.num import round_half_away
+
+    def fn(g: pd.DataFrame, first: np.ndarray) -> pd.DataFrame:
+        # per-group SEQUENTIAL accumulation (pandas cumsum restarts at
+        # each key and adds left-to-right) — a global-cumsum-minus-
+        # offset formulation would change the float association and
+        # diverge from the SQL window aggregator pre-rounding
+        cs = (g[value_col].astype("float64")
+              .groupby(g[key].to_numpy(), sort=False).cumsum()
+              .to_numpy())
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            id_col: g[id_col].to_numpy(),
+            "running_total": round_half_away(cs, ndigits),
+        })
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t[key],
+            id_col: t[id_col],
+            value_col: t[value_col],
+            ts_col: pc.cast(pc.cast(t[ts_col], pa.int64()), pa.int64()),
+        })
+
+    return _per_key_rows(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        key, [ts_col, id_col], fn, nbuckets,
+    )

@@ -42,3 +42,23 @@ def test_retention_paths_equivalent(ray_session):
 
     ds = rd.from_pandas(_events()).repartition(3)
     pd.testing.assert_frame_equal(_run(ds), _run(ds, driver_limit=0))
+
+
+def test_running_total_resets_per_key(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.windows import running_total
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([
+            "2024-01-01", "2024-01-02", "2024-01-03",
+            "2024-01-01", "2024-01-05"]),
+        "event_id": [10, 11, 12, 20, 21],
+        "value": [1.5, 2.0, -0.5, 4.0, 1.0],
+    })
+    got = (running_total(rd.from_pandas(df).repartition(2),
+                         "user_id", "ts", "event_id", "value")
+           .to_pandas().sort_values("event_id"))
+    assert got["running_total"].tolist() == [1.5, 3.5, 3.0, 4.0, 5.0]
