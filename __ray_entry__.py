@@ -2339,6 +2339,60 @@ def _q_part_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def _q_props_stats(sf_dir: str):
+    """JSON property extraction + aggregate (SURVEY §2.8 JSON_EXTRACT):
+    per event_type sum/avg/threshold-count of props->'$.k' — the JSON
+    path match is vectorized (polars str.json_path_match, Rust kernel,
+    no per-row Python); exact integer-sum oracle."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from hikma_engine_ray.functions.num import round_half_away
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.from_arrow(t["props"].combine_chunks())
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        k = s.str.json_path_match("$.k").cast(pl.Int64).to_numpy()
+        valid = ~np.isnan(k.astype(np.float64)) if k.dtype != np.int64 \
+            else np.ones(len(k), bool)
+        kv = np.where(valid, np.nan_to_num(
+            k.astype(np.float64)), 0.0).astype(np.int64)
+        g = pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            "sum_k": pa.array(kv, pa.int64()),
+            "big_k": pa.array((valid & (kv >= 50)).astype(np.int64),
+                              pa.int64()),
+        }).group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("sum_k", "sum"), ("big_k", "sum")])
+        return g.rename_columns(["event_type", "n", "sum_k", "big_k"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_k", alias_name="sum_k"),
+                   Sum("big_k", alias_name="big_k"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = t["sum_k"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column(
+            "avg_k", pa.array(round_half_away(s / n, 6), pa.float64()))
+
+    return agg.map_batches(finish,
+                           batch_format="pyarrow").sort("event_type")
+
+
 def _q_events_cumsum(sf_dir: str):
     """Per-user cumulative SUM(value) ordered by (ts, event_id) —
     sequential per-key accumulation for float parity with the SQL
@@ -2621,6 +2675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_parts": _q_sssp_parts,
         "events_cumsum": _q_events_cumsum,
         "label_centroids": _q_label_centroids,
+        "props_stats": _q_props_stats,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -3485,6 +3540,19 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                      AS shuffle_pos
             FROM documents ORDER BY shuffle_pos
+        """,
+        "props_stats": """
+            WITH x AS (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS k
+              FROM events
+            )
+            SELECT event_type, count(*) AS n,
+                   sum(k) AS sum_k,
+                   count(*) FILTER (WHERE k >= 50) AS big_k,
+                   round(CAST(sum(k) AS DOUBLE) / count(*), 6) AS avg_k
+            FROM x GROUP BY event_type ORDER BY event_type
         """,
         "events_cumsum": """
             SELECT event_id, user_id,
