@@ -194,7 +194,8 @@ def run_bench() -> dict:
         "qty_mode", "user_first_last", "parts_intersect_all",
         "parts_except_all", "doc_shuffle", "line_dedup", "pmi_bigrams",
         "price_histogram", "value_outliers", "overlap_sessions",
-        "corpus_funnel",
+        "corpus_funnel", "events_dau", "retention_7d", "sssp_parts",
+        "events_cumsum", "label_centroids", "props_stats",
     ):
         tq = time.monotonic()
         res = qs[name](SF_DIR)
