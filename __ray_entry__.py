@@ -3549,7 +3549,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT event_type, count(*) AS n,
-                   sum(k) AS sum_k,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
                    count(*) FILTER (WHERE k >= 50) AS big_k,
                    round(CAST(sum(k) AS DOUBLE) / count(*), 6) AS avg_k
             FROM x GROUP BY event_type ORDER BY event_type
