@@ -2339,6 +2339,20 @@ def _q_part_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def _q_bpe_encode(sf_dir: str):
+    """Tokenizer APPLICATION at corpus scale: replay the trained merge
+    table over every doc (stages/bpe.BPEEncoder — actor pool, rank
+    table built once per actor, distinct-word memo; no shuffle).
+    Rows-only: merge replay is not SQL-expressible; gates =
+    tests/test_bpe.py encode suite (hand-checked Sennrich toy +
+    engine ≡ serial)."""
+    from hikma_engine_ray.stages.bpe import bpe_encode, bpe_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(ds, n_merges=40)
+    return bpe_encode(ds, merges).sort("doc_id")
+
+
 def _q_props_stats(sf_dir: str):
     """JSON property extraction + aggregate (SURVEY §2.8 JSON_EXTRACT):
     per event_type sum/avg/threshold-count of props->'$.k' — the JSON
@@ -2707,6 +2721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans,
         "pca_embed": _q_pca_embed,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
         "fingerprint": _q_fingerprint,
         "minhash_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,

@@ -181,3 +181,72 @@ def _bpe_train_distributed(wt, n_merges: int):
         words = words.map_batches(rewrite,
                                   batch_format="pyarrow").materialize()
     return merges
+
+
+# ------------------------------------------------------------- encode
+
+def encode_word(word: str, ranks: dict[tuple, int]) -> tuple:
+    """Apply learned merges to one word: repeatedly merge the
+    adjacent pair with the LOWEST rank until none applies — the
+    standard BPE encode (Sennrich et al. 2016 apply_bpe), and exactly
+    the segmentation training would have produced for a word seen at
+    training time (merges are replayed in rank order)."""
+    syms = tuple(word)
+    while len(syms) > 1:
+        best_rank, best = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (syms[i], syms[i + 1])
+        if best is None:
+            break
+        syms = _merge_word(syms, best[0], best[1], best[0] + best[1])
+    return syms
+
+
+class BPEEncoder:
+    """Actor-pool encode stage (ST pattern): the merge RANK TABLE is
+    built once per actor in ``__init__`` from the broadcast merge
+    list; ``__call__`` encodes batches with a distinct-word memo —
+    Heaps' law means the memo hit rate approaches 1 on a real corpus,
+    so the per-word loop runs once per DISTINCT word per actor, not
+    per token. Emits (id, n_words, n_subwords)."""
+
+    def __init__(self, merges: list[tuple], text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+        self.text_col, self.id_col = text_col, id_col
+        self._memo: dict[str, int] = {}
+
+    def _n_subwords(self, word: str) -> int:
+        n = self._memo.get(word)
+        if n is None:
+            n = self._memo[word] = len(encode_word(word, self.ranks))
+        return n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n_words = np.zeros(t.num_rows, np.int64)
+        n_sub = np.zeros(t.num_rows, np.int64)
+        for i, s in enumerate(t[self.text_col].to_pylist()):
+            ws = _WORD_RE.findall((s or "").lower())
+            n_words[i] = len(ws)
+            n_sub[i] = sum(self._n_subwords(w) for w in ws)
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_subwords": pa.array(n_sub, pa.int64()),
+        })
+
+
+def bpe_encode(ds, merges_ds, text_col: str = "text",
+               id_col: str = "doc_id", concurrency: int = 4):
+    """Corpus + trained merge table → per-doc subword counts. The
+    merge table is result-sized by construction (n_merges rows), so
+    it drives the actor constructor directly; encoding is a pure
+    actor-pool map — no shuffle."""
+    mt = merges_ds.to_pandas().sort_values("rank")
+    merges = list(zip(mt["left"], mt["right"]))
+    return ds.map_batches(
+        BPEEncoder, fn_constructor_kwargs={
+            "merges": merges, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency)

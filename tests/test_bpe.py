@@ -67,3 +67,53 @@ def test_empty_corpus(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"text": ["", None]}))
     out = bpe_train(ds, n_merges=5).to_pandas()
     assert len(out) == 0
+
+
+def test_encode_word_sennrich_toy():
+    """Merges learned on the classic low/lower/newest/widest toy must
+    segment a training word back to its trained form and an unseen
+    word greedily by rank."""
+    from hikma_engine_ray.stages.bpe import encode_word, serial_bpe
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = serial_bpe(wc, 10)
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    # training words re-encode to the exact symbols training left
+    from hikma_engine_ray.stages.bpe import _merge_word
+
+    words = {w: tuple(w) for w in wc}
+    for a, b, _ in merges:
+        words = {w: _merge_word(s, a, b, a + b) for w, s in words.items()}
+    for w, syms in words.items():
+        assert encode_word(w, ranks) == syms, w
+    # no merges -> character split
+    assert encode_word("abc", {}) == ("a", "b", "c")
+
+
+def test_bpe_encode_engine_matches_serial(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.bpe import (
+        _WORD_RE, bpe_encode, bpe_train, encode_word)
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["low lower newest", "widest newest newest low",
+                 "", "LOW WIDEST unseen-word"],
+    })
+    ds = rd.from_pandas(docs).repartition(2)
+    merges_ds = bpe_train(ds, n_merges=8).materialize()
+    got = (bpe_encode(ds, merges_ds, concurrency=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    mt = merges_ds.to_pandas().sort_values("rank")
+    ranks = {(a, b): i for i, (a, b) in
+             enumerate(zip(mt["left"], mt["right"]))}
+    for _, row in docs.iterrows():
+        ws = _WORD_RE.findall(row["text"].lower())
+        exp_sub = sum(len(encode_word(w, ranks)) for w in ws)
+        g = got[got.doc_id == row["doc_id"]].iloc[0]
+        assert g["n_words"] == len(ws)
+        assert g["n_subwords"] == exp_sub
