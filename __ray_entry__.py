@@ -2339,6 +2339,47 @@ def _q_part_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def _q_revenue_share(sf_dir: str):
+    """Ratio-to-report: each order-priority's share of total revenue —
+    one combiner-first groupby; the global total is the sum of the
+    group sums in group order, mirrored exactly by the oracle's
+    sum() OVER () window over the grouped CTE."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from hikma_engine_ray.functions.num import round_half_away
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderpriority"]).aggregate(
+            [("o_totalprice", "sum")])
+        return g.rename_columns(["o_orderpriority", "rev"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .sort("o_orderpriority")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        rev = t["rev"].to_numpy(zero_copy_only=False)
+        total = float(np.sum(rev))
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "rev": pa.array(round_half_away(rev, 2), pa.float64()),
+            "share": pa.array(round_half_away(rev / total, 6),
+                              pa.float64()),
+        })
+
+    # single repartition: the grouped table is group-count sized, so
+    # the share computes in one block with a deterministic total
+    return agg.repartition(1).map_batches(finish,
+                                          batch_format="pyarrow")
+
+
 def _q_bpe_encode(sf_dir: str):
     """Tokenizer APPLICATION at corpus scale: replay the trained merge
     table over every doc (stages/bpe.BPEEncoder — actor pool, rank
@@ -2690,6 +2731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumsum": _q_events_cumsum,
         "label_centroids": _q_label_centroids,
         "props_stats": _q_props_stats,
+        "revenue_share": _q_revenue_share,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -3555,6 +3597,15 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                      AS shuffle_pos
             FROM documents ORDER BY shuffle_pos
+        """,
+        "revenue_share": """
+            WITH g AS (
+              SELECT o_orderpriority, sum(o_totalprice) AS rev
+              FROM orders GROUP BY o_orderpriority
+            )
+            SELECT o_orderpriority, round(rev, 2) AS rev,
+                   round(rev / sum(rev) OVER (), 6) AS share
+            FROM g ORDER BY o_orderpriority
         """,
         "props_stats": """
             WITH x AS (

@@ -497,3 +497,38 @@ def test_interval_join_matches_bruteforce(ray_session):
                .reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want)
     assert len(want) > 0
+
+
+def test_multiset_set_op_property(ray_session):
+    """Property: multiset_set_op ≡ collections.Counter arithmetic for
+    random multisets and block layouts."""
+    from collections import Counter
+
+    import ray.data as rd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hikma_engine_ray.stages.dedup import multiset_set_op
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        la=st.lists(st.integers(0, 8), max_size=30),
+        rb=st.lists(st.integers(0, 8), max_size=30),
+        nblocks=st.integers(1, 4),
+    )
+    def prop(la, rb, nblocks):
+        dl = rd.from_pandas(pd.DataFrame({"k": la or [99]})).repartition(
+            nblocks)
+        dr = rd.from_pandas(pd.DataFrame({"k": rb or [98]})).repartition(
+            nblocks)
+        cl, cr = Counter(la or [99]), Counter(rb or [98])
+        for op, expect in (
+            ("intersect_all", cl & cr),
+            ("except_all", cl - cr),
+        ):
+            df = multiset_set_op(dl, dr, ["k"], op).to_pandas()
+            got = ({} if df.empty else
+                   dict(zip(df["k"].tolist(), df["mult"].tolist())))
+            assert got == {k: v for k, v in expect.items() if v > 0}, op
+
+    prop()
