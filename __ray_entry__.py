@@ -2339,6 +2339,34 @@ def _q_part_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def _q_top_types_per_user(sf_dir: str):
+    """Per-user top-2 most frequent event types (count desc, type
+    tiebreak) — combiner count groupby + per-group top-k combiner
+    (agg.grouped_topk, ≤ k rows per key per block cross the reduce);
+    ROW_NUMBER oracle."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from hikma_engine_ray.stages.agg import grouped_topk
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return grouped_topk(counts, ["user_id"], "n", 2,
+                        tiebreak=["event_type"]).sort(
+        ["user_id", "n", "event_type"],
+        descending=[False, True, False])
+
+
 def _q_revenue_share(sf_dir: str):
     """Ratio-to-report: each order-priority's share of total revenue —
     one combiner-first groupby; the global total is the sum of the
@@ -2732,6 +2760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "props_stats": _q_props_stats,
         "revenue_share": _q_revenue_share,
+        "top_types_per_user": _q_top_types_per_user,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -3597,6 +3626,18 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                      AS shuffle_pos
             FROM documents ORDER BY shuffle_pos
+        """,
+        "top_types_per_user": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*) AS n
+              FROM events GROUP BY 1, 2
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+              FROM c
+            )
+            SELECT user_id, event_type, n FROM r WHERE rn <= 2
+            ORDER BY user_id, n DESC, event_type
         """,
         "revenue_share": """
             WITH g AS (
