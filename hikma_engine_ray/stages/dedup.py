@@ -139,7 +139,8 @@ def bucketed_map_groups(ds, key_cols: list[str], per_key_fn, nbuckets: int = 64,
 
 
 def distinct_set_op(left, right, on: list[str], op: str,
-                    final_blocks: int | None = None):
+                    final_blocks: int | None = None,
+                    driver_limit: int = 2_000_000):
     """SQL set operations over DISTINCT key tuples — INTERSECT, EXCEPT,
     UNION (distinct) — in ONE shuffle: each side emits its per-block
     distinct keys tagged with a presence flag, and a single groupby
@@ -171,16 +172,11 @@ def distinct_set_op(left, right, on: list[str], op: str,
     merged = (
         left.map_batches(tag(0), batch_format="pyarrow")
         .union(right.map_batches(tag(1), batch_format="pyarrow"))
-    )
-    if final_blocks is not None:
-        merged = merged.repartition(final_blocks)
-    agg = merged.groupby(on).aggregate(
-        Max("__l", alias_name="__l"), Max("__r", alias_name="__r")
-    )
+    ).materialize()
 
     def pick(t: pa.Table) -> pa.Table:
-        l_ = pc.equal(t["__l"], 1)
-        r_ = pc.equal(t["__r"], 1)
+        l_ = pc.equal(pc.cast(t["__l"], pa.int64()), 1)
+        r_ = pc.equal(pc.cast(t["__r"], pa.int64()), 1)
         if op == "intersect":
             mask = pc.and_(l_, r_)
         elif op == "except":
@@ -189,11 +185,37 @@ def distinct_set_op(left, right, on: list[str], op: str,
             mask = pc.or_(l_, r_)
         return t.filter(mask).select(on)
 
+    # count-guarded driver finish (max is associative): below the
+    # guard a pandas groupby replaces the Ray sort shuffle — the
+    # per-block-distinct partials are key-cardinality-sized
+    if merged.count() <= driver_limit:
+        return _set_op_driver(merged, on, pick, "max")
+
+    if final_blocks is not None:
+        merged = merged.repartition(final_blocks)
+    agg = merged.groupby(on).aggregate(
+        Max("__l", alias_name="__l"), Max("__r", alias_name="__r")
+    )
     return agg.map_batches(pick, batch_format="pyarrow")
 
 
+def _set_op_driver(merged, on: list[str], pick, how: str):
+    """Driver finish shared by distinct/multiset set ops: collect the
+    tagged partials, combine per key with pandas (max or sum — both
+    associative, so identical to the distributed groupby), apply the
+    op's pick."""
+    import ray.data as rd
+
+    df = collect_arrow(merged).to_pandas()
+    g = (df.groupby(on, sort=False, dropna=False)[["__l", "__r"]]
+         .agg(how).reset_index())
+    t = pa.Table.from_pandas(g, preserve_index=False)
+    return rd.from_arrow(pick(t))
+
+
 def multiset_set_op(left, right, on: list[str], op: str,
-                    final_blocks: int | None = None):
+                    final_blocks: int | None = None,
+                    driver_limit: int = 2_000_000):
     """SQL ALL-variant set operations — INTERSECT ALL / EXCEPT ALL —
     in ONE shuffle: each side ships per-block (key, count) partials,
     a single groupby totals (n_left, n_right), and the result
@@ -227,12 +249,7 @@ def multiset_set_op(left, right, on: list[str], op: str,
     merged = (
         left.map_batches(tag(0), batch_format="pyarrow")
         .union(right.map_batches(tag(1), batch_format="pyarrow"))
-    )
-    if final_blocks is not None:
-        merged = merged.repartition(final_blocks)
-    agg = merged.groupby(on).aggregate(
-        Sum("__l", alias_name="__l"), Sum("__r", alias_name="__r")
-    )
+    ).materialize()
 
     def pick(t: pa.Table) -> pa.Table:
         l_ = t["__l"].to_numpy(zero_copy_only=False)
@@ -243,6 +260,14 @@ def multiset_set_op(left, right, on: list[str], op: str,
             "mult", pa.array(mult.astype(np.int64), pa.int64()))
         return out.filter(pc.greater(out["mult"], 0))
 
+    if merged.count() <= driver_limit:  # sum is associative too
+        return _set_op_driver(merged, on, pick, "sum")
+
+    if final_blocks is not None:
+        merged = merged.repartition(final_blocks)
+    agg = merged.groupby(on).aggregate(
+        Sum("__l", alias_name="__l"), Sum("__r", alias_name="__r")
+    )
     return agg.map_batches(pick, batch_format="pyarrow")
 
 
@@ -253,8 +278,13 @@ def collect_arrow(ds) -> pa.Table:
     concat_tables). Callers must count-guard before collecting."""
     import ray
 
-    tables = [ray.get(b) for b in ds.to_arrow_refs()]
-    tables = [t for t in tables if t.num_columns]
+    tables = []
+    for b in ds.to_arrow_refs():
+        t = ray.get(b)
+        if not isinstance(t, pa.Table):  # pandas-format block
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_columns:
+            tables.append(t)
     if not tables:
         raise ValueError("collect_arrow: no non-empty blocks")
     return pa.concat_tables(tables)

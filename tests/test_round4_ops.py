@@ -280,14 +280,16 @@ def test_distinct_set_op_all_ops(ray_session):
     b = pd.DataFrame({"k": [3, 4, 5, 5]})
     la, rb = rd.from_pandas(a).repartition(3), rd.from_pandas(b).repartition(2)
 
-    def run(op):
+    def run(op, **kw):
         return sorted(
-            distinct_set_op(la, rb, ["k"], op).to_pandas()["k"].tolist()
+            distinct_set_op(la, rb, ["k"], op, **kw)
+            .to_pandas()["k"].tolist()
         )
 
-    assert run("intersect") == [3, 4]
-    assert run("except") == [1, 2]
-    assert run("union") == [1, 2, 3, 4, 5]
+    for kw in ({}, {"driver_limit": 0}):  # driver and shuffle paths
+        assert run("intersect", **kw) == [3, 4]
+        assert run("except", **kw) == [1, 2]
+        assert run("union", **kw) == [1, 2, 3, 4, 5]
     with pytest.raises(ValueError):
         distinct_set_op(la, rb, ["k"], "xor")
 
@@ -302,14 +304,15 @@ def test_multiset_set_op(ray_session):
     b = pd.DataFrame({"k": [2, 3, 3, 5]})
     la, rb = rd.from_pandas(a).repartition(3), rd.from_pandas(b).repartition(2)
 
-    def run(op):
-        df = multiset_set_op(la, rb, ["k"], op).to_pandas()
+    def run(op, **kw):
+        df = multiset_set_op(la, rb, ["k"], op, **kw).to_pandas()
         return dict(zip(df["k"].tolist(), df["mult"].tolist()))
 
-    # INTERSECT ALL: min(l, r) where both > 0
-    assert run("intersect_all") == {2: 1, 3: 1}
-    # EXCEPT ALL: max(l - r, 0) where > 0
-    assert run("except_all") == {1: 1, 2: 2, 4: 2}
+    for kw in ({}, {"driver_limit": 0}):  # driver and shuffle paths
+        # INTERSECT ALL: min(l, r) where both > 0
+        assert run("intersect_all", **kw) == {2: 1, 3: 1}
+        # EXCEPT ALL: max(l - r, 0) where > 0
+        assert run("except_all", **kw) == {1: 1, 2: 2, 4: 2}
     with pytest.raises(ValueError):
         multiset_set_op(la, rb, ["k"], "union_all")
 
