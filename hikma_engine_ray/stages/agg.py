@@ -407,12 +407,8 @@ def grouped_quantiles(ds, keys: list[str], value_col: str,
     partials = ds.map_batches(
         partial_agg(keys + [value_col], {"n": (value_col, "count")}),
         batch_format="pyarrow",
-    )
+    ).materialize()
     from ray.data.aggregate import Sum
-
-    counts = partials.groupby(keys + [value_col]).aggregate(
-        Sum("n", alias_name="n")
-    )
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(value_col, kind="stable")
@@ -428,6 +424,27 @@ def grouped_quantiles(ds, keys: list[str], value_col: str,
             row[f"q{int(q * 100)}"] = vals[np.searchsorted(cum, idx)]
         return pd.DataFrame([row])
 
+    # count-guarded driver finish (count-sum is associative; the
+    # quantile walk is identical either way): under the guard the
+    # per-block-distinct (keys, value, n) partials combine in-process,
+    # replacing the Ray sort shuffle + per-group map_groups — this
+    # backs quantile/percentile/MAD/outlier queries, so the fixed cost
+    # was paid many times per bench run.
+    if partials.count() <= 2_000_000:
+        import ray.data as rd
+
+        from .dedup import collect_arrow
+
+        df = collect_arrow(partials).to_pandas()
+        df = (df.groupby(keys + [value_col], sort=False, dropna=False)
+              ["n"].sum().reset_index())
+        out = (df.groupby(keys, sort=False, dropna=False, group_keys=False)
+               .apply(pick).reset_index(drop=True))
+        return rd.from_pandas(out)
+
+    counts = partials.groupby(keys + [value_col]).aggregate(
+        Sum("n", alias_name="n")
+    )
     return (
         counts.repartition(nbuckets)
         .groupby(keys)
