@@ -2570,11 +2570,23 @@ def _q_sssp_parts(sf_dir: str):
         }).group_by(["u", "v"]).aggregate([("w", "min")])
         return g.rename_columns(["u", "v", "w"])
 
-    e = (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .aggregate(Min("w", alias_name="w"))
-    )
+    parts = li.map_batches(partial, batch_format="pyarrow").materialize()
+    # count-guarded driver min-combine (associative): the per-block
+    # distinct (u, v, w) partials are edge-cardinality-sized; below
+    # the guard one pandas groupby replaces the Ray sort shuffle
+    if parts.count() <= 4_000_000:
+        import ray.data as rd
+
+        from hikma_engine_ray.stages.dedup import collect_arrow
+
+        df = collect_arrow(parts).to_pandas()
+        df = df.groupby(["u", "v"], sort=False)["w"].min().reset_index()
+        e = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    else:
+        e = (
+            parts.groupby(["u", "v"])
+            .aggregate(Min("w", alias_name="w"))
+        )
     both = e.map_batches(
         lambda t: pa.concat_tables([
             t.select(["u", "v", "w"]),

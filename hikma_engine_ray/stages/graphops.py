@@ -568,11 +568,16 @@ def sssp(edges, sources: list[str], max_hops: int,
 def _sssp_driver(e, sources, max_hops) -> "ray.data.Dataset":
     import ray.data as rd
 
+    import pandas as pd
+
     df = e.to_pandas()
-    names, inv = np.unique(
+    # hash-based interning: pd.factorize is ~20x np.unique on string
+    # node labels at the million-edge scale (no sort needed — the
+    # dense index order is irrelevant to the relaxation)
+    inv, names = pd.factorize(
         np.concatenate([df["u"].to_numpy(), df["v"].to_numpy(),
-                        np.asarray(sources, dtype=object)]),
-        return_inverse=True)
+                        np.asarray(sources, dtype=object)]))
+    names = np.asarray(names, dtype=object)
     n = len(names)
     su = inv[: len(df)].astype(np.int64)
     sv = inv[len(df): 2 * len(df)].astype(np.int64)
