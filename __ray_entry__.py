@@ -2328,9 +2328,46 @@ def _q_part_triangles(sf_dir: str):
         return pd.DataFrame({"src": pd.Series(a, dtype="int64"),
                              "dst": pd.Series(b, dtype="int64")})
 
+    # count-guarded driver pair expansion: the distinct (o, p)
+    # partials are 16 B/row; below the guard the per-order triu
+    # expansion runs as ONE degree-class-vectorized numpy pass (orders
+    # of equal size share a triu template) instead of a bucket shuffle
+    # + per-order Python loop. The bucket path below is the 100 TB
+    # shape.
+    parts = po.materialize()
+    if parts.count() <= 4_000_000:
+        import ray.data as rd
+
+        from hikma_engine_ray.stages.dedup import collect_arrow
+
+        df = (collect_arrow(parts).to_pandas()
+              .drop_duplicates(["o", "p"]))
+        o = df["o"].to_numpy(np.int64)
+        p = df["p"].to_numpy(np.int64)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        _, starts, lens = np.unique(o, return_index=True,
+                                    return_counts=True)
+        srcs, dsts = [], []
+        for k in np.unique(lens):
+            if k < 2:
+                continue
+            st = starts[lens == k]
+            ia, ib = np.triu_indices(int(k), k=1)
+            srcs.append(p[st[:, None] + ia[None, :]].ravel())
+            dsts.append(p[st[:, None] + ib[None, :]].ravel())
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+        }))
+        return triangle_count(edges)
+
     nb = 16
     edges = (
-        po.map_batches(add_bucket_column(["o"], nb), batch_format="pyarrow")
+        parts.map_batches(add_bucket_column(["o"], nb),
+                          batch_format="pyarrow")
         .repartition(blocks_for_keys(nb))
         .groupby(BUCKET_COL)
         .map_groups(lambda g: pairs(g.drop(columns=[BUCKET_COL])),

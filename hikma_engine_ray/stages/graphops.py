@@ -236,10 +236,27 @@ def _canon_edges(edges, src_col: str, dst_col: str):
         lo = pc.min_element_wise(a, b)
         hi = pc.max_element_wise(a, b)
         keep = pc.not_equal(lo, hi)
-        return pa.table({"lo": lo, "hi": hi}).filter(keep)
+        t = pa.table({"lo": lo, "hi": hi}).filter(keep)
+        return t.group_by(["lo", "hi"]).aggregate([])  # in-block dedup
 
-    return dedup_exact(edges.map_batches(canon, batch_format="pyarrow"),
-                       key_cols=["lo", "hi"], sort_cols=["lo", "hi"])
+    parts = edges.map_batches(canon,
+                              batch_format="pyarrow").materialize()
+    # count-guarded driver distinct (hash-based drop_duplicates) —
+    # per-block-distinct partials are edge-cardinality-sized; the
+    # bucketed dedup below is the 100 TB shape
+    if parts.count() <= 4_000_000:
+        import pandas as pd
+        import ray.data as rd
+
+        from .dedup import collect_arrow
+
+        df = collect_arrow(parts).to_pandas().drop_duplicates(
+            ["lo", "hi"])
+        return rd.from_arrow(pa.Table.from_pandas(
+            df, preserve_index=False))
+
+    return dedup_exact(parts, key_cols=["lo", "hi"],
+                       sort_cols=["lo", "hi"])
 
 
 def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
