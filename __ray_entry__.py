@@ -2462,6 +2462,19 @@ def _q_revenue_share(sf_dir: str):
                                           batch_format="pyarrow")
 
 
+def _q_corpus_curate(sf_dir: str):
+    """Composed end-to-end CURATION pipeline (pipelines/curate.py):
+    quality funnel → exact dedup → line dedup → packing, reported as
+    stage counts. Rows-only: each component stage is individually
+    oracle-checked (corpus_funnel, exact_dedup, line_dedup,
+    pack_docs); the composition is gated by tests/test_curate.py."""
+    from hikma_engine_ray.pipelines.curate import curation_report
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return curation_report(ds, min_chars=100, max_chars=5000,
+                           min_alpha=0.55, pack_budget=256).sort("stage")
+
+
 def _q_bpe_encode(sf_dir: str):
     """Tokenizer APPLICATION at corpus scale: replay the trained merge
     table over every doc (stages/bpe.BPEEncoder — actor pool, rank
@@ -2859,6 +2872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embed": _q_pca_embed,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
+        "corpus_curate": _q_corpus_curate,
         "fingerprint": _q_fingerprint,
         "minhash_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,

@@ -170,6 +170,29 @@ def cmd_vocab(args):
         print(f"{r['n']}\t{r['token']}")
 
 
+def cmd_curate(args):
+    """documents parquet → curated corpus (quality funnel → exact +
+    line dedup → packing) as pack-bucket-partitioned parquet with an
+    atomic completion manifest."""
+    import json
+
+    import ray.data as rd
+
+    _init_ray()
+    from .pipelines.curate import curate_corpus
+
+    ds = rd.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    eval_ds = (rd.read_parquet(args.eval, columns=[args.text_col])
+               if args.eval else None)
+    _, stats = curate_corpus(
+        ds, text_col=args.text_col, id_col=args.id_col,
+        min_chars=args.min_chars, max_chars=args.max_chars,
+        min_alpha=args.min_alpha, eval_ds=eval_ds,
+        pack_budget=args.pack_budget, out_dir=args.out,
+    )
+    print(json.dumps(stats, default=str))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="hikma_engine_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -223,6 +246,21 @@ def main(argv=None):
     sm.add_argument("--rate", type=float, default=0.25)
     sm.add_argument("--id-col", default="doc_id")
     sm.set_defaults(fn=cmd_sample)
+
+    cu = sub.add_parser(
+        "curate",
+        help="documents parquet → curated+packed corpus (resumable)")
+    cu.add_argument("--docs", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--eval", default=None,
+                    help="eval parquet for decontamination")
+    cu.add_argument("--min-chars", type=int, default=100)
+    cu.add_argument("--max-chars", type=int, default=5000)
+    cu.add_argument("--min-alpha", type=float, default=0.55)
+    cu.add_argument("--pack-budget", type=int, default=256)
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.set_defaults(fn=cmd_curate)
 
     v = sub.add_parser("vocab", help="top-N corpus vocabulary to stdout")
     v.add_argument("--docs", required=True)

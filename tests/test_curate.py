@@ -1,0 +1,70 @@
+"""curate_corpus: the composed curation chain — stage counts, packing
+invariants, resumable partitioned output."""
+
+import os
+
+import pandas as pd
+
+
+def _docs():
+    good = ("the quick brown fox jumps over the lazy dog while rain "
+            "keeps falling on the warm windowsill outside the house")
+    rows = [
+        (1, good + " first version with unique trailing words here"),
+        (2, good + " first version with unique trailing words here"),  # dup
+        (3, good + " second distinct body of prose for the corpus"),
+        (4, "short"),                                   # fails length
+        (5, "@@@@ #### %%%% " * 12),                    # fails alpha
+        (6, good + " third distinct body with an email a@b.com inside"
+            " plus padding words to stay over the length floor"),  # PII
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_curate_stage_counts_and_packing(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hikma_engine_ray.pipelines.curate import curate_corpus
+
+    ds = rd.from_pandas(_docs()).repartition(2)
+    out = str(tmp_path / "curated")
+    packed, stats = curate_corpus(ds, min_chars=50, max_chars=5000,
+                                  min_alpha=0.7, pack_budget=16,
+                                  out_dir=out)
+    assert stats["n_input"] == 6
+    # doc 4 (length), 5 (alpha), 6 (PII) dropped
+    assert stats["n_after_quality"] == 3
+    # docs 1, 2 identical -> min-id survivor
+    assert stats["n_after_exact_dedup"] == 2
+    assert stats["n_docs_final"] == 2
+    assert stats["n_packs"] >= 2  # 20+ tokens at budget 16 spills
+
+    df = packed.to_pandas().sort_values("doc_id")
+    assert df["doc_id"].tolist() == [1, 3]
+    assert (df["n_tokens"] > 0).all()
+
+    # partitioned output + manifest
+    assert os.path.isdir(out)
+    written = pq.read_table(out)
+    assert written.num_rows == 2
+    assert "pack_bucket" in written.column_names
+
+    # resume: second run with a complete manifest skips the write
+    _, stats2 = curate_corpus(ds, min_chars=50, max_chars=5000,
+                              min_alpha=0.7, pack_budget=16,
+                              out_dir=out)
+    assert stats2["skipped_write"] is True
+
+
+def test_curation_report_rows(ray_session):
+    import ray.data as rd
+
+    from hikma_engine_ray.pipelines.curate import curation_report
+
+    ds = rd.from_pandas(_docs()).repartition(2)
+    rep = curation_report(ds, min_chars=50, min_alpha=0.7,
+                          pack_budget=64).to_pandas()
+    got = dict(zip(rep["stage"], rep["n"]))
+    assert got["n_input"] == 6
+    assert got["n_docs_final"] == 2
