@@ -196,7 +196,8 @@ def run_bench() -> dict:
         "price_histogram", "value_outliers", "overlap_sessions",
         "corpus_funnel", "events_dau", "retention_7d", "sssp_parts",
         "events_cumsum", "label_centroids", "props_stats",
-        "revenue_share", "bpe_encode",
+        "revenue_share", "bpe_encode", "top_types_per_user",
+        "corpus_curate",
     ):
         tq = time.monotonic()
         res = qs[name](SF_DIR)
