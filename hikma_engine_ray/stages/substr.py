@@ -287,7 +287,8 @@ def dup_ngram_coverage(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def remove_dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
-                     L: int = 8, driver_limit: int = 2_000_000):
+                     L: int = 8, driver_limit: int = 2_000_000,
+                     nbuckets: int = 32):
     """The CUT stage of exact substring dedup (Lee et al. 2022 remove
     duplicated passages, keep one occurrence): every duplicated
     length-L token window is removed from every doc EXCEPT its
@@ -303,19 +304,19 @@ def remove_dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
     inter-token whitespace is normalized (dedup corpora are
     re-tokenized downstream anyway; documented trade).
 
-    Broadcast path only (dup set count-guarded, raises past
-    ``driver_limit``): the removal decision needs (gram → keeper), a
-    result-sized map; at corpus scales where it overflows, the
-    coverage operator's semi-join shape applies the same way (join
-    occurrence rows to the keeper table)."""
+    Count-guarded like its coverage twin: under ``driver_limit`` the
+    (gram → keeper) map is broadcast once via ray.put and membership is
+    a vectorized searchsorted in one streaming pass; past it, the
+    distributed shape joins occurrence rows to the keeper table
+    (bloom-pruned bucketed join) and co-locates the surviving hit
+    positions with each doc's text in ONE bucketed shuffle
+    (`_remove_spans_joined`). Both paths equivalence-tested
+    (test_substr_cut_paths_equivalent)."""
     import ray
 
     dup = _dup_gram_keys(ds, text_col, L, id_col=id_col).materialize()
     if dup.count() > driver_limit:
-        raise ValueError(
-            f"dup gram count exceeds driver_limit ({driver_limit}); "
-            "use the semi-join shape (see dup_ngram_coverage fallback)"
-        )
+        return _remove_spans_joined(ds, dup, text_col, id_col, L, nbuckets)
     pdf = dup.to_pandas()
     gh = pdf["gh"].to_numpy().astype(np.int64)
     kp = pdf["keeper"].to_numpy().astype(np.int64)
@@ -361,3 +362,124 @@ def remove_dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def _remove_spans_joined(ds, dup, text_col: str, id_col: str, L: int,
+                         nbuckets: int):
+    """Distributed CUT fallback (round-4 VERDICT item 2): when the
+    (gram → keeper) map overflows the driver budget, (1) emit (doc,
+    pos, gram) occurrence rows, (2) bloom-prune them and attach the
+    keeper via the exact bucketed join on gram hash, (3) drop keeper
+    occurrences, (4) shuffle the surviving (doc, pos) hits into the
+    SAME hash(doc) bucket as the doc's text and cut spans per doc
+    inside the bucket task.
+
+    100 TB note: step 4 moves the corpus text through one bucketed
+    shuffle — unavoidable once the keeper map fits nowhere whole; hit
+    rows are result-sized (duplicated grams only). Raise ``nbuckets``
+    so one bucket's text fits a worker heap."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from .bloom import bloom_mask_fn, build_bloom
+    from .joins import blocks_for_keys, bucketed_join
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        th, offs = _doc_token_hashes(batch[text_col].to_pylist())
+        ids = batch[id_col].to_pylist()
+        out_id, out_pos, out_gh = [], [], []
+        for i in range(batch.num_rows):
+            gh = _gram_hashes(th[offs[i] : offs[i + 1]], L).view(np.int64)
+            if gh.size:
+                out_id.append(np.full(gh.size, ids[i], dtype=np.int64))
+                out_pos.append(np.arange(gh.size, dtype=np.int64))
+                out_gh.append(gh)
+        if not out_id:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "gh": pa.array([], pa.int64())})
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "pos": pa.array(np.concatenate(out_pos), pa.int64()),
+            "gh": pa.array(np.concatenate(out_gh), pa.int64()),
+        })
+
+    occ = ds.map_batches(occurrences, batch_format="pyarrow")
+    # 64 MiB bloom: past the 2M-row guard the dup set is large, so the
+    # default 1<<23 bits would saturate; FPs are recovered by the join
+    nbits = 1 << 26
+    ref = build_bloom(dup, ["gh"], nbits, 7)
+    cand = occ.map_batches(
+        bloom_mask_fn(ref, ["gh"], nbits, 7, keep_hits=True),
+        batch_format="pyarrow",
+    )
+    hits = bucketed_join(cand, dup, on=["gh"], nbuckets=nbuckets,
+                         how="inner").map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t["keeper"], t[id_col])).select([id_col, "pos"]),
+        batch_format="pyarrow",
+    )
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            ids = t[id_col].combine_chunks().cast(pa.int64())
+            if n == 0:
+                b = pa.array([], pa.int32())
+            else:
+                h = pl.Series(pl.from_arrow(ids)).hash(seed=0).to_numpy()
+                b = pa.array((h % np.uint64(nbuckets)).astype(np.int32),
+                             pa.int32())
+            return pa.table({
+                id_col: ids,
+                "__txt": (t[text_col].combine_chunks().cast(pa.string())
+                          if side == 0 else pa.nulls(n, pa.string())),
+                "pos": (pa.nulls(n, pa.int64()) if side == 0
+                        else t["pos"].combine_chunks().cast(pa.int64())),
+                "__b": b,
+                "__side": pa.array([side] * n, pa.int32()),
+            })
+
+        return fn
+
+    union = ds.map_batches(tag(0), batch_format="pyarrow").union(
+        hits.map_batches(tag(1), batch_format="pyarrow"))
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        docs = g.filter(pc.equal(g["__side"], 0))
+        hs = g.filter(pc.equal(g["__side"], 1))
+        hid = hs[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        hpos = hs["pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(hid, kind="stable")
+        hid, hpos = hid[order], hpos[order]
+        ids = docs[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        texts = docs["__txt"].to_pylist()
+        lo = np.searchsorted(hid, ids, side="left")
+        hi = np.searchsorted(hid, ids, side="right")
+        n_tok = np.zeros(len(ids), np.int64)
+        n_rm = np.zeros(len(ids), np.int64)
+        out_texts = []
+        for i, txt in enumerate(texts):
+            orig = (txt or "").split()
+            n_tok[i] = len(orig)
+            p = np.sort(hpos[lo[i]:hi[i]])
+            if not p.size:
+                out_texts.append(" ".join(orig))
+                continue
+            delta = np.zeros(len(orig) + 1, dtype=np.int64)
+            np.add.at(delta, p, 1)
+            np.add.at(delta, np.minimum(p + L, len(orig)), -1)
+            covered = np.cumsum(delta[:-1]) > 0
+            n_rm[i] = int(covered.sum())
+            out_texts.append(
+                " ".join(t for t, c in zip(orig, covered) if not c)
+            )
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_removed": pa.array(n_rm, pa.int64()),
+            "text_clean": pa.array(out_texts, pa.string()),
+        })
+
+    return (union.repartition(blocks_for_keys(nbuckets))
+            .groupby("__b").map_groups(rebuild, batch_format="pyarrow"))

@@ -138,6 +138,24 @@ def test_remove_dup_spans_matches_serial(ray_session):
     assert len(survivors) == 1
 
 
+def test_substr_cut_paths_equivalent(ray_session):
+    """driver_limit=0 forces the distributed occurrence-join CUT path
+    (round-4 VERDICT item 2); it must match the broadcast path row for
+    row AND the serial reference."""
+    from hikma_engine_ray.stages.substr import remove_dup_spans
+
+    fast = remove_dup_spans(_docs_ds(), L=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    slow = remove_dup_spans(_docs_ds(), L=8, driver_limit=0,
+                            nbuckets=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert fast.equals(slow), (fast, slow)
+    want = _serial_cut(DOCS, L=8)
+    for g, w in zip(slow.to_dict("records"), want):
+        for k in ("n_tokens", "n_removed", "text_clean"):
+            assert g[k] == w[k], (g["doc_id"], k)
+
+
 def _serial_lm(texts):
     tok = re.compile(r"[a-z0-9_]+")
     docs = [tok.findall(t.lower()) for t in texts]
