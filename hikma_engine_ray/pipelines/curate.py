@@ -44,7 +44,7 @@ def curate_corpus(docs, *, text_col: str = "text",
     stats["n_input"] = docs.count()
 
     def quality_pass(t: pa.Table) -> pa.Table:
-        q = quality_score_batch(t)
+        q = quality_score_batch(t, text_col)
         r = repetition_stats_batch(t, text_col, id_col)
         p = pii_scan_batch(t, text_col)
         n = q["n_chars_calc"].to_numpy(zero_copy_only=False)
@@ -66,10 +66,12 @@ def curate_corpus(docs, *, text_col: str = "text",
     lined = line_dedup(deduped, text_col=text_col, id_col=id_col)
     lined = lined.map_batches(
         lambda t: pa.table({id_col: t[id_col],
-                            text_col: t["clean_text"]}),
+                            text_col: t["clean_text"],
+                            "__n_removed": t["n_removed"]}),
         batch_format="pyarrow",
     ).materialize()
-    stats["lines_removed"] = None  # filled below if cheap
+    stats["lines_removed"] = int(lined.sum("__n_removed") or 0)
+    lined = lined.select_columns([id_col, text_col])
 
     if eval_ds is not None:
         from ..stages.decontam import decontaminate
@@ -94,6 +96,18 @@ def curate_corpus(docs, *, text_col: str = "text",
         already = manifest_complete(out_dir, "curated")
         stats["skipped_write"] = already
         if not already:
+            import shutil
+
+            # a crash after a partial write but before the manifest
+            # leaves stale uuid-named parquet files; write_parquet
+            # APPENDS, so a re-run would silently double rows — clear
+            # the data partitions first (checkpoint.py's rule: the
+            # atomic manifest is the only completion signal)
+            if os.path.isdir(out_dir):
+                for entry in os.listdir(out_dir):
+                    if entry.startswith("pack_bucket="):
+                        shutil.rmtree(os.path.join(out_dir, entry),
+                                      ignore_errors=True)
             out = packed.map_batches(
                 lambda t: t.append_column(
                     "pack_bucket",

@@ -1053,13 +1053,34 @@ def grouped_histogram(ds, group_col: str, value_col: str,
     import ray
     from ray.data.aggregate import Max, Min, Sum
 
-    mm = ds.aggregate(Min(value_col), Max(value_col))
-    mn = float(mm[f"min({value_col})"])
-    mx = float(mm[f"max({value_col})"])
+    mm = ds.aggregate(Min(value_col), Max(value_col)) or {}
+    mn_raw = mm.get(f"min({value_col})")
+    mx_raw = mm.get(f"max({value_col})")
+    if mn_raw is None or mx_raw is None:
+        # empty input, or every value NULL: empty histogram (SQL
+        # GROUP BY over zero non-null rows yields zero rows)
+        import ray.data as rd
+
+        s = ds.schema()
+        gt = dict(zip(s.names, s.types)).get(group_col, pa.string())
+        if not isinstance(gt, pa.DataType):
+            gt = pa.string()
+        return rd.from_arrow(pa.table({
+            group_col: pa.array([], gt),
+            "bin": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }))
+    mn, mx = float(mn_raw), float(mx_raw)
     width = (mx - mn) / float(bins)
 
     def partial(t: pa.Table) -> pa.Table:
         x = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # NULL values (NaN after conversion) get no bin — np.floor(NaN)
+        # cast to int64 is platform garbage, not a real bin id
+        keep = ~np.isnan(x)
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+            x = x[keep]
         if width > 0:
             b = np.minimum(np.floor((x - mn) / width), bins - 1)
         else:  # degenerate: all values equal

@@ -234,7 +234,11 @@ def multiset_set_op(left, right, on: list[str], op: str,
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
-            d = t.select(on).group_by(on).aggregate([(on[0], "count")])
+            # count_all, not count(on[0]): SQL set ops treat NULL keys
+            # as equal regular values, but count(col) skips nulls, so
+            # rows with a NULL first key would get __n=0 and vanish
+            # (round-4 ADVICE)
+            d = t.select(on).group_by(on).aggregate([([], "count_all")])
             d = d.rename_columns(on + ["__n"])
             n = d["__n"].to_numpy(zero_copy_only=False)
             zero = np.zeros(d.num_rows, dtype=np.int64)

@@ -49,11 +49,12 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("bpe_count", pa.array(bc, pa.int64()))
 
 
-def quality_score_batch(batch: pa.Table) -> pa.Table:
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality signals: n_chars, alpha_ratio, punct_ratio, space_ratio,
     mean_token_len — all expressible in SQL for the oracle. Ratios are
-    over n_chars (0.0 for empty docs)."""
-    text = batch["text"]
+    over n_chars (0.0 for empty docs). ``text_col`` selects the column
+    (round-4 ADVICE: curate_corpus passes non-default text columns)."""
+    text = batch[text_col]
     n = pc.cast(pc.utf8_length(text), pa.float64())
     n_alpha = pc.cast(pc.utf8_length(pc.replace_substring_regex(text, "[A-Za-z]", "")), pa.float64())
     n_punct = pc.cast(pc.utf8_length(pc.replace_substring_regex(text, r"[.,;:!?'\"()]", "")), pa.float64())

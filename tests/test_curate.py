@@ -57,6 +57,69 @@ def test_curate_stage_counts_and_packing(ray_session, tmp_path):
     assert stats2["skipped_write"] is True
 
 
+def test_curate_partial_write_not_doubled(ray_session, tmp_path):
+    """A crashed run leaves parquet files but no manifest; the re-run
+    must clear them before writing, not append (round-4 ADVICE)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hikma_engine_ray.pipelines.curate import curate_corpus
+
+    out = str(tmp_path / "curated")
+    stale = os.path.join(out, "pack_bucket=0")
+    os.makedirs(stale)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([99], pa.int64()),
+                  "text": pa.array(["stale partial row"], pa.string()),
+                  "n_tokens": pa.array([3], pa.int64()),
+                  "pack_id": pa.array([0], pa.int64())}),
+        os.path.join(stale, "leftover.parquet"))
+
+    ds = rd.from_pandas(_docs()).repartition(2)
+    _, stats = curate_corpus(ds, min_chars=50, max_chars=5000,
+                             min_alpha=0.7, pack_budget=16, out_dir=out)
+    assert stats["skipped_write"] is False
+    written = pq.read_table(out)
+    assert written.num_rows == 2  # stale row gone, no doubling
+    assert 99 not in written["doc_id"].to_pylist()
+
+
+def test_curate_custom_text_col(ray_session):
+    """curate_corpus(text_col=...) must apply the quality rules to that
+    column (round-4 ADVICE: quality_score_batch hardcoded 'text')."""
+    import ray.data as rd
+
+    from hikma_engine_ray.pipelines.curate import curate_corpus
+
+    df = _docs().rename(columns={"text": "body"})
+    packed, stats = curate_corpus(
+        rd.from_pandas(df).repartition(2), text_col="body",
+        min_chars=50, max_chars=5000, min_alpha=0.7, pack_budget=16)
+    assert stats["n_after_quality"] == 3
+    assert sorted(packed.to_pandas()["doc_id"]) == [1, 3]
+
+
+def test_curate_lines_removed_stat(ray_session):
+    """lines_removed counts duplicate lines cut by line_dedup."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hikma_engine_ray.pipelines.curate import curate_corpus
+
+    boiler = "this shared header line appears in every document today"
+    rows = [
+        (1, boiler + "\nunique first body line with plenty of words here"),
+        (2, boiler + "\nanother unique body line with plenty of words here"),
+        (3, boiler + "\nthird unique body line with plenty of words here"),
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    _, stats = curate_corpus(ds, min_chars=50, max_chars=5000,
+                             min_alpha=0.7, pack_budget=64)
+    # the boilerplate line survives in exactly one doc; 2 copies removed
+    assert stats["lines_removed"] == 2
+
+
 def test_curation_report_rows(ray_session):
     import ray.data as rd
 

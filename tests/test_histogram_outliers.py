@@ -32,6 +32,35 @@ def test_grouped_histogram_degenerate(ray_session):
     assert got["n"].sum() == 3
 
 
+def test_grouped_histogram_empty_and_nulls(ray_session):
+    """Empty input returns an empty histogram (no float(None) crash);
+    NULL values are dropped before binning, not emitted as garbage
+    bins (round-4 ADVICE)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    empty = rd.from_arrow(pa.table({"g": pa.array([], pa.string()),
+                                    "x": pa.array([], pa.float64())}))
+    out = grouped_histogram(empty, "g", "x", bins=4)
+    assert out.count() == 0
+    assert out.schema().names == ["g", "bin", "n"]
+
+    withnulls = rd.from_arrow(pa.table({
+        "g": pa.array(["a", "a", "b", "b"], pa.string()),
+        "x": pa.array([1.0, None, 3.0, None], pa.float64()),
+    })).repartition(2)
+    got = grouped_histogram(withnulls, "g", "x", bins=2).to_pandas()
+    got = got.set_index(["g", "bin"])["n"].to_dict()
+    # bounds [1, 3], width 1: only the two non-null rows appear
+    assert got == {("a", 0): 1, ("b", 1): 1}
+
+    allnull = rd.from_arrow(pa.table({
+        "g": pa.array(["a"], pa.string()),
+        "x": pa.array([None], pa.float64()),
+    }))
+    assert len(grouped_histogram(allnull, "g", "x", bins=4).to_pandas()) == 0
+
+
 def test_quantile_outliers_band(ray_session):
     import ray.data as rd
 

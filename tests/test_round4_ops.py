@@ -317,6 +317,33 @@ def test_multiset_set_op(ray_session):
         multiset_set_op(la, rb, ["k"], "union_all")
 
 
+def test_multiset_set_op_null_keys(ray_session):
+    """SQL set ops treat NULL keys as equal regular values; rows whose
+    first key is NULL must keep their multiplicity (round-4 ADVICE:
+    count(col) skipped them)."""
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.dedup import multiset_set_op
+
+    import pyarrow as pa
+
+    # left {None:2, 1:1}; right {None:1, 2:1} — typed arrow inputs:
+    # pandas-backed blocks re-infer an all-None split as null type
+    a = pa.table({"k": pa.array([None, None, 1.0], pa.float64())})
+    b = pa.table({"k": pa.array([None, 2.0], pa.float64())})
+    la, rb = rd.from_arrow(a).repartition(2), rd.from_arrow(b)
+
+    def run(op):
+        df = multiset_set_op(la, rb, ["k"], op).to_pandas()
+        return {("∅" if pd.isna(k) else k): m
+                for k, m in zip(df["k"], df["mult"])}
+
+    # INTERSECT ALL: min(2, 1) = 1 for the NULL key
+    assert run("intersect_all") == {"∅": 1}
+    # EXCEPT ALL: NULL 2-1=1, key 1.0 1-0=1
+    assert run("except_all") == {"∅": 1, 1.0: 1}
+
+
 def test_funnel_ordered_prefix(ray_session):
     import ray.data as rd
 
