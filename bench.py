@@ -308,7 +308,13 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
-    else:
-        print(json.dumps(run_bench()))
+    # The driver parses stdout as JSON (round-4 VERDICT item 4): keep
+    # fd 1 for the single result line only. Point fd 1 at stderr for
+    # the whole run — Ray's raylet/worker chatter and any stray
+    # print() inherit it — and write the JSON to the saved real fd.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = os.fdopen(os.dup(1), "w")  # keep print() working
+    result = run_scaling() if "--scaling" in sys.argv else run_bench()
+    os.write(real_stdout, (json.dumps(result) + "\n").encode())
+    os.close(real_stdout)

@@ -47,8 +47,12 @@ import time as _time
 
 def _tick(label: str, t0: list):
     if _os.environ.get("HIKMA_TIMING"):
+        import sys as _sys
+
         now = _time.monotonic()
-        print(f"[timing] {label}: {now - t0[0]:.1f}s", flush=True)
+        # stderr: bench.py's stdout carries exactly one JSON line
+        print(f"[timing] {label}: {now - t0[0]:.1f}s", flush=True,
+              file=_sys.stderr)
         t0[0] = now
 
 
