@@ -6,6 +6,7 @@ commands (embed / search / graph-query, SURVEY.md §3):
     python -m hikma_engine_ray search --out DIR --query TEXT [-k K]
     python -m hikma_engine_ray calls --out DIR --node NODE_ID
     python -m hikma_engine_ray chain --out DIR --src ID --dst ID
+    python -m hikma_engine_ray deps --out DIR --path FILE_PATH
     python -m hikma_engine_ray dedup --docs FILE --out DIR [--threshold J]
     python -m hikma_engine_ray sample --docs FILE --out DIR [--rate R]
     python -m hikma_engine_ray vocab --docs FILE [--top-n N]
@@ -120,6 +121,22 @@ def cmd_chain(args):
     print(" → ".join(path))
 
 
+def cmd_deps(args):
+    """Files that import the given file path (graph-query.ts:195-207
+    `deps <file-path>` parity)."""
+    _init_ray()
+    from .pipelines.graph_query import file_dependents
+
+    nodes = _read_out(args.out, "nodes")
+    triples = _read_out(args.out, "triples")
+    rows = file_dependents(nodes, triples, args.path).take_all()
+    if not rows:
+        print("no dependents found")
+        return
+    for r in sorted(rows, key=lambda r: (r["repo"], r["path"])):
+        print(f"{r['repo']}/{r['path']}")
+
+
 def cmd_dedup(args):
     """documents parquet → near-dup clusters parquet (minhash-LSH →
     exact-Jaccard verify → connected components)."""
@@ -230,6 +247,11 @@ def main(argv=None):
     ch.add_argument("--dst", required=True)
     ch.add_argument("--max-hops", type=int, default=10)
     ch.set_defaults(fn=cmd_chain)
+
+    dp = sub.add_parser("deps", help="files that import the given file path")
+    dp.add_argument("--out", required=True)
+    dp.add_argument("--path", required=True)
+    dp.set_defaults(fn=cmd_deps)
 
     d = sub.add_parser("dedup", help="documents parquet → near-dup cluster parquet")
     d.add_argument("--docs", required=True)

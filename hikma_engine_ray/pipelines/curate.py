@@ -3,6 +3,8 @@ training-data operators this package ships individually —
 
     normalize/quality funnel (C4/Gopher rules, one streaming pass)
       → exact full-text dedup (hash-partition + per-group first)
+      → optional near-dup removal (banded-LSH candidates → exact
+        Jaccard verify → min-id-per-cluster keep, Bloom anti join)
       → corpus-wide line dedup (boilerplate removal, global-first)
       → optional eval-set decontamination (broadcast fingerprints)
       → token counting + sequence packing (distributed prefix scan)
@@ -27,13 +29,21 @@ def curate_corpus(docs, *, text_col: str = "text",
                   id_col: str = "doc_id",
                   min_chars: int = 100, max_chars: int = 5000,
                   min_alpha: float = 0.55, max_dup_frac: float = 0.5,
+                  minhash: bool = False, minhash_threshold: float = 0.8,
+                  minhash_k: int = 5,
                   eval_ds=None, pack_budget: int = 256,
                   out_dir: str | None = None):
     """Run the curation chain; returns (curated_dataset, stats dict).
     ``curated_dataset`` columns: (id, text, n_tokens, pack_id).
-    With ``out_dir`` the result is also written as Parquet partitioned
-    by ``pack_bucket`` (pack_id // 64) under an atomic manifest —
-    calling again with a complete manifest skips the write."""
+    With ``minhash=True`` a near-dup leg runs between exact and line
+    dedup: banded-LSH candidates → exact n-gram-Jaccard verification
+    (≥ ``minhash_threshold``) → union-find clusters; each cluster
+    keeps its min-id member and the rest are dropped via the exact
+    Bloom anti join (all distributed, count-guarded like the
+    component stages). With ``out_dir`` the result is also written as
+    Parquet partitioned by ``pack_bucket`` (pack_id // 64) under an
+    atomic manifest — calling again with a complete manifest skips
+    the write."""
     from ..stages.dedup_suite import exact_dedup
     from ..stages.linededup import line_dedup
     from ..stages.packing import pack_documents
@@ -62,6 +72,34 @@ def curate_corpus(docs, *, text_col: str = "text",
     deduped = exact_dedup(clean, text_col=text_col,
                           id_col=id_col).materialize()
     stats["n_after_exact_dedup"] = deduped.count()
+
+    if minhash:
+        from ..stages.bloom import anti_join
+        from ..stages.components import dedup_clusters
+        from ..stages.dedup_suite import (minhash_candidates,
+                                          verify_jaccard_pairs)
+
+        cands = minhash_candidates(deduped, k=minhash_k,
+                                   text_col=text_col, id_col=id_col)
+        verified = verify_jaccard_pairs(
+            cands, deduped, minhash_threshold, k=minhash_k,
+            text_col=text_col, id_col=id_col)
+        # dedup_clusters emits only NON-root members (root = min id),
+        # so its node column IS the drop set — min-id member survives
+        drop = dedup_clusters(
+            verified.map_batches(lambda t: t.select(["a", "b"]),
+                                 batch_format="pyarrow")
+        ).map_batches(
+            lambda t: pa.table({id_col: t["node"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        ).materialize()
+        # no verified near-dups → nothing to remove (an empty Dataset
+        # has no schema, which the anti-join build can't consume)
+        if drop.count() > 0:
+            deduped = anti_join(deduped, drop, on=[id_col]).materialize()
+        stats["n_after_near_dedup"] = deduped.count()
+        stats["n_near_dup_removed"] = (stats["n_after_exact_dedup"]
+                                       - stats["n_after_near_dedup"])
 
     lined = line_dedup(deduped, text_col=text_col, id_col=id_col)
     lined = lined.map_batches(

@@ -120,6 +120,48 @@ def test_curate_lines_removed_stat(ray_session):
     assert stats["lines_removed"] == 2
 
 
+def test_curate_minhash_drops_near_dups(ray_session):
+    """minhash=True removes verified near-dups (Jaccard >= threshold),
+    keeping the min-id member of each cluster; exact non-dups stay."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hikma_engine_ray.pipelines.curate import curate_corpus
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    rows = [
+        (1, base + " psi omega one"),
+        (2, base + " psi omega two"),      # near-dup of 1 (1 token off)
+        (3, base + " psi omega three"),    # near-dup of 1 and 2
+        (4, "a wholly different document about rivers mountains and "
+            "forests with no overlap to the greek letter sequence at "
+            "all beyond english glue words in it"),
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    packed, stats = curate_corpus(ds, min_chars=50, max_chars=5000,
+                                  min_alpha=0.7, pack_budget=256,
+                                  minhash=True, minhash_threshold=0.6)
+    assert stats["n_after_exact_dedup"] == 4       # no exact dups
+    assert stats["n_after_near_dedup"] == 2        # cluster {1,2,3} -> 1
+    assert stats["n_near_dup_removed"] == 2
+    assert sorted(packed.to_pandas()["doc_id"]) == [1, 4]
+
+
+def test_curate_minhash_noop_without_near_dups(ray_session):
+    """minhash=True on a corpus with no near-dups changes nothing."""
+    import ray.data as rd
+
+    from hikma_engine_ray.pipelines.curate import curate_corpus
+
+    ds = rd.from_pandas(_docs()).repartition(2)
+    packed, stats = curate_corpus(ds, min_chars=50, max_chars=5000,
+                                  min_alpha=0.7, pack_budget=16,
+                                  minhash=True, minhash_threshold=0.9)
+    assert stats["n_near_dup_removed"] == 0
+    assert sorted(packed.to_pandas()["doc_id"]) == [1, 3]
+
+
 def test_curation_report_rows(ray_session):
     import ray.data as rd
 

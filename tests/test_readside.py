@@ -37,6 +37,47 @@ def test_edges_and_bfs(ray_session, graph_parts, small_corpus):
     assert bfs_chain(triples, src, "nonexistent-node", max_hops=2) is None
 
 
+def test_bfs_chain_distributed_equiv(ray_session, graph_parts, small_corpus):
+    """driver_limit=0 forces the bfs_khop + backward-semi-join path;
+    it must return a VALID shortest chain — same length as the driver
+    BFS, every consecutive pair a real CALLS edge."""
+    from hikma_engine_ray.golden import golden_extract
+    from hikma_engine_ray.pipelines.graph_query import bfs_chain
+
+    _, triples = graph_parts
+    _, gold, _ = golden_extract(small_corpus)
+    call_edges = {(s, o) for s, p, o in gold if p == "CALLS"}
+    src, _, dst = next(t for t in gold if t[1] == "CALLS")
+    drv = bfs_chain(triples, src, dst, max_hops=3)
+    dist = bfs_chain(triples, src, dst, max_hops=3, driver_limit=0)
+    assert dist is not None and dist[0] == src and dist[-1] == dst
+    assert len(dist) == len(drv)  # both shortest
+    assert all((a, b) in call_edges for a, b in zip(dist, dist[1:]))
+    assert bfs_chain(triples, src, "nonexistent-node", max_hops=2,
+                     driver_limit=0) is None
+
+
+def test_file_dependents(ray_session, graph_parts, small_corpus):
+    """`deps <path>` parity: files that IMPORT the given path."""
+    from hikma_engine_ray.golden import golden_extract
+    from hikma_engine_ray.pipelines.graph_query import file_dependents
+
+    nodes, triples = graph_parts
+    gnodes, gold, _ = golden_extract(small_corpus)
+    id2path = {n["node_id"]: n["name"] for n in gnodes
+               if n["node_type"] == "File"}
+    # pick a file some LINKED import targets (obj is a file node id)
+    imported = [o for s, p, o in gold if p == "IMPORTS" and o in id2path]
+    assert imported, "fixture must contain at least one linked import"
+    target_path = id2path[imported[0]]
+    expect = {id2path[s] for s, p, o in gold
+              if p == "IMPORTS" and o in id2path
+              and id2path[o] == target_path and s in id2path}
+    got = {r["path"] for r in
+           file_dependents(nodes, triples, target_path).take_all()}
+    assert got == expect and got
+
+
 def test_search_nodes_regex(ray_session, graph_parts):
     from hikma_engine_ray.pipelines.graph_query import search_nodes
 
