@@ -94,6 +94,50 @@ def entry() -> Any:
     return _kg("/root/testdata/sf0.001")["triples"]
 
 
+_KG_ORACLE_DIR = "/tmp/hikma_kg_oracle"
+
+
+def _kg_oracle_export(sf_dir: str) -> None:
+    """Write the KG's nodes/triples tables to a fixed /tmp location so
+    the kg_* DuckDB oracles can recompute stats/degrees/components
+    INDEPENDENTLY from the same graph (VERDICT r4 item 5). The driver
+    registers only the ten TPC-H-ish views, so the oracle reads these
+    exports back via read_parquet() globs; an ``sf_rows`` column
+    (= row count of the sf tier's lineitem table, which the oracle
+    can query from its ``lineitem`` view) discriminates between
+    scale factors when several tiers export side by side. Idempotent
+    and atomic (temp file + rename); the KG is deterministic per sf,
+    so an existing export is always current."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # lineitem scales with the tier (documents does NOT: 500 rows at
+    # both sf0.001 and sf0.01), so its row count is the discriminator
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "lineitem.parquet")).num_rows
+    os.makedirs(_KG_ORACLE_DIR, exist_ok=True)
+    tri_path = os.path.join(_KG_ORACLE_DIR, f"triples_{n}.parquet")
+    node_path = os.path.join(_KG_ORACLE_DIR, f"nodes_{n}.parquet")
+    if os.path.exists(tri_path) and os.path.exists(node_path):
+        return
+    g = _kg(sf_dir)
+    # test-scale export (the oracle protocol runs at sf<=0.01): the
+    # tables are small enough to collect; at real scale the oracles
+    # are pytest-side anyway
+    tri = pa.concat_tables(
+        g["triples"].select_columns(["subj", "pred", "obj"])
+        .iter_batches(batch_format="pyarrow"))
+    nod = pa.concat_tables(
+        g["nodes"].select_columns(["node_id", "node_type"])
+        .iter_batches(batch_format="pyarrow"))
+    for t, path in ((tri, tri_path), (nod, node_path)):
+        t = t.append_column(
+            "sf_rows", pa.array([n] * t.num_rows, pa.int64()))
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+
+
 # ------------------------------------------------------------- KG queries
 
 def _kg_nodes(sf_dir: str):
@@ -111,10 +155,13 @@ def _kg_triples(sf_dir: str):
 
 
 def _kg_stats(sf_dir: str):
+    """A3/A7 graph stats — DuckDB oracle recomputes the counts from
+    the exported nodes/triples tables (_kg_oracle_export)."""
     import pandas as pd
 
     from hikma_engine_ray.pipelines.index_pipeline import graph_stats
 
+    _kg_oracle_export(sf_dir)
     st = graph_stats(_kg(sf_dir))
     rows = [("node:" + k, v) for k, v in sorted(st["nodes_by_type"].items())]
     rows += [("pred:" + k, v) for k, v in sorted(st["triples_by_pred"].items())]
@@ -181,8 +228,13 @@ def _kg_rag_context(sf_dir: str):
 
 
 def _kg_degree_top(sf_dir: str):
+    """Top-20 nodes by (out_degree desc, node_id) summed over degree
+    segments — the DuckDB oracle recomputes both degrees from the
+    exported triples table (adjacency carries exactly one entry per
+    triple per direction, stages/adjacency.py)."""
     from hikma_engine_ray.pipelines.graph_query import degree_stats
 
+    _kg_oracle_export(sf_dir)
     return degree_stats(_kg(sf_dir)["adjacency"])
 
 
@@ -1591,9 +1643,12 @@ def _q_kg_components(sf_dir: str):
     dup-cluster machinery (driver union-find ≤ limit, alternating
     star contraction past it) on hashed node ids. Returns the
     component-size distribution (size, n_components), largest first.
-    Rows-only driver check; local gate: tests/test_components.py
-    (distributed ≡ union-find) + tests/test_pagerank.py::
-    test_kg_component_sizes_match_serial."""
+    DuckDB oracle: recursive-CTE reachability closure over the
+    exported CALLS/EXTENDS/IMPLEMENTS edges (string ids — the engine's
+    int64 node hashing changes nothing but collision odds, ~2^-64);
+    local gates: tests/test_components.py (distributed ≡ union-find)
+    + tests/test_pagerank.py::test_kg_component_sizes_match_serial."""
+    _kg_oracle_export(sf_dir)
     import numpy as np
     import polars as pl
     import pyarrow as pa
@@ -2862,17 +2917,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         # similarity with exact oracles
         "ann_topk": _q_ann_topk,
+        # KG queries whose oracle reads the /tmp graph export written
+        # by the engine side (_kg_oracle_export — VERDICT r4 item 5)
+        "kg_stats": _kg_stats,
+        "kg_degree_top": _kg_degree_top,
+        "kg_components": _q_kg_components,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
         "kg_nodes": _kg_nodes,
         "kg_triples": _kg_triples,
-        "kg_stats": _kg_stats,
         "kg_adjacency_degrees": _kg_adjacency_sizes,
         "kg_resume": _kg_resume,
         "kg_semantic_search": _kg_semantic_search,
         "kg_rag_context": _kg_rag_context,
-        "kg_degree_top": _kg_degree_top,
         "kg_delta": _kg_delta,
         "kg_file_summaries": _kg_file_summaries,
         "kg_repo_stats": _kg_repo_stats,
@@ -2883,7 +2941,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_complexity": _kg_complexity,
         "kg_pagerank": _q_kg_pagerank,
         "kg_ppr": _q_kg_ppr,
-        "kg_components": _q_kg_components,
         "kg_communities": _q_kg_communities,
         # sketches / iterative / banded-LSH (approximate by design)
         "hll_sources": _q_hll_sources,
@@ -4094,9 +4151,9 @@ def oracle_sql() -> dict[str, str]:
         #   kg_pagerank     damped power iteration (iterative; no SQL
         #                   twin) (tests/test_pagerank.py: engine ≡
         #                   dense numpy reference, broadcast ≡ join path)
-        #   kg_components   star-contraction components (tests/
-        #                   test_components.py distributed ≡ union-find;
-        #                   test_pagerank.py sizes ≡ serial on the KG)
+        # (kg_stats / kg_degree_top / kg_components moved to the
+        # oracle-backed section in round 5 — their SQL recomputes from
+        # the /tmp graph export, see the kg_* entries below)
         #   hll_lang_sources per-group HLL (approximate by design;
         #                   ≤5% gate test_grouped_hll_accuracy; exact
         #                   twin distinct_sources carries the SQL oracle)
@@ -4274,5 +4331,78 @@ def oracle_sql() -> dict[str, str]:
                          + 1) / 4294967296.0)
                      / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1e-12 END) DESC, doc_id
             LIMIT 15
+        """,
+        # --- KG oracles over the engine's /tmp graph export
+        # (_kg_oracle_export): the driver registers only the ten
+        # TPC-H-ish views, so the engine query writes nodes/triples to
+        # /tmp/hikma_kg_oracle/ first (idempotent, atomic) and the SQL
+        # recomputes the result independently from that raw table.
+        # sf_rows (= count of the lineitem view, which scales with
+        # the tier) picks the right scale's export when several
+        # tiers coexist.
+        "kg_stats": """
+            WITH nod AS (
+                SELECT * FROM read_parquet('/tmp/hikma_kg_oracle/nodes_*.parquet')
+                WHERE sf_rows = (SELECT count(*) FROM lineitem)
+            ), tri AS (
+                SELECT * FROM read_parquet('/tmp/hikma_kg_oracle/triples_*.parquet')
+                WHERE sf_rows = (SELECT count(*) FROM lineitem)
+            )
+            SELECT 'node:' || node_type AS key, count(*)::BIGINT AS n
+            FROM nod GROUP BY 1
+            UNION ALL
+            SELECT 'pred:' || pred, count(*)::BIGINT FROM tri GROUP BY 1
+            ORDER BY key
+        """,
+        # adjacency carries exactly one entry per triple per direction
+        # (stages/adjacency.py), so degrees = triple counts by subj/obj
+        "kg_degree_top": """
+            WITH tri AS (
+                SELECT subj, obj
+                FROM read_parquet('/tmp/hikma_kg_oracle/triples_*.parquet')
+                WHERE sf_rows = (SELECT count(*) FROM lineitem)
+            ), n AS (
+                SELECT subj AS node_id FROM tri
+                UNION SELECT obj FROM tri
+            ), o AS (
+                SELECT subj AS node_id, count(*) AS od FROM tri GROUP BY 1
+            ), i AS (
+                SELECT obj AS node_id, count(*) AS idg FROM tri GROUP BY 1
+            )
+            SELECT n.node_id,
+                   coalesce(o.od, 0)::BIGINT AS out_degree,
+                   coalesce(i.idg, 0)::BIGINT AS in_degree
+            FROM n LEFT JOIN o USING (node_id) LEFT JOIN i USING (node_id)
+            ORDER BY out_degree DESC, n.node_id
+            LIMIT 20
+        """,
+        # weakly connected components of the semantic code graph:
+        # reachability closure (UNION dedups per iteration), component
+        # = min reachable id; size distribution, largest first. The
+        # engine's int64 node hashing only changes collision odds
+        # (~2^-64); self-loop-only nodes are excluded on both sides
+        # (engine: union-find emits no member rows; oracle: a<>b).
+        "kg_components": """
+            WITH RECURSIVE base AS (
+                SELECT DISTINCT subj AS a, obj AS b
+                FROM read_parquet('/tmp/hikma_kg_oracle/triples_*.parquet')
+                WHERE sf_rows = (SELECT count(*) FROM lineitem)
+                  AND pred IN ('CALLS', 'EXTENDS', 'IMPLEMENTS')
+                  AND subj <> obj
+            ), und AS (
+                SELECT a, b FROM base UNION SELECT b, a FROM base
+            ), walk AS (
+                SELECT a AS node, a AS reach FROM und
+                UNION
+                SELECT w.node, u.b FROM walk w JOIN und u ON u.a = w.reach
+            ), comp AS (
+                SELECT node, min(reach) AS root FROM walk GROUP BY node
+            ), sizes AS (
+                SELECT root, count(*)::BIGINT AS size FROM comp GROUP BY root
+            )
+            SELECT size, count(*)::BIGINT AS n_components
+            FROM sizes GROUP BY size
+            ORDER BY size DESC
+            LIMIT 20
         """,
     }
