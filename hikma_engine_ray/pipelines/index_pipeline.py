@@ -274,7 +274,12 @@ def build_graph_from_tagged(
     # Hot keys come from the parser's folded per-batch partial counts —
     # exact, one cheap pass, no mention sampling; the same pass collects
     # the re-export base set (stages/linking.py).
-    hot, reex_bases = link_prescan(tagged, hot_threshold)
+    # degree estimates ride the same pass ONLY when the streaming
+    # adjacency build will need them (it cannot sample a lazy stream)
+    streaming_adjacency = adjacency and not materialize_triples
+    hot, reex_bases, hot_degree = link_prescan(
+        tagged, hot_threshold,
+        degree_cap=degree_cap if streaming_adjacency else None)
     _tick("link_prescan", _t)
     if reex_bases:
         # L1b: re-export chains synthesize definition rows (metadata-
@@ -374,11 +379,15 @@ def build_graph_from_tagged(
             # them exactly. The global dedup shuffle disappears from the
             # consumed path entirely; `triples` above remains the
             # dedup-correct pipeline for any other consumer. Degree
-            # capping needs a materialized input to sample, so it
-            # applies only on the pinned path.
+            # capping can't sample this lazy stream, so the hot-node
+            # estimates come from the link-prescan pass over the
+            # materialized tagged output (VERDICT r4 item 8) — the
+            # parser-local endpoint counts catch the structural heavy
+            # hitters (repo / commit / hot external modules).
             raw = triples_local.union(linked_triples)
             out["adjacency"] = build_adjacency(
-                raw, nbuckets=nbuckets, degree_cap=None
+                raw, nbuckets=nbuckets, degree_cap=degree_cap,
+                hot_nodes=hot_degree,
             )
     return out
 

@@ -70,9 +70,14 @@ def find_hot_degree_nodes(triples_ds, degree_cap: int,
     for node, n in counts.items():
         est = n * scale
         if est > degree_cap:
-            # 1.5× headroom over the estimate; bounded segment count
-            hot[node] = int(min(256, max(2, math.ceil(est * 1.5 / degree_cap))))
+            hot[node] = segments_for(est, degree_cap)
     return hot
+
+
+def segments_for(est_degree: float, degree_cap: int) -> int:
+    """Segment count for one hot node: 1.5× headroom over the degree
+    estimate, bounded to [2, 256]."""
+    return int(min(256, max(2, math.ceil(est_degree * 1.5 / degree_cap))))
 
 
 def _emit_partials(nbuckets: int, hot: dict[str, int] | None = None):
@@ -181,15 +186,24 @@ def _assemble(g: pa.Table) -> pa.Table:
 
 
 def build_adjacency(triples_ds, nbuckets: int = 64,
-                    degree_cap: int | None = 500_000):
+                    degree_cap: int | None = 500_000,
+                    hot_nodes: dict[str, int] | None = None):
     """Materialize adjacency lists. ``degree_cap`` bounds the edges per
     output row: higher-degree nodes split into hash-segments (None
-    disables the heavy-hitter sampling pass)."""
-    hot = (
-        find_hot_degree_nodes(triples_ds, degree_cap)
-        if degree_cap is not None
-        else {}
-    )
+    disables the heavy-hitter sampling pass). ``hot_nodes`` supplies a
+    precomputed {node_id: est_degree} map instead — the streaming
+    pipeline derives it from the link-prescan pass (linking.py), since
+    sampling here would force the lazy triple stream to execute."""
+    if hot_nodes is not None:
+        hot = ({} if degree_cap is None else
+               {n: segments_for(est, degree_cap)
+                for n, est in hot_nodes.items() if est > degree_cap})
+    else:
+        hot = (
+            find_hot_degree_nodes(triples_ds, degree_cap)
+            if degree_cap is not None
+            else {}
+        )
     return (
         # explicit batch_size: coalesces the (possibly fragmented) triple
         # blocks so the per-batch combiner sees enough rows per node to

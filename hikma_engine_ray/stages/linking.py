@@ -788,16 +788,36 @@ def synthesize_reexports(tagged_ds, base_set: set[str]):
     )
 
 
-def link_prescan(tagged_ds, hot_threshold: int) -> tuple[set[str], set[str]]:
-    """ONE cheap pass over the tagged parse output yielding both link
-    prescan artifacts: (hot link keys, re-export base set).
+def link_prescan(tagged_ds, hot_threshold: int,
+                 degree_cap: int | None = None,
+                 degree_floor: int = 64
+                 ) -> tuple[set[str], set[str], dict[str, int]]:
+    """ONE cheap pass over the tagged parse output yielding the link
+    prescan artifacts: (hot link keys, re-export base set, hot-degree
+    node estimates).
 
     Hot keys: EXACT heavy-hitter detection from the parser's folded
     per-batch 'keycount' rows — no mention sampling, no extra corpus
     pass, no prefix bias. Re-export bases: the distinct ``repo␟base``
     keys every re-export spec could resolve through plus origin paths
-    (empty ⇒ L1b skipped entirely). Both are metadata-sized."""
+    (empty ⇒ L1b skipped entirely). Both are metadata-sized.
+
+    Hot-degree nodes (``degree_cap`` set — VERDICT r4 item 8, the
+    streaming-adjacency path that cannot sample a materialized triple
+    stream): per block, parser-local triple ENDPOINT occurrences over
+    ``degree_floor`` are emitted as partials; driver-summed totals over
+    ``degree_cap`` come back as {node_id: est_degree}. The floor
+    bounds partial-row volume (≤ rows/floor per block) and only
+    UNDERCOUNTS by ≤ floor × n_blocks — a missed borderline node costs
+    one oversized adjacency block, never correctness (same contract as
+    adjacency.find_hot_degree_nodes). Structural heavy hitters (repo /
+    commit / hot external module endpoints repeat in every block) are
+    exactly the nodes this catches; a hot LINKED target (one function
+    called from everywhere) surfaces only via its parser-local edges,
+    so borderline linked hubs may go uncapped — documented slack."""
     import pyarrow.compute as pc
+
+    want_degrees = degree_cap is not None
 
     def partials(t: pa.Table) -> pa.Table:
         # second-level combine inside the scan task: collapse this
@@ -817,34 +837,61 @@ def link_prescan(tagged_ds, hot_threshold: int) -> tuple[set[str], set[str]]:
         ):
             bases.add(f"{repo}{SEP}{mention_base(path, spec)}")
             bases.add(f"{repo}{SEP}{path}")
-        counts = pa.table(
-            {"rb": g["rb"].cast(pa.string()), "n": g["n_sum"].cast(pa.int64())}
-        )
-        if not bases:
-            return counts
-        base_rows = pa.table(
-            {"rb": pa.array(sorted(bases), pa.string()),
-             "n": pa.array([-1] * len(bases), pa.int64())}
-        )
-        return pa.concat_tables([counts, base_rows])
+        parts = [pa.table(
+            {"rb": g["rb"].cast(pa.string()),
+             "n": g["n_sum"].cast(pa.int64()),
+             "k": pa.array(["c"] * g.num_rows, pa.string())}
+        )]
+        if bases:
+            parts.append(pa.table(
+                {"rb": pa.array(sorted(bases), pa.string()),
+                 "n": pa.array([-1] * len(bases), pa.int64()),
+                 "k": pa.array(["b"] * len(bases), pa.string())}
+            ))
+        if want_degrees:
+            tr = t.filter(pc.equal(t["kind"], "triple"))
+            if tr.num_rows:
+                ends = pa.chunked_array(
+                    [tr["subj"].combine_chunks(),
+                     tr["obj"].combine_chunks()]).combine_chunks()
+                vc = pc.value_counts(ends)
+                heavy = pc.greater_equal(vc.field("counts"),
+                                         pa.scalar(degree_floor))
+                vals = vc.field("values").filter(heavy)
+                cnts = vc.field("counts").filter(heavy)
+                if len(vals):
+                    parts.append(pa.table(
+                        {"rb": vals.cast(pa.string()),
+                         "n": cnts.cast(pa.int64()),
+                         "k": pa.array(["d"] * len(vals), pa.string())}
+                    ))
+        return pa.concat_tables(parts)
 
     # batch_size=None: combine at BLOCK granularity (each block spans
     # many parse batches) so the driver sees one row per key per block.
-    # Re-export bases ride in the same pass flagged with n = -1.
+    # Re-export bases ride in the same pass flagged k='b'; degree
+    # partials k='d'.
     partial_df = tagged_ds.map_batches(
         partials, batch_format="pyarrow", batch_size=None
     ).to_pandas()
     if "rb" not in partial_df.columns:  # empty corpus → column-less frame
-        return set(), set()
-    is_base = partial_df["n"] < 0
-    bases = set(partial_df["rb"][is_base])
-    counts = partial_df[~is_base]
+        return set(), set(), {}
+    kcol = partial_df["k"]
+    bases = set(partial_df["rb"][kcol == "b"])
+    counts = partial_df[kcol == "c"]
     # final combine on the driver, vectorized: rows = (#keys × #blocks)
     # partials — small next to the corpus. (If the key cardinality ever
     # made this a driver hazard, swap for groupby('rb').aggregate(Sum);
     # same semantics, one extra small shuffle.)
     totals = counts.groupby("rb", sort=False)["n"].sum()
-    return set(totals.index[totals > int(hot_threshold)]), bases
+    hot_degree: dict[str, int] = {}
+    if want_degrees:
+        deg = partial_df[kcol == "d"]
+        if len(deg):
+            dtot = deg.groupby("rb", sort=False)["n"].sum()
+            over = dtot[dtot > int(degree_cap)]
+            hot_degree = {str(k): int(v) for k, v in over.items()}
+    return set(totals.index[totals > int(hot_threshold)]), bases, hot_degree
 
 
 def find_hot_keys_exact(tagged_ds, hot_threshold: int) -> set[str]:
