@@ -146,7 +146,9 @@ def parse_corpus(
     return tagged
 
 
-def _finish_nodes(nodes_raw, embed: bool):
+def _finish_nodes(nodes_raw, embed: bool, embed_provider=None,
+                  embed_provider_kwargs: dict | None = None,
+                  embed_concurrency=None):
     """Dedup the bounded Repository/Commit stream (sort-free: per-block
     drop-dup → coalesce to one tiny block → final drop-dup; a sort stage
     has seconds of fixed cost) and embed each branch BEFORE the union so
@@ -184,28 +186,46 @@ def _finish_nodes(nodes_raw, embed: bool):
     main_nodes = nodes_raw.map_batches(_node_split(False), batch_format="pyarrow")
 
     if embed:
-        # hash provider is stateless → plain tasks (see hash_embed_batch);
-        # a model-backed provider would swap in the HashEmbedder-style
-        # actor pool: map_batches(ModelCls, concurrency=N)
-        from ..stages.embedding import hash_embed_batch
+        if embed_provider is not None:
+            # model-backed provider (ST1): a callable CLASS run as an
+            # actor pool — constructor (model load) once per actor,
+            # encode per batch. batch_size=32 mirrors the reference's
+            # embed-server batching (embedding-service.ts:615-644).
+            conc = embed_concurrency or 2
+            if not isinstance(conc, tuple):
+                conc = (1, int(conc))
+            kw = dict(
+                batch_format="pyarrow", batch_size=32,
+                concurrency=conc,
+                fn_constructor_kwargs=embed_provider_kwargs or {},
+            )
+            main_nodes = main_nodes.map_batches(embed_provider, **kw)
+            dup_nodes = dup_nodes.map_batches(embed_provider, **kw)
+        else:
+            # hash provider is stateless → plain tasks (see
+            # hash_embed_batch); no actor spin-up cost
+            from ..stages.embedding import hash_embed_batch
 
-        main_nodes = main_nodes.map_batches(
-            hash_embed_batch, batch_format="pyarrow", batch_size=2048
-        )
-        dup_nodes = dup_nodes.map_batches(
-            hash_embed_batch, batch_format="pyarrow", batch_size=2048
-        )
+            main_nodes = main_nodes.map_batches(
+                hash_embed_batch, batch_format="pyarrow", batch_size=2048
+            )
+            dup_nodes = dup_nodes.map_batches(
+                hash_embed_batch, batch_format="pyarrow", batch_size=2048
+            )
     return main_nodes.union(dup_nodes)
 
 
-def nodes_pipeline(tagged, *, embed: bool = True):
+def nodes_pipeline(tagged, *, embed: bool = True, embed_provider=None,
+                   embed_provider_kwargs: dict | None = None,
+                   embed_concurrency=None):
     """The node/embedding subtree — depends only on the tagged output,
     NOT on linking/dedup, so callers can consume it concurrently with
     the triple-side phases (bench.py does)."""
     nodes_raw = tagged.map_batches(
         _kind_filter("node", NODE_COLS), batch_format="pyarrow"
     )
-    return _finish_nodes(nodes_raw, embed)
+    return _finish_nodes(nodes_raw, embed, embed_provider,
+                         embed_provider_kwargs, embed_concurrency)
 
 
 def build_graph(
@@ -217,6 +237,8 @@ def build_graph(
     parse_concurrency=None,
     embed_concurrency=None,
     embed: bool = True,
+    embed_provider=None,
+    embed_provider_kwargs: dict | None = None,
     adjacency: bool = True,
     parse_batch_size: int = 256,
 ) -> dict:
@@ -235,6 +257,8 @@ def build_graph(
         nbuckets=nbuckets,
         embed_concurrency=embed_concurrency,
         embed=embed,
+        embed_provider=embed_provider,
+        embed_provider_kwargs=embed_provider_kwargs,
         adjacency=adjacency,
     )
 
@@ -247,6 +271,8 @@ def build_graph_from_tagged(
     nbuckets: int = 32,
     embed_concurrency=None,
     embed: bool = True,
+    embed_provider=None,
+    embed_provider_kwargs: dict | None = None,
     adjacency: bool = True,
     materialize_triples: bool = True,
     degree_cap: int | None = 500_000,
@@ -358,7 +384,8 @@ def build_graph_from_tagged(
     )
     triples = unique_local.union(linked_rest).union(deduped)
 
-    nodes = _finish_nodes(nodes_raw, embed)
+    nodes = _finish_nodes(nodes_raw, embed, embed_provider,
+                          embed_provider_kwargs, embed_concurrency)
 
     out = {"nodes": nodes, "triples": triples, "dangling": dangling}
     if adjacency:

@@ -73,3 +73,52 @@ def test_model_loaded_once_per_actor_not_per_batch(ray_session, tmp_path):
         np.asarray(r["embedding"]) for r in out if r["source_text"] == out[0]["source_text"]
     ]
     assert all(np.array_equal(same[0], s) for s in same)
+
+
+def test_build_graph_swaps_embed_provider(ray_session, small_corpus):
+    """VERDICT r4 item 9: the actor-pool provider path runs through the
+    WHOLE pipeline — build_graph(embed_provider=...) must yield the
+    same schema and node set as the default hash path, with the
+    provider's own (normalized, deterministic) vectors."""
+    import ray.data as rd
+
+    from hikma_engine_ray.pipelines.index_pipeline import build_graph
+    from hikma_engine_ray.stages.embedding import ModelEmbedder
+
+    dim = 16  # matches EMBEDDING_DIM-agnostic check below
+
+    class TinyModel:
+        """Pooled (n, dim) output — the other encode shape."""
+
+        def encode(self, texts):
+            out = np.zeros((len(texts), dim), dtype=np.float32)
+            for i, t in enumerate(texts):
+                out[i, len(t) % dim] = 1.0
+                out[i, (2 * len(t) + 1) % dim] = 0.5
+            return out
+
+    corpus = rd.from_arrow(small_corpus.slice(0, 60))
+    g_model = build_graph(
+        corpus, embed=True, adjacency=False,
+        embed_provider=ModelEmbedder,
+        embed_provider_kwargs={"model_factory": TinyModel, "dim": dim},
+    )
+    g_hash = build_graph(corpus, embed=True, adjacency=False)
+
+    m_rows = g_model["nodes"].take_all()
+    h_rows = g_hash["nodes"].take_all()
+    # identical downstream schema and node ids — only vectors differ
+    assert set(m_rows[0].keys()) == set(h_rows[0].keys())
+    assert {r["node_id"] for r in m_rows} == {r["node_id"] for r in h_rows}
+    for r in m_rows[:20]:
+        v = np.asarray(r["embedding"], dtype=np.float32)
+        assert v.shape == (dim,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # deterministic per source text across the two embed branches
+    by_text = {}
+    for r in m_rows:
+        by_text.setdefault(r["source_text"], []).append(
+            np.asarray(r["embedding"]))
+    assert all(
+        all(np.array_equal(vs[0], v) for v in vs) for vs in by_text.values()
+    )
