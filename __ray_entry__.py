@@ -116,8 +116,10 @@ def _kg_oracle_export(sf_dir: str) -> None:
     n = pq.read_metadata(
         os.path.join(sf_dir, "lineitem.parquet")).num_rows
     os.makedirs(_KG_ORACLE_DIR, exist_ok=True)
+    # v2 prefix: the node export gained columns in round 5; a distinct
+    # name keeps stale exports from ever matching the SQL globs
     tri_path = os.path.join(_KG_ORACLE_DIR, f"triples_{n}.parquet")
-    node_path = os.path.join(_KG_ORACLE_DIR, f"nodes_{n}.parquet")
+    node_path = os.path.join(_KG_ORACLE_DIR, f"kgnodes2_{n}.parquet")
     if os.path.exists(tri_path) and os.path.exists(node_path):
         return
     g = _kg(sf_dir)
@@ -127,8 +129,23 @@ def _kg_oracle_export(sf_dir: str) -> None:
     tri = pa.concat_tables(
         g["triples"].select_columns(["subj", "pred", "obj"])
         .iter_batches(batch_format="pyarrow"))
+
+    def _node_flags(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        has = (pc.cast(pc.is_valid(t["embedding"]), pa.int64())
+               if "embedding" in t.column_names
+               else pa.nulls(t.num_rows, pa.int64()).fill_null(0))
+        return pa.table({
+            "node_id": t["node_id"], "node_type": t["node_type"],
+            "repo": t["repo"], "path": t["path"], "lang": t["lang"],
+            "name": t["name"], "signature": t["signature"],
+            "start_line": t["start_line"], "end_line": t["end_line"],
+            "has_embedding": has,
+        })
+
     nod = pa.concat_tables(
-        g["nodes"].select_columns(["node_id", "node_type"])
+        g["nodes"].map_batches(_node_flags, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow"))
     for t, path in ((tri, tri_path), (nod, node_path)):
         t = t.append_column(
@@ -301,8 +318,11 @@ def _kg_pull_requests(sf_dir: str):
 
 def _kg_clone_groups(sf_dir: str):
     """signature_hash clone report (data-loader.ts:191-197): md5 of
-    type:name:signature per function-like node; groups with >1 member."""
+    type:name:signature per function-like node; groups with >1 member.
+    DuckDB oracle recomputes the md5 grouping from the nodes export."""
     from hikma_engine_ray.stages.stats import clone_groups
+
+    _kg_oracle_export(sf_dir)
 
     return clone_groups(_kg(sf_dir)["nodes"]).sort(
         ["n_clones", "signature_hash"], descending=[True, False]
@@ -311,21 +331,31 @@ def _kg_clone_groups(sf_dir: str):
 
 def _kg_embed_coverage(sf_dir: str):
     """A5 embedding coverage per node_type
-    (enhanced-search-service.ts:389-435)."""
+    (enhanced-search-service.ts:389-435); oracle over the nodes
+    export's has_embedding flag."""
     from hikma_engine_ray.stages.stats import embedding_coverage
+
+    _kg_oracle_export(sf_dir)
 
     return embedding_coverage(_kg(sf_dir)["nodes"]).sort(["node_type"])
 
 
 def _kg_top_paths(sf_dir: str):
+    """Top-20 paths by node count; exact group-by oracle over the
+    nodes export."""
     from hikma_engine_ray.stages.stats import top_paths
+
+    _kg_oracle_export(sf_dir)
 
     return top_paths(_kg(sf_dir)["nodes"], k=20)
 
 
 def _kg_complexity(sf_dir: str):
-    """A4 function complexity avg/max LoC per repo+lang (stats.ts:81-172)."""
+    """A4 function complexity avg/max LoC per repo+lang
+    (stats.ts:81-172); exact group-by oracle over the nodes export."""
     from hikma_engine_ray.stages.stats import function_complexity
+
+    _kg_oracle_export(sf_dir)
 
     return function_complexity(_kg(sf_dir)["nodes"]).sort(["repo", "lang"])
 
@@ -2922,6 +2952,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_stats": _kg_stats,
         "kg_degree_top": _kg_degree_top,
         "kg_components": _q_kg_components,
+        "kg_clone_groups": _kg_clone_groups,
+        "kg_embed_coverage": _kg_embed_coverage,
+        "kg_top_paths": _kg_top_paths,
+        "kg_complexity": _kg_complexity,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
@@ -2934,11 +2968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_delta": _kg_delta,
         "kg_file_summaries": _kg_file_summaries,
         "kg_repo_stats": _kg_repo_stats,
-        "kg_clone_groups": _kg_clone_groups,
         "kg_pull_requests": _kg_pull_requests,
-        "kg_embed_coverage": _kg_embed_coverage,
-        "kg_top_paths": _kg_top_paths,
-        "kg_complexity": _kg_complexity,
         "kg_pagerank": _q_kg_pagerank,
         "kg_ppr": _q_kg_ppr,
         "kg_communities": _q_kg_communities,
@@ -4342,7 +4372,7 @@ def oracle_sql() -> dict[str, str]:
         # tiers coexist.
         "kg_stats": """
             WITH nod AS (
-                SELECT * FROM read_parquet('/tmp/hikma_kg_oracle/nodes_*.parquet')
+                SELECT * FROM read_parquet('/tmp/hikma_kg_oracle/kgnodes2_*.parquet')
                 WHERE sf_rows = (SELECT count(*) FROM lineitem)
             ), tri AS (
                 SELECT * FROM read_parquet('/tmp/hikma_kg_oracle/triples_*.parquet')
@@ -4404,5 +4434,54 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes GROUP BY size
             ORDER BY size DESC
             LIMIT 20
+        """,
+        # function-like = the FUNCTION_LIKE set in stages/stats.py
+        "kg_clone_groups": """
+            WITH f AS (
+                SELECT md5(node_type || ':' || coalesce(name, '') || ':'
+                           || coalesce(signature, '')) AS signature_hash,
+                       node_id
+                FROM read_parquet('/tmp/hikma_kg_oracle/kgnodes2_*.parquet')
+                WHERE sf_rows = (SELECT count(*) FROM lineitem)
+                  AND node_type IN
+                      ('Function', 'ArrowFunction', 'Method', 'TestCase')
+            )
+            SELECT signature_hash,
+                   count(*)::BIGINT AS n_clones,
+                   min(node_id) AS example_id
+            FROM f GROUP BY signature_hash
+            HAVING count(*) > 1
+            ORDER BY n_clones DESC, signature_hash
+        """,
+        "kg_embed_coverage": """
+            SELECT node_type,
+                   count(*)::BIGINT AS n_total,
+                   sum(has_embedding)::BIGINT AS n_embedded,
+                   round(sum(has_embedding)::DOUBLE
+                         / greatest(count(*), 1), 4) AS coverage
+            FROM read_parquet('/tmp/hikma_kg_oracle/kgnodes2_*.parquet')
+            WHERE sf_rows = (SELECT count(*) FROM lineitem)
+            GROUP BY node_type ORDER BY node_type
+        """,
+        "kg_top_paths": """
+            SELECT path, count(*)::BIGINT AS n
+            FROM read_parquet('/tmp/hikma_kg_oracle/kgnodes2_*.parquet')
+            WHERE sf_rows = (SELECT count(*) FROM lineitem)
+              AND path IS NOT NULL
+            GROUP BY path
+            ORDER BY n DESC, path
+            LIMIT 20
+        """,
+        "kg_complexity": """
+            SELECT repo, lang,
+                   count(*)::BIGINT AS n_functions,
+                   round(sum(end_line - start_line + 1)::DOUBLE
+                         / greatest(count(*), 1), 4) AS avg_loc,
+                   max(end_line - start_line + 1)::BIGINT AS max_loc
+            FROM read_parquet('/tmp/hikma_kg_oracle/kgnodes2_*.parquet')
+            WHERE sf_rows = (SELECT count(*) FROM lineitem)
+              AND node_type IN
+                  ('Function', 'ArrowFunction', 'Method', 'TestCase')
+            GROUP BY repo, lang ORDER BY repo, lang
         """,
     }
