@@ -186,8 +186,13 @@ def _kg_stats(sf_dir: str):
 
 
 def _kg_adjacency_sizes(sf_dir: str):
+    """Per-(node, seg) adjacency list lengths. DuckDB oracle: endpoint
+    counts over the triples export — adjacency carries one entry per
+    triple per direction, and at check scale (degree_cap 500k vs ~80k
+    triples) no node segments, so rows are per-node exactly."""
     import pyarrow as pa
 
+    _kg_oracle_export(sf_dir)
     adj = _kg(sf_dir)["adjacency"]
 
     def sizes(t: pa.Table) -> pa.Table:
@@ -277,7 +282,12 @@ def _kg_delta(sf_dir: str):
 
 
 def _kg_repo_stats(sf_dir: str):
-    """A7 repo stats over the git-metadata side table (S4 analog)."""
+    """A7 repo stats over the git-metadata side table (S4 analog).
+    The side table itself is exported (kgcommits_*) so the DuckDB
+    oracle recomputes the distinct-count/max grouping from raw rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
     from hikma_engine_ray.pipelines.index_pipeline import repo_stats
     from hikma_engine_ray.sources.corpus import (
         corpus_files_for_sf,
@@ -286,7 +296,18 @@ def _kg_repo_stats(sf_dir: str):
     )
 
     corpus = generate_corpus(min(2000, corpus_files_for_sf(sf_dir)))
-    return repo_stats(generate_commits_table(corpus).to_pandas())
+    commits = generate_commits_table(corpus)
+    n = _pq.read_metadata(
+        os.path.join(sf_dir, "lineitem.parquet")).num_rows
+    os.makedirs(_KG_ORACLE_DIR, exist_ok=True)
+    path = os.path.join(_KG_ORACLE_DIR, f"kgcommits_{n}.parquet")
+    tmp = path + ".tmp"
+    _pq.write_table(
+        commits.append_column(
+            "sf_rows", pa.array([n] * commits.num_rows, pa.int64())),
+        tmp)
+    os.replace(tmp, path)
+    return repo_stats(commits.to_pandas())
 
 
 def _kg_pull_requests(sf_dir: str):
@@ -2956,18 +2977,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_embed_coverage": _kg_embed_coverage,
         "kg_top_paths": _kg_top_paths,
         "kg_complexity": _kg_complexity,
+        "kg_adjacency_degrees": _kg_adjacency_sizes,
+        "kg_repo_stats": _kg_repo_stats,
         # ---- rows-only from here down (no SQL analog; local gates
         # named in the oracle_sql() trailer comment) ----
         # KG construction (golden-verified P/R=1.0 in pytest)
         "kg_nodes": _kg_nodes,
         "kg_triples": _kg_triples,
-        "kg_adjacency_degrees": _kg_adjacency_sizes,
         "kg_resume": _kg_resume,
         "kg_semantic_search": _kg_semantic_search,
         "kg_rag_context": _kg_rag_context,
         "kg_delta": _kg_delta,
         "kg_file_summaries": _kg_file_summaries,
-        "kg_repo_stats": _kg_repo_stats,
         "kg_pull_requests": _kg_pull_requests,
         "kg_pagerank": _q_kg_pagerank,
         "kg_ppr": _q_kg_ppr,
@@ -4483,5 +4504,33 @@ def oracle_sql() -> dict[str, str]:
               AND node_type IN
                   ('Function', 'ArrowFunction', 'Method', 'TestCase')
             GROUP BY repo, lang ORDER BY repo, lang
+        """,
+        "kg_adjacency_degrees": """
+            WITH tri AS (
+                SELECT subj, obj
+                FROM read_parquet('/tmp/hikma_kg_oracle/triples_*.parquet')
+                WHERE sf_rows = (SELECT count(*) FROM lineitem)
+            ), n AS (
+                SELECT subj AS node_id FROM tri
+                UNION SELECT obj FROM tri
+            ), o AS (
+                SELECT subj AS node_id, count(*) AS od FROM tri GROUP BY 1
+            ), i AS (
+                SELECT obj AS node_id, count(*) AS idg FROM tri GROUP BY 1
+            )
+            SELECT n.node_id,
+                   coalesce(o.od, 0)::BIGINT AS out_degree,
+                   coalesce(i.idg, 0)::BIGINT AS in_degree
+            FROM n LEFT JOIN o USING (node_id) LEFT JOIN i USING (node_id)
+            ORDER BY n.node_id
+        """,
+        "kg_repo_stats": """
+            SELECT repo,
+                   count(DISTINCT commit)::BIGINT AS n_commits,
+                   count(DISTINCT author)::BIGINT AS n_authors,
+                   max(date) AS latest
+            FROM read_parquet('/tmp/hikma_kg_oracle/kgcommits_*.parquet')
+            WHERE sf_rows = (SELECT count(*) FROM lineitem)
+            GROUP BY repo ORDER BY repo
         """,
     }

@@ -27,8 +27,11 @@ def main() -> None:
     i = 0
     while i < len(argv):
         if argv[i] == "--sf":
-            sfs.append(argv[i + 1])
-            i += 2
+            i += 1
+            # consume every following path operand (--sf A B works)
+            while i < len(argv) and not argv[i].startswith("--"):
+                sfs.append(argv[i])
+                i += 1
         else:
             names.append(argv[i])
             i += 1
