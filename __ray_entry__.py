@@ -2809,6 +2809,18 @@ def _q_orders_ntile(sf_dir: str):
     ).sort(["rn"])
 
 
+def _q_orders_rank(sf_dir: str):
+    """RANK + DENSE_RANK per order priority by total price desc
+    (stages/windows.rank_window — one bucket shuffle, pandas C rank
+    kernel per key inside the bucket); native window oracle."""
+    from hikma_engine_ray.stages.windows import rank_window
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderkey", "o_totalprice"])
+    return rank_window(ds, "o_orderpriority", "o_totalprice",
+                       "o_orderkey").sort(["o_orderpriority", "o_orderkey"])
+
+
 def _q_khop(sf_dir: str):
     """Multi-source k-hop BFS (exact shortest hop distances, <= 4
     hops) over the part–supplier bipartite graph, seeds = every 50th
@@ -2927,6 +2939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_complexity": _kg_complexity,
         "kg_adjacency_degrees": _kg_adjacency_sizes,
         "kg_repo_stats": _kg_repo_stats,
+        "orders_rank": _q_orders_rank,
         # --- oracle-backed, driver-verified in round 4 ---
         # relational conformance (shuffle/join/sort/window primitives)
         "q1_pricing": _q1_pricing,
@@ -4525,6 +4538,15 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(i.idg, 0)::BIGINT AS in_degree
             FROM n LEFT JOIN o USING (node_id) LEFT JOIN i USING (node_id)
             ORDER BY n.node_id
+        """,
+        "orders_rank": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   RANK() OVER w::BIGINT AS rnk,
+                   DENSE_RANK() OVER w::BIGINT AS drnk
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC)
+            ORDER BY o_orderpriority, o_orderkey
         """,
         "kg_repo_stats": """
             SELECT repo,

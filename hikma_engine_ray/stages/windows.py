@@ -514,3 +514,27 @@ def running_total(ds, key: str, ts_col: str, id_col: str,
         ds.map_batches(to_us, batch_format="pyarrow"),
         key, [ts_col, id_col], fn, nbuckets,
     )
+
+
+def rank_window(ds, key: str, value_col: str, id_col: str,
+                descending: bool = True, nbuckets: int = 16):
+    """RANK() and DENSE_RANK() per key over ``value_col`` — SQL
+    ``RANK() OVER (PARTITION BY key ORDER BY value [DESC])``. One
+    bucketed shuffle; ranks are computed per key inside the bucket
+    with pandas' C rank kernel (competition + dense methods).
+
+    Output: key, id, value, rnk, drnk (int64)."""
+
+    def fn(g: pd.DataFrame, first: np.ndarray) -> pd.DataFrame:
+        grp = g.groupby(g[key].to_numpy(), sort=False)[value_col]
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            id_col: g[id_col].to_numpy(),
+            value_col: g[value_col].to_numpy(),
+            "rnk": grp.rank(method="min", ascending=not descending)
+                      .astype("int64").to_numpy(),
+            "drnk": grp.rank(method="dense", ascending=not descending)
+                       .astype("int64").to_numpy(),
+        })
+
+    return _per_key_rows(ds, key, [id_col], fn, nbuckets)

@@ -70,3 +70,21 @@ def test_rownumber_ntile_fewer_rows_than_tiles(ray_session):
            .to_pandas().sort_values("rn").reset_index(drop=True))
     assert got["tile"].tolist() == [1, 2]
     assert got["v"].tolist() == [1.0, 3.0]
+
+
+def test_rank_window_ties_and_dense(ray_session):
+    """RANK leaves gaps after ties; DENSE_RANK doesn't; per-key reset."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.windows import rank_window
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "a", "b", "b"],
+        "id": [1, 2, 3, 4, 5, 6],
+        "v": [10.0, 10.0, 7.0, 5.0, 3.0, 9.0],
+    })
+    out = rank_window(rd.from_pandas(df).repartition(3), "k", "v", "id",
+                      nbuckets=4).to_pandas().sort_values("id")
+    assert out["rnk"].tolist() == [1, 1, 3, 4, 2, 1]
+    assert out["drnk"].tolist() == [1, 1, 2, 3, 2, 1]
