@@ -197,7 +197,8 @@ def run_bench() -> dict:
         "corpus_funnel", "events_dau", "retention_7d", "sssp_parts",
         "events_cumsum", "label_centroids", "props_stats",
         "revenue_share", "bpe_encode", "top_types_per_user",
-        "corpus_curate",
+        "corpus_curate", "orders_rank", "corpus_curate_neardup",
+        "kg_degree_top", "kg_clone_groups",
     ):
         tq = time.monotonic()
         res = qs[name](SF_DIR)
