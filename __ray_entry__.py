@@ -1967,6 +1967,18 @@ def _q_events_lagdiff(sf_dir: str):
     )
 
 
+def _q_events_leaddiff(sf_dir: str):
+    """LEAD window op: per-user µs gap to the NEXT event (ordered by
+    ts, event_id); last event of a user gets the -1 sentinel
+    (stages/windows.lead_gap — the forward twin of lag_gap)."""
+    from hikma_engine_ray.stages.windows import lead_gap
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return lead_gap(ds, "user_id", "ts", "event_id").sort(
+        ["user_id", "event_id"]
+    )
+
+
 def _q_events_movavg(sf_dir: str):
     """ROWS-window moving average: avg(value) over the current + 2
     preceding events per user, ordered by (ts, event_id)."""
@@ -2940,6 +2952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_adjacency_degrees": _kg_adjacency_sizes,
         "kg_repo_stats": _kg_repo_stats,
         "orders_rank": _q_orders_rank,
+        "events_leaddiff": _q_events_leaddiff,
         # --- oracle-backed, driver-verified in round 4 ---
         # relational conformance (shuffle/join/sort/window primitives)
         "q1_pricing": _q1_pricing,
@@ -3590,6 +3603,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1)
                      AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, event_id
+        """,
+        "events_leaddiff": """
+            SELECT user_id, event_id,
+                   coalesce(lead(epoch_us(ts)) OVER w - epoch_us(ts), -1)
+                     AS lead_us
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY user_id, event_id

@@ -538,3 +538,40 @@ def rank_window(ds, key: str, value_col: str, id_col: str,
         })
 
     return _per_key_rows(ds, key, [id_col], fn, nbuckets)
+
+
+def lead_gap(ds, key: str, ts_col: str, id_col: str, nbuckets: int = 16):
+    """LEAD window: per-key time gap (µs) to the NEXT event, ordered by
+    (ts, id) — the forward twin of ``lag_gap``. The last event of a key
+    gets -1 (the NULL sentinel; engine and oracle coalesce
+    identically).
+
+    Output: key, id, lead_us (int64)."""
+
+    def fn(g: pd.DataFrame, first: np.ndarray) -> pd.DataFrame:
+        ts = g[ts_col].astype("int64").to_numpy()
+        lead = np.empty(len(g), dtype=np.int64)
+        lead[-1:] = -1
+        lead[:-1] = ts[1:] - ts[:-1]
+        # last row of each key = the row BEFORE each key's first row
+        last = np.empty(len(g), dtype=bool)
+        last[:-1] = first[1:]
+        last[-1:] = True
+        lead[last] = -1
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            id_col: g[id_col].to_numpy(),
+            "lead_us": lead,
+        })
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t[key],
+            id_col: t[id_col],
+            ts_col: pc.cast(pc.cast(t[ts_col], pa.int64()), pa.int64()),
+        })
+
+    return _per_key_rows(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        key, [ts_col, id_col], fn, nbuckets,
+    )
