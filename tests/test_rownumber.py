@@ -88,3 +88,41 @@ def test_rank_window_ties_and_dense(ray_session):
                       nbuckets=4).to_pandas().sort_values("id")
     assert out["rnk"].tolist() == [1, 1, 3, 4, 2, 1]
     assert out["drnk"].tolist() == [1, 1, 2, 3, 2, 1]
+
+
+def test_rank_and_lead_match_serial_reference_random(ray_session):
+    """Block-layout invariance on a random frame: rank_window and
+    lead_gap through the bucketed shuffle must equal the direct serial
+    pandas computation (fixed seed, several repartition layouts)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.windows import lead_gap, rank_window
+
+    rng = np.random.RandomState(7)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.choice(list("abcdefg"), n),
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.randint(0, 12, n).astype("float64"),  # many ties
+        "ts": rng.randint(0, 10**6, n).astype("int64"),
+    })
+    srt = df.sort_values(["k", "id"], kind="stable")
+    grp = srt.groupby("k", sort=False)
+    want_rnk = grp["v"].rank(method="min", ascending=False).astype("int64")
+    want_drnk = grp["v"].rank(method="dense", ascending=False).astype("int64")
+    ref_rank = dict(zip(srt["id"], zip(want_rnk, want_drnk)))
+
+    srt2 = df.sort_values(["k", "ts", "id"], kind="stable")
+    lead = srt2.groupby("k", sort=False)["ts"].shift(-1) - srt2["ts"]
+    ref_lead = dict(zip(srt2["id"], lead.fillna(-1).astype("int64")))
+
+    for nparts in (1, 3, 8):
+        ds = rd.from_pandas(df).repartition(nparts)
+        got = rank_window(ds, "k", "v", "id", nbuckets=4).to_pandas()
+        assert {r["id"]: (r["rnk"], r["drnk"])
+                for _, r in got.iterrows()} == ref_rank
+        got_l = lead_gap(ds, "k", "ts", "id", nbuckets=4).to_pandas()
+        assert {r["id"]: r["lead_us"]
+                for _, r in got_l.iterrows()} == ref_lead
