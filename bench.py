@@ -261,23 +261,28 @@ def run_scaling() -> dict:
             "canary_healthy_mb_s": CANARY_HEALTHY_MB_S, "sf": SF_DIR,
         }
     _corpus_path(n_files)  # generate once, untimed, shared by both runs
+    # best-of-N: this VM shows bursty CPU steal; min wall time is the
+    # standard estimator of intrinsic cost under noisy neighbors.
+    # SAME repeat count at BOTH levels: under one-sided noise, extra
+    # repeats at one level pull its min closer to intrinsic cost and
+    # bias the efficiency ratio (round-2 ADVICE) — equal counts keep
+    # the estimator symmetric. INTERLEAVED leg order (lo,hi,lo,hi…)
+    # rather than per-level blocks: this host's paging throughput
+    # drifts on minute timescales (round-4 canary traces), and a
+    # blocked order puts the whole drift into ONE level's minimum —
+    # interleaving exposes both levels to the same host trajectory
+    # (round-5; flicker faster than one leg remains, and is recorded
+    # via the per-leg canary readings below).
     times = {}
-    for ncpu in levels:
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_BENCH_FILES=str(n_files),
-            GRAFT_SKIP_QUERIES="1",
-        )
-        best = None
-        # best-of-N: this VM shows bursty CPU steal; min wall time is the
-        # standard estimator of intrinsic cost under noisy neighbors.
-        # SAME repeat count at BOTH levels: under one-sided noise, extra
-        # repeats at one level pull its min closer to intrinsic cost and
-        # bias the efficiency ratio (round-2 ADVICE) — equal counts keep
-        # the estimator symmetric.
-        n_rep = repeats
-        for _ in range(n_rep):
+    leg_canaries = []
+    for rep in range(repeats):
+        for ncpu in levels:
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(ncpu),
+                GRAFT_BENCH_FILES=str(n_files),
+                GRAFT_SKIP_QUERIES="1",
+            )
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
@@ -287,9 +292,12 @@ def run_scaling() -> dict:
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             ).stdout
             r = json.loads(out.strip().splitlines()[-1])
+            leg_canaries.append(
+                {"level": ncpu, "rep": rep, "sec": r["value"],
+                 "canary_mb_s": r.get("canary_mb_s")})
+            best = times.get(ncpu)
             if best is None or r["value"] < best["value"]:
-                best = r
-        times[ncpu] = best
+                times[ncpu] = r
     lo, hi = levels
     t_lo, t_hi = times[lo]["value"], times[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
@@ -304,6 +312,7 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
         "canary_mb_s_pre": canary_pre,
+        "legs": leg_canaries,
         "canary_mb_s_post": page_fault_canary(256),
     }
 
