@@ -2833,6 +2833,21 @@ def _q_orders_rank(sf_dir: str):
                        "o_orderkey").sort(["o_orderpriority", "o_orderkey"])
 
 
+def _q_orders_pctrank(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per order priority by total price desc
+    (stages/windows.percent_rank_window — one bucket shuffle; both
+    statistics depend only on the value distribution, so tie order and
+    block layout cannot change them); native window oracle with exact
+    float parity (single integer-ratio IEEE division on both sides)."""
+    from hikma_engine_ray.stages.windows import percent_rank_window
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderkey", "o_totalprice"])
+    return percent_rank_window(
+        ds, "o_orderpriority", "o_totalprice", "o_orderkey"
+    ).sort(["o_orderpriority", "o_orderkey"])
+
+
 def _q_khop(sf_dir: str):
     """Multi-source k-hop BFS (exact shortest hop distances, <= 4
     hops) over the part–supplier bipartite graph, seeds = every 50th
@@ -2953,6 +2968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_repo_stats": _kg_repo_stats,
         "orders_rank": _q_orders_rank,
         "events_leaddiff": _q_events_leaddiff,
+        "orders_pctrank": _q_orders_pctrank,
         # --- oracle-backed, driver-verified in round 4 ---
         # relational conformance (shuffle/join/sort/window primitives)
         "q1_pricing": _q1_pricing,
@@ -4564,6 +4580,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, o_orderkey, o_totalprice,
                    RANK() OVER w::BIGINT AS rnk,
                    DENSE_RANK() OVER w::BIGINT AS drnk
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC)
+            ORDER BY o_orderpriority, o_orderkey
+        """,
+        "orders_pctrank": """
+            SELECT o_orderpriority, o_orderkey,
+                   PERCENT_RANK() OVER w AS pct_rnk,
+                   CUME_DIST() OVER w AS cume
             FROM orders
             WINDOW w AS (PARTITION BY o_orderpriority
                          ORDER BY o_totalprice DESC)

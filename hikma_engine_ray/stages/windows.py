@@ -540,6 +540,37 @@ def rank_window(ds, key: str, value_col: str, id_col: str,
     return _per_key_rows(ds, key, [id_col], fn, nbuckets)
 
 
+def percent_rank_window(ds, key: str, value_col: str, id_col: str,
+                        descending: bool = True, nbuckets: int = 16):
+    """PERCENT_RANK() and CUME_DIST() per key over ``value_col`` — SQL
+    ``PERCENT_RANK() OVER (PARTITION BY key ORDER BY value [DESC])``.
+    Same one-shuffle shape as :func:`rank_window`; both statistics
+    depend only on the VALUE distribution (never on tie order), so the
+    result is deterministic under any block layout.
+
+    Float parity with the SQL window engine is exact, not approximate:
+    PERCENT_RANK = (rank-1)/(n-1) and CUME_DIST = rank_max/n are single
+    IEEE divisions of the same two integers on both sides (n == 1 keys
+    get PERCENT_RANK 0, the SQL definition).
+
+    Output: key, id, pct_rnk (float64), cume (float64)."""
+
+    def fn(g: pd.DataFrame, first: np.ndarray) -> pd.DataFrame:
+        grp = g.groupby(g[key].to_numpy(), sort=False)[value_col]
+        rmin = grp.rank(method="min", ascending=not descending).to_numpy()
+        rmax = grp.rank(method="max", ascending=not descending).to_numpy()
+        n = grp.transform("size").to_numpy().astype(np.float64)
+        pct = np.where(n > 1.0, (rmin - 1.0) / np.maximum(n - 1.0, 1.0), 0.0)
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            id_col: g[id_col].to_numpy(),
+            "pct_rnk": pct,
+            "cume": rmax / n,
+        })
+
+    return _per_key_rows(ds, key, [id_col], fn, nbuckets)
+
+
 def lead_gap(ds, key: str, ts_col: str, id_col: str, nbuckets: int = 16):
     """LEAD window: per-key time gap (µs) to the NEXT event, ordered by
     (ts, id) — the forward twin of ``lag_gap``. The last event of a key

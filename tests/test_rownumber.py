@@ -126,3 +126,44 @@ def test_rank_and_lead_match_serial_reference_random(ray_session):
         got_l = lead_gap(ds, "k", "ts", "id", nbuckets=4).to_pandas()
         assert {r["id"]: r["lead_us"]
                 for _, r in got_l.iterrows()} == ref_lead
+
+
+def test_percent_rank_window_matches_serial_reference(ray_session):
+    """percent_rank_window vs the direct serial pandas computation:
+    PERCENT_RANK = (rank_min-1)/(n-1) (0 for singleton keys) and
+    CUME_DIST = rank_max/n, layout-invariant, many ties."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.windows import percent_rank_window
+
+    rng = np.random.RandomState(11)
+    n = 300
+    df = pd.DataFrame({
+        "k": rng.choice(list("abcde"), n),
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.randint(0, 9, n).astype("float64"),
+    })
+    # one singleton key exercising the n == 1 -> 0.0 definition
+    df.loc[len(df)] = ["z", n, 5.0]
+    df["id"] = df["id"].astype("int64")
+
+    grp = df.groupby("k", sort=False)["v"]
+    rmin = grp.rank(method="min", ascending=False).to_numpy()
+    rmax = grp.rank(method="max", ascending=False).to_numpy()
+    cnt = grp.transform("size").to_numpy().astype("float64")
+    pct = np.where(cnt > 1, (rmin - 1.0) / np.maximum(cnt - 1.0, 1.0), 0.0)
+    ref = {i: (p, c) for i, p, c in zip(df["id"], pct, rmax / cnt)}
+
+    for nparts in (1, 4):
+        got = percent_rank_window(
+            rd.from_pandas(df).repartition(nparts), "k", "v", "id",
+            nbuckets=4).to_pandas()
+        assert len(got) == len(df)
+        for _, r in got.iterrows():
+            wp, wc = ref[r["id"]]
+            assert r["pct_rnk"] == wp and r["cume"] == wc
+    singleton = got[got["k"] == "z"]
+    assert singleton["pct_rnk"].tolist() == [0.0]
+    assert singleton["cume"].tolist() == [1.0]
