@@ -2625,6 +2625,23 @@ def _q_bpe_encode(sf_dir: str):
     return bpe_encode(ds, merges).sort("doc_id")
 
 
+def _q_bpe_roundtrip(sf_dir: str):
+    """Driver-checkable invariant gate for the BPE tokenizer (the
+    hll_bound pattern applied to tokenization): per doc the engine
+    emits (n_words, ok) where n_words uses the tokenizer's own \\S+
+    word rule — independently recomputed by the DuckDB oracle, so a
+    hash mismatch means the tokenizer saw different words — and ok
+    asserts the encode→decode identity (concatenating a word's BPE
+    symbols restores the word, 1 <= n_symbols <= n_chars) for every
+    word of the doc. stages/bpe.BPERoundtrip — actor pool, rank table
+    once per actor, distinct-word memo, no shuffle."""
+    from hikma_engine_ray.stages.bpe import bpe_roundtrip, bpe_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(ds, n_merges=40)
+    return bpe_roundtrip(ds, merges).sort("doc_id")
+
+
 def _q_props_stats(sf_dir: str):
     """JSON property extraction + aggregate (SURVEY §2.8 JSON_EXTRACT):
     per event_type sum/avg/threshold-count of props->'$.k' — the JSON
@@ -2969,6 +2986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rank": _q_orders_rank,
         "events_leaddiff": _q_events_leaddiff,
         "orders_pctrank": _q_orders_pctrank,
+        "bpe_roundtrip": _q_bpe_roundtrip,
         # --- oracle-backed, driver-verified in round 4 ---
         # relational conformance (shuffle/join/sort/window primitives)
         "q1_pricing": _q1_pricing,
@@ -4593,6 +4611,13 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY o_orderpriority
                          ORDER BY o_totalprice DESC)
             ORDER BY o_orderpriority, o_orderkey
+        """,
+        "bpe_roundtrip": """
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(coalesce(text, '')),
+                                          '\\S+'))::BIGINT AS n_words,
+                   CAST(1 AS BIGINT) AS ok
+            FROM documents ORDER BY doc_id
         """,
         "kg_repo_stats": """
             SELECT repo,

@@ -250,3 +250,58 @@ def bpe_encode(ds, merges_ds, text_col: str = "text",
         BPEEncoder, fn_constructor_kwargs={
             "merges": merges, "text_col": text_col, "id_col": id_col},
         batch_format="pyarrow", concurrency=concurrency)
+
+
+class BPERoundtrip:
+    """Actor-pool invariant stage: per doc, (a) count words with the
+    training tokenizer's own word rule and (b) assert the encode →
+    decode identity — concatenating a word's BPE symbols must restore
+    the word exactly, with 1 <= n_symbols <= n_chars. The word count is
+    independently SQL-recomputable (``\\S+`` tokenization), so a DuckDB
+    oracle can hash-check half the row and assert the identity bit for
+    the rest — the same driver-checkable-invariant pattern as the
+    hll_bound / kll_bound sketch gates. Same memo shape as
+    :class:`BPEEncoder` (one encode per distinct word per actor)."""
+
+    def __init__(self, merges: list[tuple], text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+        self.text_col, self.id_col = text_col, id_col
+        self._memo: dict[str, int] = {}
+
+    def _ok(self, word: str) -> int:
+        v = self._memo.get(word)
+        if v is None:
+            syms = encode_word(word, self.ranks)
+            v = self._memo[word] = int(
+                "".join(syms) == word and 1 <= len(syms) <= len(word)
+            )
+        return v
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n_words = np.zeros(t.num_rows, np.int64)
+        ok = np.ones(t.num_rows, np.int64)
+        for i, s in enumerate(t[self.text_col].to_pylist()):
+            ws = _WORD_RE.findall((s or "").lower())
+            n_words[i] = len(ws)
+            for w in ws:
+                if not self._ok(w):
+                    ok[i] = 0
+                    break
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "n_words": pa.array(n_words, pa.int64()),
+            "ok": pa.array(ok, pa.int64()),
+        })
+
+
+def bpe_roundtrip(ds, merges_ds, text_col: str = "text",
+                  id_col: str = "doc_id", concurrency: int = 4):
+    """Corpus + trained merge table → per-doc (n_words, roundtrip ok).
+    Pure actor-pool map, no shuffle; see :class:`BPERoundtrip`."""
+    mt = merges_ds.to_pandas().sort_values("rank")
+    merges = list(zip(mt["left"], mt["right"]))
+    return ds.map_batches(
+        BPERoundtrip, fn_constructor_kwargs={
+            "merges": merges, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency)

@@ -117,3 +117,35 @@ def test_bpe_encode_engine_matches_serial(ray_session):
         g = got[got.doc_id == row["doc_id"]].iloc[0]
         assert g["n_words"] == len(ws)
         assert g["n_subwords"] == exp_sub
+
+
+def test_bpe_roundtrip_invariant(ray_session):
+    """Encode→decode identity holds on hostile inputs (unicode,
+    emoji, punctuation runs, empty and null docs), and n_words matches
+    the \\S+ rule the SQL oracle recomputes."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.bpe import (
+        _WORD_RE, BPERoundtrip, bpe_roundtrip, bpe_train)
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["low lower newest", "naïve café 💡💡 --- !!?",
+                 "", None, "x " * 50 + "日本語 mixé"],
+    })
+    ds = rd.from_pandas(docs).repartition(2)
+    merges_ds = bpe_train(ds, n_merges=6).materialize()
+    got = (bpe_roundtrip(ds, merges_ds, concurrency=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["ok"].tolist() == [1, 1, 1, 1, 1]
+    for _, row in docs.iterrows():
+        ws = _WORD_RE.findall((row["text"] or "").lower())
+        assert got[got.doc_id == row["doc_id"]].iloc[0]["n_words"] == len(ws)
+
+    # the gate actually fires: a corrupted memo entry flips ok to 0
+    enc = BPERoundtrip(merges=[])
+    enc._memo["poison"] = 0
+    import pyarrow as pa
+    out = enc(pa.table({"doc_id": [9], "text": ["a poison pill"]}))
+    assert out["ok"].to_pylist() == [0]
