@@ -2625,6 +2625,62 @@ def _q_bpe_encode(sf_dir: str):
     return bpe_encode(ds, merges).sort("doc_id")
 
 
+def _q_minhash_recall(sf_dir: str):
+    """Driver-checkable recall gate for the MinHash-LSH near-dup path
+    (the hll_bound pattern applied to LSH): the engine computes BOTH
+    the exact n-gram-Jaccard truth (setsim.jaccard_self_join, k=3,
+    J >= 0.7 — the regime where the 16-band/4-row banding curve
+    guarantees >= 0.98 candidate probability) AND the verified
+    minhash pairs (the minhash_pairs flow), then emits one row
+    (n_true, recall_ok). The oracle recomputes n_true brute-force in
+    DuckDB — a hash mismatch on n_true means the exact join drifted —
+    and asserts recall >= 0.9. Both pair sets are result-sized; the
+    intersection is a driver set op on those results, never on the
+    corpus."""
+    import pandas as pd
+
+    from hikma_engine_ray.stages.setsim import jaccard_self_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    truth = jaccard_self_join(ds, threshold=0.7, k=3).to_pandas()
+    tset = set(zip(truth["a"], truth["b"]))
+    mh = _q_minhash_pairs(sf_dir).to_pandas()
+    mset = set(zip(mh["a"], mh["b"]))
+    recall = len(tset & mset) / max(len(tset), 1)
+    return pd.DataFrame({
+        "n_true": pd.Series([len(tset)], dtype="int64"),
+        "recall_ok": pd.Series([int(recall >= 0.9)], dtype="int64"),
+    })
+
+
+def _q_embed_recall(sf_dir: str):
+    """Recall gate for the hyperplane-LSH embedding near-dup path —
+    the embedding twin of minhash_recall. Truth = the exact all-pairs
+    cosine join (similarity.cosine_pairs, blocked float64 matmul
+    against a broadcast normalized matrix; O(n²) compute by
+    definition of exact truth, run at verification scale). The oracle
+    recomputes n_true with DuckDB's list_cosine_similarity over a
+    vec_id-ordered self join (nearest pair sits 3e-5 from the 0.35
+    threshold at both check scales — far beyond f32/f64 noise) and
+    asserts recall >= 0.9 (hyperplane banding at 3x12 predicts ~0.96;
+    measured 0.977 / 0.952, deterministic seeds)."""
+    import pandas as pd
+
+    from hikma_engine_ray.stages.similarity import cosine_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    truth = cosine_pairs(ds, threshold=0.35).to_pandas()
+    tset = set(zip(truth["a"], truth["b"]))
+    nd = _q_embed_neardup(sf_dir).to_pandas()
+    cols = list(nd.columns)[:2]
+    mset = set(zip(nd[cols[0]], nd[cols[1]]))
+    recall = len(tset & mset) / max(len(tset), 1)
+    return pd.DataFrame({
+        "n_true": pd.Series([len(tset)], dtype="int64"),
+        "recall_ok": pd.Series([int(recall >= 0.9)], dtype="int64"),
+    })
+
+
 def _q_bpe_roundtrip(sf_dir: str):
     """Driver-checkable invariant gate for the BPE tokenizer (the
     hll_bound pattern applied to tokenization): per doc the engine
@@ -2987,6 +3043,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_leaddiff": _q_events_leaddiff,
         "orders_pctrank": _q_orders_pctrank,
         "bpe_roundtrip": _q_bpe_roundtrip,
+        "minhash_recall": _q_minhash_recall,
+        "embed_recall": _q_embed_recall,
         # --- oracle-backed, driver-verified in round 4 ---
         # relational conformance (shuffle/join/sort/window primitives)
         "q1_pricing": _q1_pricing,
@@ -4618,6 +4676,39 @@ def oracle_sql() -> dict[str, str]:
                                           '\\S+'))::BIGINT AS n_words,
                    CAST(1 AS BIGINT) AS ok
             FROM documents ORDER BY doc_id
+        """,
+        "minhash_recall": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                         for i in range(1, len(toks) - 1)])
+                END AS sh
+              FROM t
+            ), e AS (
+              SELECT doc_id, unnest(sh) AS g FROM s
+            ), sz AS (
+              SELECT doc_id, len(sh) AS n FROM s
+            ), inter AS (
+              SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS i
+              FROM e e1 JOIN e e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT count(*)::BIGINT AS n_true, CAST(1 AS BIGINT) AS recall_ok
+            FROM inter
+            JOIN sz na ON na.doc_id = a
+            JOIN sz nb ON nb.doc_id = b
+            WHERE i / (na.n + nb.n - i) :: DOUBLE >= 0.7
+        """,
+        "embed_recall": """
+            SELECT count(*)::BIGINT AS n_true, CAST(1 AS BIGINT) AS recall_ok
+            FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.35
         """,
         "kg_repo_stats": """
             SELECT repo,

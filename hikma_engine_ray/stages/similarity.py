@@ -70,6 +70,53 @@ def brute_force_topk(ds, query_vec: np.ndarray, k: int = 10,
     return partials.sort(["score", id_col], descending=[True, False]).limit(k)
 
 
+def cosine_pairs(ds, threshold: float, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+    """EXACT all-pairs cosine similarity join: every (a < b) pair with
+    cosine >= threshold. The normalized matrix is broadcast ONCE
+    (``ray.put``); each batch does one blocked float64 matmul against
+    it and emits only its qualifying pairs — no driver loop, no
+    per-pair Python.
+
+    This is the ground-truth generator for the embedding near-dup
+    RECALL gate (and small-corpus exact joins): the output is the
+    result-sized pair set, but the COMPUTE is inherently O(n²/blocks)
+    — that is the definition of exact all-pairs truth. At 100 TB this
+    runs on a verification SAMPLE; the production near-dup path is
+    ``dedup_suite.embedding_neardup`` (hyperplane LSH, no all-pairs)."""
+    import ray
+
+    mat_t = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    tabs = [t for t in ray.get(mat_t) if t.num_rows]
+    full = pa.concat_tables(tabs, promote_options="default") if tabs else None
+    if full is None or full.num_rows == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
+    all_ids = full[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    M = _to_matrix(full[vec_col]).astype(np.float64)
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    ref = ray.put((all_ids, M / nrm))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_all, Mn = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        B = _to_matrix(batch[vec_col]).astype(np.float64)
+        if len(ids) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        n = np.linalg.norm(B, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        S = (B / n) @ Mn.T
+        r, c = np.nonzero((S >= threshold) & (ids[:, None] < ids_all[None, :]))
+        return pa.table({"a": pa.array(ids[r], pa.int64()),
+                         "b": pa.array(ids_all[c], pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
 class IVFIndex:
     """Deterministic IVF for embedding Datasets.
 

@@ -134,3 +134,40 @@ def test_containment_paths_equivalent(ray_session):
         and len(sh[a] & sh[b]) / len(sh[a]) >= 0.8
     )
     assert list(map(tuple, fast[["a", "b"]].to_numpy())) == exp
+
+
+def test_cosine_pairs_matches_serial_reference(ray_session):
+    """cosine_pairs (broadcast-matrix blocked matmul) equals the
+    direct n^2 numpy computation, under several block layouts, and
+    handles the empty input."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hikma_engine_ray.stages.similarity import cosine_pairs
+
+    rng = np.random.RandomState(3)
+    n, d = 80, 8
+    M = rng.randn(n, d)
+    M[5] = M[7] * 2.0          # exact cosine-1 pair
+    M[9] = 0.0                 # zero vector (norm guard)
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    Mn[9] = 0.0
+    S = Mn @ Mn.T
+    iu = np.triu_indices(n, k=1)
+    want = {(int(ids[a]), int(ids[b]))
+            for a, b in zip(*iu) if S[a, b] >= 0.6}
+    assert want, "fixture must produce at least one qualifying pair"
+
+    df = pd.DataFrame({"vec_id": ids,
+                       "embedding": [[float(x) for x in row] for row in M]})
+    for nparts in (1, 4):
+        got = cosine_pairs(rd.from_pandas(df).repartition(nparts),
+                           threshold=0.6).to_pandas()
+        assert set(zip(got["a"], got["b"])) == want
+
+    empty = rd.from_pandas(pd.DataFrame(
+        {"vec_id": pd.Series([], dtype="int64"),
+         "embedding": pd.Series([], dtype=object)}))
+    assert cosine_pairs(empty, threshold=0.5).count() == 0
