@@ -1430,9 +1430,14 @@ def _q_kg_ppr(sf_dir: str):
     """Personalized PageRank from the Repository nodes over the KG
     edges — structural proximity to the repo roots (stages/
     pagerank.personalized_pagerank, Haveliwala 2002; count-guarded
-    driver/broadcast shapes). Top-20 non-seed nodes. Rows-only;
-    local gate: tests/test_pagerank.py (engine ≡ dense numpy with an
-    isolated seed)."""
+    driver/broadcast shapes). Top-20 nodes (seeds included — their
+    restart mass keeps them central by construction).
+
+    Oracle-backed since round 5: _ppr_oracle_sql unrolls the same
+    personalized iteration in DuckDB (restart vector concentrated on
+    the Repository nodes read from the nodes export) and must land on
+    the identical rounded top-20. Local gate: tests/test_pagerank.py
+    (engine ≡ dense numpy with an isolated seed)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1441,6 +1446,7 @@ def _q_kg_ppr(sf_dir: str):
     from hikma_engine_ray.stages.agg import global_topk
     from hikma_engine_ray.stages.pagerank import personalized_pagerank
 
+    _kg_oracle_export(sf_dir)
     g = _kg(sf_dir)
     nodes = g["nodes"]
     seeds = nodes.map_batches(
@@ -1468,8 +1474,13 @@ def _q_kg_ppr(sf_dir: str):
 def _q_kg_pagerank(sf_dir: str):
     """PageRank centrality over the built KG's edges (stages/
     pagerank.py, damped power iteration, broadcast-rank path with a
-    join-path fallback past 20M nodes). Top-20 nodes by rank. Rows-only
-    driver check; local gate: tests/test_pagerank.py (vs dense numpy
+    join-path fallback past 20M nodes). Top-20 nodes by rank.
+
+    Oracle-backed since round 5: DuckDB replays the SAME damped power
+    iteration (10 unrolled MATERIALIZED CTE steps over the exported
+    triples — multi-edge out-degrees, uniform dangling-mass
+    redistribution, 1/n init) and must land on the identical rounded
+    top-20. Local gate: tests/test_pagerank.py (vs dense numpy
     reference and broadcast≡join equivalence)."""
     import numpy as np
     import pyarrow as pa
@@ -1477,6 +1488,7 @@ def _q_kg_pagerank(sf_dir: str):
     from hikma_engine_ray.functions.num import round_half_away
     from hikma_engine_ray.stages.pagerank import pagerank
 
+    _kg_oracle_export(sf_dir)
     edges = _kg(sf_dir)["triples"].select_columns(["subj", "obj"])
     ranks = pagerank(edges, src_col="subj", dst_col="obj", iters=10)
 
@@ -3039,6 +3051,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_complexity": _kg_complexity,
         "kg_adjacency_degrees": _kg_adjacency_sizes,
         "kg_repo_stats": _kg_repo_stats,
+        "kg_pagerank": _q_kg_pagerank,
+        "kg_ppr": _q_kg_ppr,
         "orders_rank": _q_orders_rank,
         "events_leaddiff": _q_events_leaddiff,
         "orders_pctrank": _q_orders_pctrank,
@@ -3110,8 +3124,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_delta": _kg_delta,
         "kg_file_summaries": _kg_file_summaries,
         "kg_pull_requests": _kg_pull_requests,
-        "kg_pagerank": _q_kg_pagerank,
-        "kg_ppr": _q_kg_ppr,
         "kg_communities": _q_kg_communities,
         # sketches / iterative / banded-LSH (approximate by design)
         "hll_sources": _q_hll_sources,
@@ -3133,6 +3145,123 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_transform": _q_media_transform,
     }
+
+
+def _pagerank_oracle_sql(iters: int = 10, damping: float = 0.85,
+                         topk: int = 20) -> str:
+    """Unrolled damped power iteration in pure DuckDB SQL over the
+    /tmp triples export — the independent recomputation backing the
+    kg_pagerank oracle. Semantics mirror stages/pagerank.pagerank
+    exactly: multi-edge out-degrees (every triple row counts), uniform
+    1/n init, dangling mass redistributed uniformly each step, rank' =
+    (1-d)/n + d·dang/n + d·Σ rank/deg. Every per-iteration CTE is
+    MATERIALIZED — r_i is referenced three times by step i+1, so
+    un-materialized CTE inlining would recompute the whole chain
+    3^iters times (and the repeated read_parquet inlining exhausts
+    file descriptors). Output = the rounded top-k, ties broken by node
+    ascending — identical to the engine's global_topk ordering."""
+    head = """
+            WITH tri AS MATERIALIZED (
+              SELECT subj, obj
+              FROM read_parquet('/tmp/hikma_kg_oracle/triples_*.parquet')
+              WHERE sf_rows = (SELECT count(*) FROM lineitem)
+            ), nodes AS MATERIALIZED (
+              SELECT DISTINCT node FROM (
+                SELECT subj AS node FROM tri UNION SELECT obj FROM tri)
+            ), nn AS ( SELECT count(*)::DOUBLE AS n FROM nodes
+            ), outdeg AS MATERIALIZED (
+              SELECT subj AS node, count(*)::DOUBLE AS deg
+              FROM tri GROUP BY 1
+            ), r0 AS (
+              SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+            )"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = f"r{i-1}"
+        steps.append(f""", d{i} AS MATERIALIZED (
+              SELECT coalesce(sum(r.rank), 0.0) AS dang
+              FROM {p} r LEFT JOIN outdeg d ON d.node = r.node
+              WHERE d.node IS NULL
+            ), c{i} AS MATERIALIZED (
+              SELECT t.obj AS node, sum(r.rank / d.deg) AS contrib
+              FROM tri t JOIN {p} r ON r.node = t.subj
+                         JOIN outdeg d ON d.node = t.subj
+              GROUP BY 1
+            ), r{i} AS MATERIALIZED (
+              SELECT n.node,
+                     (1.0 - {damping}) / (SELECT n FROM nn)
+                     + {damping} * (SELECT dang FROM d{i}) / (SELECT n FROM nn)
+                     + {damping} * coalesce(c.contrib, 0.0) AS rank
+              FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+            )""")
+    tail = f"""
+            SELECT node, round(rank, 6) AS rank
+            FROM r{iters}
+            ORDER BY round(rank, 6) DESC, node ASC
+            LIMIT {topk}"""
+    return head + "".join(steps) + tail
+
+
+def _ppr_oracle_sql(iters: int = 10, damping: float = 0.85,
+                    topk: int = 20) -> str:
+    """Unrolled PERSONALIZED PageRank (Haveliwala 2002) in DuckDB —
+    the oracle twin of _pagerank_oracle_sql with the restart
+    distribution concentrated on the Repository nodes (read from the
+    nodes export, exactly the engine's seed rule): r' = (1-d)·p +
+    d·(Σ rank/deg + dang·p), r0 = p, p = 1/|seeds| on seeds. The node
+    universe is edge endpoints ∪ seeds (seeds outside the edge set
+    still carry restart mass — pagerank.py:personalized_pagerank)."""
+    head = """
+            WITH tri AS MATERIALIZED (
+              SELECT subj, obj
+              FROM read_parquet('/tmp/hikma_kg_oracle/triples_*.parquet')
+              WHERE sf_rows = (SELECT count(*) FROM lineitem)
+            ), seeds AS MATERIALIZED (
+              SELECT DISTINCT node_id AS node
+              FROM read_parquet('/tmp/hikma_kg_oracle/kgnodes2_*.parquet')
+              WHERE sf_rows = (SELECT count(*) FROM lineitem)
+                AND node_type = 'Repository'
+            ), ns AS ( SELECT count(*)::DOUBLE AS k FROM seeds
+            ), nodes AS MATERIALIZED (
+              SELECT DISTINCT node FROM (
+                SELECT subj AS node FROM tri UNION SELECT obj FROM tri
+                UNION SELECT node FROM seeds)
+            ), outdeg AS MATERIALIZED (
+              SELECT subj AS node, count(*)::DOUBLE AS deg
+              FROM tri GROUP BY 1
+            ), pvec AS MATERIALIZED (
+              SELECT n.node,
+                     CASE WHEN s.node IS NOT NULL
+                          THEN 1.0 / (SELECT k FROM ns) ELSE 0.0 END AS p
+              FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+            ), r0 AS (
+              SELECT node, p AS rank FROM pvec
+            )"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = f"r{i-1}"
+        steps.append(f""", d{i} AS MATERIALIZED (
+              SELECT coalesce(sum(r.rank), 0.0) AS dang
+              FROM {p} r LEFT JOIN outdeg d ON d.node = r.node
+              WHERE d.node IS NULL
+            ), c{i} AS MATERIALIZED (
+              SELECT t.obj AS node, sum(r.rank / d.deg) AS contrib
+              FROM tri t JOIN {p} r ON r.node = t.subj
+                         JOIN outdeg d ON d.node = t.subj
+              GROUP BY 1
+            ), r{i} AS MATERIALIZED (
+              SELECT v.node,
+                     (1.0 - {damping}) * v.p
+                     + {damping} * (coalesce(c.contrib, 0.0)
+                                    + (SELECT dang FROM d{i}) * v.p) AS rank
+              FROM pvec v LEFT JOIN c{i} c ON c.node = v.node
+            )""")
+    tail = f"""
+            SELECT node, round(rank, 6) AS rank
+            FROM r{iters}
+            ORDER BY round(rank, 6) DESC, node ASC
+            LIMIT {topk}"""
+    return head + "".join(steps) + tail
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4327,12 +4456,12 @@ def oracle_sql() -> dict[str, str]:
         #   kll_price       KLL quantile sketch (approximate by design)
         #                   (tests/test_kll.py: ≤2-3% rank error vs
         #                   exact, merge ≡ single-stream, determinism)
-        #   kg_pagerank     damped power iteration (iterative; no SQL
-        #                   twin) (tests/test_pagerank.py: engine ≡
-        #                   dense numpy reference, broadcast ≡ join path)
         # (kg_stats / kg_degree_top / kg_components moved to the
         # oracle-backed section in round 5 — their SQL recomputes from
-        # the /tmp graph export, see the kg_* entries below)
+        # the /tmp graph export, see the kg_* entries below;
+        # kg_pagerank joined them late in round 5 — its oracle unrolls
+        # the damped power iteration as 10 MATERIALIZED CTE steps,
+        # see _pagerank_oracle_sql)
         #   hll_lang_sources per-group HLL (approximate by design;
         #                   ≤5% gate test_grouped_hll_accuracy; exact
         #                   twin distinct_sources carries the SQL oracle)
@@ -4710,6 +4839,8 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
             WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.35
         """,
+        "kg_pagerank": _pagerank_oracle_sql(),
+        "kg_ppr": _ppr_oracle_sql(),
         "kg_repo_stats": """
             SELECT repo,
                    count(DISTINCT commit)::BIGINT AS n_commits,
