@@ -1677,8 +1677,14 @@ def _q_kg_communities(sf_dir: str):
     """Communities of the KG's semantic code graph via deterministic
     synchronous label propagation (stages/graphops.label_propagation,
     Raghavan et al. 2007; min-label ties, simple-graph votes).
-    Community-size distribution, largest first. Rows-only; local
-    gates: tests/test_graphops.py (engine ≡ serial LPA, both paths,
+    Community-size distribution, largest first.
+
+    Oracle-backed since round 5: labels ARE lexicographic node-name
+    ranks, so _lpa_oracle_sql replays the identical synchronous
+    min-tie vote rounds in DuckDB (row_number over (count DESC, label
+    ASC) per node, isolated nodes keep their label) and must produce
+    the identical size distribution. Local gates:
+    tests/test_graphops.py (engine ≡ serial LPA, both paths,
     layout-invariant)."""
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1687,6 +1693,7 @@ def _q_kg_communities(sf_dir: str):
     from hikma_engine_ray.stages.agg import global_topk
     from hikma_engine_ray.stages.graphops import label_propagation
 
+    _kg_oracle_export(sf_dir)
     edges = _kg(sf_dir)["triples"].map_batches(
         lambda t: t.filter(
             pc.is_in(t["pred"],
@@ -3053,6 +3060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_repo_stats": _kg_repo_stats,
         "kg_pagerank": _q_kg_pagerank,
         "kg_ppr": _q_kg_ppr,
+        "kg_communities": _q_kg_communities,
         "orders_rank": _q_orders_rank,
         "events_leaddiff": _q_events_leaddiff,
         "orders_pctrank": _q_orders_pctrank,
@@ -3124,7 +3132,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_delta": _kg_delta,
         "kg_file_summaries": _kg_file_summaries,
         "kg_pull_requests": _kg_pull_requests,
-        "kg_communities": _q_kg_communities,
         # sketches / iterative / banded-LSH (approximate by design)
         "hll_sources": _q_hll_sources,
         "hll_lang_sources": _q_hll_lang_sources,
@@ -3261,6 +3268,56 @@ def _ppr_oracle_sql(iters: int = 10, damping: float = 0.85,
             FROM r{iters}
             ORDER BY round(rank, 6) DESC, node ASC
             LIMIT {topk}"""
+    return head + "".join(steps) + tail
+
+
+def _lpa_oracle_sql(iters: int = 10, topk: int = 20) -> str:
+    """Unrolled deterministic synchronous label propagation in DuckDB —
+    the oracle twin of stages/graphops.label_propagation over the KG's
+    CALLS/EXTENDS/IMPLEMENTS edges. The engine's labels are
+    lexicographic node-name ranks, so node-name strings ARE the labels
+    here: each round every node adopts the most frequent label among
+    its distinct undirected neighbors (row_number over (count DESC,
+    label ASC) = the engine's max-count/min-label vote), isolated
+    nodes keep theirs; 10 synchronous rounds; output = the
+    community-size distribution, largest sizes first. Per-round CTEs
+    are MATERIALIZED for the same reasons as _pagerank_oracle_sql."""
+    head = """
+            WITH und AS MATERIALIZED (
+              SELECT DISTINCT u, v FROM (
+                SELECT subj AS u, obj AS v
+                FROM read_parquet('/tmp/hikma_kg_oracle/triples_*.parquet')
+                WHERE sf_rows = (SELECT count(*) FROM lineitem)
+                  AND pred IN ('CALLS', 'EXTENDS', 'IMPLEMENTS')
+                UNION ALL
+                SELECT obj, subj
+                FROM read_parquet('/tmp/hikma_kg_oracle/triples_*.parquet')
+                WHERE sf_rows = (SELECT count(*) FROM lineitem)
+                  AND pred IN ('CALLS', 'EXTENDS', 'IMPLEMENTS'))
+            ), l0 AS MATERIALIZED (
+              SELECT DISTINCT u AS node, u AS lab FROM und
+            )"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = f"l{i-1}"
+        steps.append(f""", w{i} AS MATERIALIZED (
+              SELECT node, lab FROM (
+                SELECT e.v AS node, l.lab,
+                       row_number() OVER (PARTITION BY e.v
+                                          ORDER BY count(*) DESC,
+                                                   l.lab ASC) AS rn
+                FROM und e JOIN {p} l ON l.node = e.u
+                GROUP BY e.v, l.lab)
+              WHERE rn = 1
+            ), l{i} AS MATERIALIZED (
+              SELECT p.node, coalesce(w.lab, p.lab) AS lab
+              FROM {p} p LEFT JOIN w{i} w ON w.node = p.node
+            )""")
+    tail = f"""
+            SELECT size, count(*)::BIGINT AS n_communities
+            FROM (SELECT lab, count(*)::BIGINT AS size
+                  FROM l{iters} GROUP BY 1)
+            GROUP BY size ORDER BY size DESC LIMIT {topk}"""
     return head + "".join(steps) + tail
 
 
@@ -4841,6 +4898,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_pagerank": _pagerank_oracle_sql(),
         "kg_ppr": _ppr_oracle_sql(),
+        "kg_communities": _lpa_oracle_sql(),
         "kg_repo_stats": """
             SELECT repo,
                    count(DISTINCT commit)::BIGINT AS n_commits,
