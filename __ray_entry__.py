@@ -2612,6 +2612,34 @@ def _q_corpus_curate(sf_dir: str):
                            min_alpha=0.55, pack_budget=256).sort("stage")
 
 
+def _q_curate_audit(sf_dir: str):
+    """Driver-checkable audit of the COMPOSED curation pipeline: the
+    DuckDB oracle replays the full chain — quality funnel (length /
+    alpha / repetition / PII) → exact min-id dedup → corpus-wide
+    line dedup (8-token pseudo-lines, global keep-first) → token
+    count — in one composed SQL and must land on the identical stage
+    counts. This verifies the COMPOSITION end-to-end, not just the
+    kernels (each kernel also has its own oracle: corpus_funnel,
+    exact_dedup, line_dedup, pack_docs). n_packs is excluded: pack-id
+    assignment is block-order-dependent after the dedup shuffle
+    (packing.py sorts blocks by min-id, which is only a total order
+    on range-partitioned inputs), so its exact value is not
+    SQL-expressible — total docs/tokens are and carry the signal."""
+    import pandas as pd
+
+    from hikma_engine_ray.pipelines.curate import curate_corpus
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    _, stats = curate_corpus(ds, min_chars=100, max_chars=5000,
+                             min_alpha=0.55, pack_budget=256)
+    keys = ["lines_removed", "n_after_exact_dedup", "n_after_quality",
+            "n_docs_final", "n_input", "n_tokens_final"]
+    return pd.DataFrame({
+        "stage": keys,
+        "n": pd.Series([int(stats[k]) for k in keys], dtype="int64"),
+    })
+
+
 def _q_corpus_curate_neardup(sf_dir: str):
     """Curation chain with the near-dup leg on (VERDICT r4 item 6):
     exact dedup → LSH candidates → exact-Jaccard verify (≥0.8) →
@@ -3067,6 +3095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_roundtrip": _q_bpe_roundtrip,
         "minhash_recall": _q_minhash_recall,
         "embed_recall": _q_embed_recall,
+        "curate_audit": _q_curate_audit,
         # --- oracle-backed, driver-verified in round 4 ---
         # relational conformance (shuffle/join/sort/window primitives)
         "q1_pricing": _q1_pricing,
@@ -4895,6 +4924,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*)::BIGINT AS n_true, CAST(1 AS BIGINT) AS recall_ok
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
             WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.35
+        """,
+        "curate_audit": """
+            WITH m AS MATERIALIZED (
+              SELECT doc_id, text,
+                length(text)::BIGINT AS n_chars,
+                (length(text) - length(regexp_replace(
+                    text, '[A-Za-z]', '', 'g')))
+                  / greatest(length(text), 1) :: DOUBLE AS alpha,
+                CASE WHEN len(regexp_extract_all(
+                        lower(trim(coalesce(text, ''))), '\\S+')) > 0
+                  THEN 1.0 - len(list_distinct(regexp_extract_all(
+                        lower(trim(coalesce(text, ''))), '\\S+')))::DOUBLE
+                       / len(regexp_extract_all(
+                        lower(trim(coalesce(text, ''))), '\\S+'))
+                  ELSE 0.0 END AS dupf,
+                (len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
+                 + len(regexp_extract_all(text,
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                 + len(regexp_extract_all(text,
+                   '\\b[A-Za-z0-9]{32,}\\b'))) AS pii
+              FROM documents
+            ), q AS MATERIALIZED (
+              SELECT doc_id, text FROM m
+              WHERE n_chars BETWEEN 100 AND 5000 AND alpha >= 0.55
+                AND dupf <= 0.5 AND pii = 0
+            ), ed AS MATERIALIZED (
+              SELECT min(doc_id) AS doc_id, any_value(text) AS text
+              FROM q GROUP BY text
+            ), t2 AS (
+              -- curate does NOT reflow: lines are literal newline
+              -- splits (single-line synthetic docs -> line dedup
+              -- catches whitespace-trim dups that exact dedup missed)
+              SELECT doc_id,
+                     string_split(coalesce(text, ''), chr(10)) AS lines
+              FROM ed
+            ), ln AS (
+              SELECT doc_id, i AS line_no, lines[i] AS line
+              FROM t2, unnest(range(1, greatest(len(lines), 1) + 1))
+                     AS u(i)
+            ), dec AS (
+              SELECT doc_id, line_no, line,
+                     (trim(line) = '') AS blank,
+                     row_number() OVER (PARTITION BY trim(line)
+                       ORDER BY doc_id, line_no) AS rn
+              FROM ln
+            ), ld AS MATERIALIZED (
+              SELECT doc_id,
+                     coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                              FILTER (WHERE blank OR rn = 1), '')
+                       AS clean_text,
+                     count(*) FILTER (WHERE NOT (blank OR rn = 1))
+                       AS n_removed
+              FROM dec GROUP BY doc_id
+            ), tok AS MATERIALIZED (
+              SELECT doc_id,
+                     CASE WHEN trim(clean_text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(
+                                     trim(clean_text), '\\s+'))
+                     END :: BIGINT AS n_tokens
+              FROM ld
+            )
+            SELECT * FROM (
+              SELECT 'lines_removed' AS stage,
+                     coalesce(sum(n_removed), 0)::BIGINT AS n FROM ld
+              UNION ALL SELECT 'n_after_exact_dedup', count(*)::BIGINT
+                        FROM ed
+              UNION ALL SELECT 'n_after_quality', count(*)::BIGINT FROM q
+              UNION ALL SELECT 'n_docs_final', count(*)::BIGINT FROM tok
+              UNION ALL SELECT 'n_input', count(*)::BIGINT FROM documents
+              UNION ALL SELECT 'n_tokens_final',
+                        coalesce(sum(n_tokens), 0)::BIGINT FROM tok
+            ) ORDER BY stage
         """,
         "kg_pagerank": _pagerank_oracle_sql(),
         "kg_ppr": _ppr_oracle_sql(),
