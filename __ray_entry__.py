@@ -2612,6 +2612,40 @@ def _q_corpus_curate(sf_dir: str):
                            min_alpha=0.55, pack_budget=256).sort("stage")
 
 
+def _q_pca_check(sf_dir: str):
+    """Driver-checkable invariant gate for distributed PCA (the
+    hll_bound pattern applied to a spectral op): the engine emits
+    (n, d, total_var, orthonormal_ok, spectrum_ok) where n/d/total_var
+    are independently recomputed by the oracle — total variance =
+    trace of the ddof-1 sample covariance = Σ var_samp per dimension,
+    a quantity DuckDB computes from raw rows without any
+    eigendecomposition — and the two bits assert C·Cᵀ = I (max
+    deviation < 1e-9) and a valid spectrum (eigenvalues descending,
+    non-negative, Σ top-k ratio ≤ 1). A drifted covariance pass,
+    broken eigh ordering, or de-normalized components all flip a
+    hashed value."""
+    import numpy as np
+    import pandas as pd
+
+    from hikma_engine_ray.stages.pca import pca_fit
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, comps, ratio, st = pca_fit(emb, k=2, return_stats=True)
+    gram = comps @ comps.T
+    orth = float(abs(gram - np.eye(comps.shape[0])).max()) < 1e-9
+    ev = st["evals"]
+    spectrum = (all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+                and (ev >= -1e-12).all() and float(ratio.sum()) <= 1 + 1e-12)
+    return pd.DataFrame({
+        "n": pd.Series([st["n"]], dtype="int64"),
+        "d": pd.Series([st["d"]], dtype="int64"),
+        "total_var": pd.Series([round(st["total_var"], 6)],
+                               dtype="float64"),
+        "orthonormal_ok": pd.Series([int(orth)], dtype="int64"),
+        "spectrum_ok": pd.Series([int(spectrum)], dtype="int64"),
+    })
+
+
 def _q_curate_audit(sf_dir: str):
     """Driver-checkable audit of the COMPOSED curation pipeline: the
     DuckDB oracle replays the full chain — quality funnel (length /
@@ -3096,6 +3130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_recall": _q_minhash_recall,
         "embed_recall": _q_embed_recall,
         "curate_audit": _q_curate_audit,
+        "pca_check": _q_pca_check,
         # --- oracle-backed, driver-verified in round 4 ---
         # relational conformance (shuffle/join/sort/window primitives)
         "q1_pricing": _q1_pricing,
@@ -4924,6 +4959,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*)::BIGINT AS n_true, CAST(1 AS BIGINT) AS recall_ok
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
             WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.35
+        """,
+        "pca_check": """
+            WITH e AS (
+              SELECT unnest(embedding) AS v,
+                     unnest(range(1, len(embedding) + 1)) AS dim
+              FROM embeddings
+            ), pv AS (
+              SELECT var_samp(v) AS vs FROM e GROUP BY dim
+            )
+            SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n,
+                   (SELECT max(len(embedding))
+                    FROM embeddings)::BIGINT AS d,
+                   round((SELECT sum(vs) FROM pv), 6) AS total_var,
+                   CAST(1 AS BIGINT) AS orthonormal_ok,
+                   CAST(1 AS BIGINT) AS spectrum_ok
         """,
         "curate_audit": """
             WITH m AS MATERIALIZED (

@@ -199,6 +199,9 @@ def run_bench() -> dict:
         "revenue_share", "bpe_encode", "top_types_per_user",
         "corpus_curate", "orders_rank", "corpus_curate_neardup",
         "kg_degree_top", "kg_clone_groups",
+        # round-5 session-2 additions (new oracle-backed queries)
+        "orders_pctrank", "bpe_roundtrip", "minhash_recall",
+        "embed_recall", "curate_audit", "kg_ppr", "kg_communities",
     ):
         tq = time.monotonic()
         res = qs[name](SF_DIR)

@@ -187,6 +187,58 @@ class FailingProvider:
         raise RuntimeError("provider down")
 
 
+class RetryingProvider:
+    """Bounded-retry + deadline wrapper around any provider — the
+    request/timeout/retry policy a REAL network transport needs
+    (the reference's HTTP clients retry and time out;
+    embedding-service.ts:41-127), kept transport-agnostic so it wraps
+    the Echo stand-in here and an HTTP provider in production
+    unchanged. Exponential backoff with an injectable ``sleep`` /
+    ``clock`` (deterministic in tests, no wall-clock flake); a
+    ``deadline_s`` budget stops retrying early so one sick provider
+    cannot stall the whole fallback chain — the manager then falls
+    through to the next provider as usual."""
+
+    def __init__(self, inner, *, max_attempts: int = 3,
+                 backoff_s: float = 0.5, deadline_s: float | None = None,
+                 sleep=None, clock=None):
+        import time as _time
+
+        assert max_attempts >= 1
+        self.inner = inner
+        self.max_attempts = max_attempts
+        self.backoff_s = backoff_s
+        self.deadline_s = deadline_s
+        self._sleep = sleep if sleep is not None else _time.sleep
+        self._clock = clock if clock is not None else _time.monotonic
+        self.attempts = 0  # observability: total calls made
+
+    @property
+    def name(self) -> str:
+        return f"retry({self.inner.name})"
+
+    def healthy(self) -> bool:
+        return self.inner.healthy()
+
+    def generate(self, system: str, user: str, **options) -> str:
+        start = self._clock()
+        last: Exception | None = None
+        for i in range(self.max_attempts):
+            if (self.deadline_s is not None
+                    and self._clock() - start >= self.deadline_s):
+                raise TimeoutError(
+                    f"{self.name}: deadline {self.deadline_s}s exhausted "
+                    f"after {i} attempts") from last
+            try:
+                self.attempts += 1
+                return self.inner.generate(system, user, **options)
+            except Exception as exc:  # noqa: BLE001 — retry then re-raise
+                last = exc
+                if i + 1 < self.max_attempts:
+                    self._sleep(self.backoff_s * (2 ** i))
+        raise last
+
+
 @dataclass
 class ProviderManager:
     """Try providers in priority order, skipping unhealthy ones and

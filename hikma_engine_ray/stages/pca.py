@@ -29,9 +29,14 @@ import pyarrow as pa
 from .similarity import _to_matrix
 
 
-def pca_fit(ds, vec_col: str = "embedding", k: int = 2):
+def pca_fit(ds, vec_col: str = "embedding", k: int = 2,
+            return_stats: bool = False):
     """One streaming pass → (mean[d], components[k,d],
-    explained_variance_ratio[k]). Sample covariance (ddof=1)."""
+    explained_variance_ratio[k]). Sample covariance (ddof=1).
+    With ``return_stats=True`` a fourth element is appended:
+    {'n', 'd', 'total_var' (= trace of the sample covariance =
+    Σ eigenvalues), 'evals' (descending, top-k)} — the
+    SQL-recomputable quantities backing the pca_check oracle gate."""
 
     def partial(t: pa.Table) -> pa.Table:
         x = _to_matrix(t[vec_col]).astype(np.float64)
@@ -69,6 +74,10 @@ def pca_fit(ds, vec_col: str = "embedding", k: int = 2):
         if comps[i, j] < 0:
             comps[i] = -comps[i]
     ratio = np.maximum(evals[order], 0.0) / max(evals.sum(), 1e-300)
+    if return_stats:
+        stats = {"n": n, "d": d, "total_var": float(evals.sum()),
+                 "evals": evals[order].copy()}
+        return mean, comps, ratio, stats
     return mean, comps, ratio
 
 

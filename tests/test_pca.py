@@ -71,3 +71,21 @@ def test_embed_coords_match_serial(ray_session):
 def test_too_few_rows_raises(ray_session):
     with pytest.raises(ValueError):
         pca_fit(_ds(np.zeros((1, 4)), 1), k=1)
+
+
+def test_pca_fit_return_stats(ray_session):
+    """return_stats exposes the SQL-recomputable quantities backing
+    the pca_check oracle: total_var = trace of the ddof-1 sample
+    covariance, descending non-negative top-k eigenvalues, and the
+    components stay orthonormal."""
+    x = _vecs(n=90, d=6, seed=4)
+    xf = x.astype(np.float32).astype(np.float64)
+    _, comps, ratio, st = pca_fit(_ds(x, 3), k=2, return_stats=True)
+    assert st["n"] == 90 and st["d"] == 6
+    want_var = float(np.cov(xf, rowvar=False, ddof=1).trace())
+    np.testing.assert_allclose(st["total_var"], want_var, rtol=1e-10)
+    ev = st["evals"]
+    assert len(ev) == 2 and ev[0] >= ev[1] >= -1e-12
+    gram = comps @ comps.T
+    assert abs(gram - np.eye(2)).max() < 1e-9
+    assert 0.0 < float(ratio.sum()) <= 1.0 + 1e-12

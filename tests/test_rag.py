@@ -86,3 +86,74 @@ def test_normalize_provider_base_url():
     assert f("http://x/V1") == "http://x"
     assert f(" http://x// ") == "http://x"
     assert f("") == ""
+
+
+def test_retrying_provider_transient_then_success():
+    """Transient failures are retried with exponential backoff; the
+    wrapper succeeds without waking the fallback chain."""
+    from hikma_engine_ray.pipelines.rag import (EchoProvider,
+                                                RetryingProvider)
+
+    class Flaky:
+        name = "flaky"
+
+        def __init__(self, fail_times):
+            self.fail_times, self.calls = fail_times, 0
+
+        def healthy(self):
+            return True
+
+        def generate(self, system, user, **options):
+            self.calls += 1
+            if self.calls <= self.fail_times:
+                raise RuntimeError(f"transient #{self.calls}")
+            return "ok:" + user[:10]
+
+    slept = []
+    p = RetryingProvider(Flaky(2), max_attempts=3, backoff_s=0.5,
+                         sleep=slept.append)
+    assert p.generate("s", "hello world") == "ok:hello worl"[:13]
+    assert p.attempts == 3
+    assert slept == [0.5, 1.0]  # exponential
+    assert p.name == "retry(flaky)" and p.healthy()
+    assert isinstance(EchoProvider().generate("a", "b"), str)
+
+
+def test_retrying_provider_exhaustion_falls_through_chain():
+    """Permanent failure re-raises after max_attempts, and the manager
+    falls through to the next provider."""
+    from hikma_engine_ray.pipelines.rag import (EchoProvider,
+                                                FailingProvider,
+                                                ProviderManager,
+                                                RetryingProvider)
+
+    down = FailingProvider()
+    wrapped = RetryingProvider(down, max_attempts=3, sleep=lambda s: None)
+    mgr = ProviderManager([wrapped, EchoProvider()])
+    res = mgr.generate_explanation("q", [])
+    assert res["success"] is True and res["provider"] == "echo"
+    assert down.calls == 3  # all attempts consumed before fallback
+
+
+def test_retrying_provider_deadline():
+    """The deadline budget stops retrying early (TimeoutError) so a
+    sick provider cannot stall the chain."""
+    import pytest
+
+    from hikma_engine_ray.pipelines.rag import (FailingProvider,
+                                                RetryingProvider)
+
+    t = [0.0]
+
+    def clock():
+        return t[0]
+
+    def sleep(s):
+        t[0] += s
+
+    p = RetryingProvider(FailingProvider(), max_attempts=10,
+                         backoff_s=4.0, deadline_s=5.0,
+                         sleep=sleep, clock=clock)
+    with pytest.raises(TimeoutError, match="deadline"):
+        p.generate("s", "u")
+    assert p.attempts == 2  # 0s try, +4s backoff, second try, then stop
