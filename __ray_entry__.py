@@ -115,6 +115,12 @@ def _kg_oracle_export(sf_dir: str) -> None:
     # both sf0.001 and sf0.01), so its row count is the discriminator
     n = pq.read_metadata(
         os.path.join(sf_dir, "lineitem.parquet")).num_rows
+    # the export feeds the ORACLE protocol, which runs at sf <= 0.01
+    # (driver contract); at bench scale (sf0.1+) the collect+write is
+    # pure overhead inside timed queries — skip it (override the cap
+    # with GRAFT_KG_EXPORT_MAX to oracle-check bigger tiers locally)
+    if n > int(os.environ.get("GRAFT_KG_EXPORT_MAX", "200000")):
+        return
     os.makedirs(_KG_ORACLE_DIR, exist_ok=True)
     # v2 prefix: the node export gained columns in round 5; a distinct
     # name keeps stale exports from ever matching the SQL globs
