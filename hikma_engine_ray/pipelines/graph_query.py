@@ -200,13 +200,17 @@ def degree_stats(adjacency_ds):
             }
         )
 
-    return (
+    from ..stages.agg import global_topk
+
+    agged = (
         adjacency_ds.map_batches(fn, batch_format="pyarrow")
         .groupby("node_id")
         .aggregate(
             Sum("out_degree", alias_name="out_degree"),
             Sum("in_degree", alias_name="in_degree"),
         )
-        .sort(["out_degree", "node_id"], descending=[True, False])
-        .limit(20)
     )
+    # per-block partial top-k + tiny merge — never a global sort of
+    # the full degree table (same shape as every other top-k here)
+    return global_topk(agged, ["out_degree", "node_id"], 20,
+                       descending=[True, False])
