@@ -2652,6 +2652,104 @@ def _q_pca_check(sf_dir: str):
     })
 
 
+def _q_kmeans_check(sf_dir: str):
+    """Driver-checkable invariant gate for distributed k-means (the
+    pca_check pattern applied to Lloyd's): the engine emits
+    (n, k, total_var, inertia_bounded) where n is recovered by SUMMING
+    the per-cluster assignment counts (so a dropped/duplicated row
+    flips it), total_var = Σᵢ‖xᵢ − μ‖²/(n−1) is recomputed by a
+    separate streaming sufficient-statistics pass (Σx, Σx², count —
+    one map_batches, no shuffle) and equals Σ_dim var_samp(dim), which
+    DuckDB computes exactly from the raw rows; inertia_bounded asserts
+    the k=8 within-cluster SS ≤ (k=1 SS) + ε — Lloyd's k-cluster
+    inertia can never exceed the one-cluster inertia; a broken
+    assignment or centroid update routinely violates this."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from hikma_engine_ray.stages.kmeans import (_mat, kmeans_assign,
+                                                kmeans_fit)
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents, _ = kmeans_fit(emb, k=8, iters=10)
+    assigned = kmeans_assign(emb, cents)
+
+    def sizes(t: pa.Table) -> pa.Table:
+        g = (pa.table({"cluster": t["cluster"], "dist2": t["dist2"]})
+             .group_by(["cluster"])
+             .aggregate([("dist2", "sum"), ("dist2", "count")]))
+        return g.rename_columns(["cluster", "inertia", "n"])
+
+    parts = assigned.map_batches(sizes, batch_format="pyarrow")
+    n_total = int(parts.sum("n") or 0)
+    inertia8 = float(parts.sum("inertia") or 0.0)
+
+    def suffstats(t: pa.Table) -> pa.Table:
+        v = _mat(t["embedding"])
+        return pa.table({
+            "s1": pa.array([v.sum(axis=0).astype(np.float64)]),
+            "s2": pa.array([(v.astype(np.float64) ** 2).sum(axis=0)]),
+            "cnt": pa.array([v.shape[0]], pa.int64()),
+        })
+
+    # one partial row per block — the take_all is block-count-sized
+    rows = emb.map_batches(suffstats, batch_format="pyarrow").take_all()
+    s1 = np.sum([np.asarray(r["s1"], dtype=np.float64) for r in rows],
+                axis=0)
+    s2 = np.sum([np.asarray(r["s2"], dtype=np.float64) for r in rows],
+                axis=0)
+    cnt = sum(int(r["cnt"]) for r in rows)
+    # SS around the mean per dim = Σx² − n·μ²; total = Σ over dims.
+    # Reported as total_var = SS/(n−1) (= DuckDB Σ var_samp — the
+    # 6-decimal parity pca_check already proves); the inertia bound
+    # uses the unrounded SS so it is rounding-free.
+    ss_total = float((s2 - cnt * (s1 / cnt) ** 2).sum())
+    return pd.DataFrame({
+        "n": pd.Series([n_total], dtype="int64"),
+        "k": pd.Series([int(len(cents))], dtype="int64"),
+        "total_var": pd.Series([round(ss_total / max(cnt - 1, 1), 6)],
+                               dtype="float64"),
+        "inertia_bounded": pd.Series(
+            [int(inertia8 <= ss_total + 1e-6)], dtype="int64"),
+    })
+
+
+def _q_fingerprint_stable(sf_dir: str):
+    """Driver-checkable invariant gate for the winnowed-rolling-hash
+    document fingerprint (text.fingerprint_batch): per doc the engine
+    emits (norm_chars, stable) where norm_chars = length of the
+    whitespace-normalized text — independently recomputed by the
+    DuckDB oracle via regexp trim/collapse — and stable asserts the
+    fingerprint is invariant under a whitespace perturbation that
+    normalization must absorb (tab prefix, doubled inner spaces,
+    trailing newline). A broken normalizer, an off-by-one window, or
+    a stride drift over the perturbed byte stream flips stable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hikma_engine_ray.stages.text import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def check(t: pa.Table) -> pa.Table:
+        fp1 = fingerprint_batch(t)["fingerprint"]
+        texts = t["text"].to_pylist()
+        perturbed = ["\t" + (s or "").replace(" ", "  ") + " \n"
+                     for s in texts]
+        fp2 = fingerprint_batch(
+            pa.table({"text": pa.array(perturbed, pa.string())})
+        )["fingerprint"]
+        norm_chars = [len(" ".join((s or "").split())) for s in texts]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_chars": pa.array(norm_chars, pa.int64()),
+            "stable": pc.cast(pc.equal(fp1, fp2), pa.int64()),
+        })
+
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
 def _q_curate_audit(sf_dir: str):
     """Driver-checkable audit of the COMPOSED curation pipeline: the
     DuckDB oracle replays the full chain — quality funnel (length /
@@ -3137,6 +3235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_recall": _q_embed_recall,
         "curate_audit": _q_curate_audit,
         "pca_check": _q_pca_check,
+        "kmeans_check": _q_kmeans_check,
+        "fingerprint_stable": _q_fingerprint_stable,
         # --- oracle-backed, driver-verified in round 4 ---
         # relational conformance (shuffle/join/sort/window primitives)
         "q1_pricing": _q1_pricing,
@@ -4980,6 +5080,30 @@ def oracle_sql() -> dict[str, str]:
                    round((SELECT sum(vs) FROM pv), 6) AS total_var,
                    CAST(1 AS BIGINT) AS orthonormal_ok,
                    CAST(1 AS BIGINT) AS spectrum_ok
+        """,
+        "kmeans_check": """
+            WITH e AS (
+              SELECT unnest(embedding) AS v,
+                     unnest(range(1, len(embedding) + 1)) AS dim
+              FROM embeddings
+            ), pv AS (
+              -- sample variance per dim; the sum is trace(cov) =
+              -- (k=1 inertia)/(n-1), which the engine recomputes from
+              -- its own streaming sufficient-statistics pass
+              SELECT var_samp(v) AS vs FROM e GROUP BY dim
+            )
+            SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n,
+                   CAST(8 AS BIGINT) AS k,
+                   round((SELECT sum(vs) FROM pv), 6) AS total_var,
+                   CAST(1 AS BIGINT) AS inertia_bounded
+        """,
+        "fingerprint_stable": """
+            SELECT doc_id,
+                   length(regexp_replace(regexp_replace(
+                       coalesce(text, ''), '^\\s+|\\s+$', '', 'g'),
+                       '\\s+', ' ', 'g'))::BIGINT AS norm_chars,
+                   CAST(1 AS BIGINT) AS stable
+            FROM documents
         """,
         "curate_audit": """
             WITH m AS MATERIALIZED (

@@ -36,14 +36,28 @@ CANARY_HEALTHY_MB_S = 500.0
 
 
 def page_fault_canary(mib: int = 64) -> float:
-    """MB/s of first-touch on freshly-mapped anonymous memory."""
+    """MB/s of first-touch on freshly-mapped anonymous memory.
+
+    Best of three after a warmup: the FIRST large allocation in a
+    fresh process is reproducibly 5-20x slower than steady state
+    (~200-900 vs ~4,200 MB/s on a healthy host — allocator/page-table
+    warmup, not host paging pressure), so a single cold reading makes
+    a healthy host look sick and wrongly trips the scaling gate.
+    Sustained host degradation (the round-3/5 9-300 MB/s episodes)
+    floors ALL readings, warm ones included, so the best-of-3 still
+    catches the condition the gate exists for."""
     import numpy as np
 
-    t0 = time.monotonic()
-    a = np.ones((mib << 20) // 8)  # np.ones faults every page
-    dt = time.monotonic() - t0
+    a = np.ones((8 << 20) // 8)  # warmup: absorb the cold-start cost
     del a
-    return round(mib / dt, 1)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.monotonic()
+        a = np.ones((mib << 20) // 8)  # np.ones faults every page
+        dt = time.monotonic() - t0
+        del a
+        best = max(best, mib / dt)
+    return round(best, 1)
 
 
 def _corpus_path(n_files: int) -> str:
