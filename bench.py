@@ -60,10 +60,40 @@ def page_fault_canary(mib: int = 64) -> float:
     return round(best, 1)
 
 
+def _bench_nblocks(n_files: int) -> int:
+    """DATA-based block count (~6250 files ≈ 12 MB per block, clamped)
+    — identical at every CPU count; see run_bench."""
+    return max(32, min(160, n_files // 6250))
+
+
 def _corpus_path(n_files: int) -> str:
     import pyarrow.parquet as pq
 
     os.makedirs(CORPUS_CACHE, exist_ok=True)
+    if n_files >= 100_000:
+        # sharded directory, one shard per planned block: a single file
+        # forces a single read task (ReadParquet->SplitBlocks measured
+        # ~9 s SERIAL at 800k files) and its post-read splits are uneven
+        # (14k-359k rows/task), so parse inherits straggler tasks. Equal
+        # row-count shards give a parallel read and even parse tasks.
+        path = os.path.join(CORPUS_CACHE, f"corpus_{n_files}_sharded")
+        if not os.path.exists(path):
+            from hikma_engine_ray.sources.corpus import generate_corpus
+
+            t = generate_corpus(n_files)
+            nshards = _bench_nblocks(n_files)
+            tmp = path + ".tmp"
+            os.makedirs(tmp, exist_ok=True)
+            n = t.num_rows
+            bounds = [n * i // nshards for i in range(nshards + 1)]
+            for i in range(nshards):
+                pq.write_table(
+                    t.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                    os.path.join(tmp, f"part-{i:04d}.parquet"),
+                    row_group_size=8192,
+                )
+            os.rename(tmp, path)
+        return path
     path = os.path.join(CORPUS_CACHE, f"corpus_{n_files}.parquet")
     if not os.path.exists(path):
         from hikma_engine_ray.sources.corpus import generate_corpus
@@ -145,7 +175,7 @@ def run_bench() -> dict:
     # measure. (Sweeps at 32 CPUs: the ~50 natural row-group blocks
     # leave cores idle in the last wave; 128 ≈ best at 800k files; 256+
     # pays sharply growing sort-plan cost.)
-    nblocks = max(32, min(160, n_files // 6250))
+    nblocks = _bench_nblocks(n_files)
     corpus = rd.read_parquet(corpus_path, override_num_blocks=nblocks)
     tagged = parse_corpus(corpus)
     with ThreadPoolExecutor(max_workers=2) as pool:

@@ -233,7 +233,7 @@ def build_graph(
     *,
     nsalt: int = 8,
     hot_threshold: int = 500,
-    nbuckets: int = 32,
+    nbuckets: int | None = None,
     parse_concurrency=None,
     embed_concurrency=None,
     embed: bool = True,
@@ -268,7 +268,7 @@ def build_graph_from_tagged(
     *,
     nsalt: int = 8,
     hot_threshold: int = 500,
-    nbuckets: int = 32,
+    nbuckets: int | None = None,
     embed_concurrency=None,
     embed: bool = True,
     embed_provider=None,
@@ -289,6 +289,20 @@ def build_graph_from_tagged(
     default pins triples for multi-consumer use (sinks + adjacency)."""
     if embed_concurrency is None:
         embed_concurrency = default_parse_concurrency()
+    if nbuckets is None:
+        # DATA-based shuffle width (~350k tagged rows per bucket,
+        # clamped): a fixed bucket count leaves the reduce stages
+        # (link_bucket, adjacency _assemble) with ever-fatter straggler
+        # tasks as the corpus grows — measured at 800k files the 32-wide
+        # adjacency reduce ran 14-24 s per task while most cores idled.
+        # Deriving from row count (never CPU count) keeps the plan
+        # identical at every parallelism level, which the scaling
+        # protocol requires.
+        try:
+            total = tagged.count()
+        except Exception:
+            total = 0
+        nbuckets = int(min(512, max(32, (total or 0) // 350_000)))
 
     nodes_raw = tagged.map_batches(_kind_filter("node", NODE_COLS), batch_format="pyarrow")
     triples_local = tagged.map_batches(_kind_filter("triple", TRIPLE_COLS), batch_format="pyarrow")

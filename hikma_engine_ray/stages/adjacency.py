@@ -133,7 +133,14 @@ def _emit_partials(nbuckets: int, hot: dict[str, int] | None = None):
 def _assemble(g: pa.Table) -> pa.Table:
     """Per bucket: flatten partial lists back to edge rows (vectorized),
     sort, and build the final out/in struct lists from offsets. Rows
-    are keyed by (node_id, seg) — seg is 0 for every normal node."""
+    are keyed by (node_id, seg) — seg is 0 for every normal node.
+
+    All heavy kernels (dedup, multi-column sort, group boundaries) run
+    in polars over the Arrow buffers; the pandas object-dtype version
+    with string composite keys cost ~500 CPU-seconds on the 800k-file
+    scaling corpus and its straggler bucket bounded the phase wall."""
+    import polars as pl
+
     parent = pc.list_parent_indices(g["pred_list"])
     flat = pa.table(
         {
@@ -144,41 +151,45 @@ def _assemble(g: pa.Table) -> pa.Table:
             "other": pc.list_flatten(g["other_list"]),
         }
     )
-    df = flat.to_pandas()
     # exact dedup at the reduce: duplicates of a triple land in the same
     # (node, dir) group by construction, so dropping them here makes the
     # adjacency correct even over a PRE-dedup triple stream (streaming
-    # mode skips the global dedup shuffle); a no-op for deduped input
-    df = df.drop_duplicates(subset=["node_id", "seg", "dir", "pred", "other"])
-    segmented = bool((df["seg"].to_numpy() != 0).any())
-    if segmented:
-        # composite sort key: hot segments are rare, pay the concat only
-        # when the bucket actually contains one
-        key = (
-            df["node_id"].astype(str)
-            + "\x1f"
-            + df["seg"].astype(np.int64).astype(str).str.zfill(4)
-        )
-    else:
-        key = df["node_id"]
-    df = df.assign(__key=key).sort_values(["__key", "pred", "other"], kind="stable")
-    keys = np.unique(df["__key"].to_numpy())
-    if segmented:
-        split = np.char.partition(keys.astype(str), "\x1f")
-        node_ids = pa.array(split[:, 0], pa.string())
-        segs = pa.array(split[:, 2].astype(np.int32), pa.int32())
-    else:
-        node_ids = pa.array(keys, pa.string())
-        segs = pa.array(np.zeros(len(keys), dtype=np.int32), pa.int32())
+    # mode skips the global dedup shuffle); a no-op for deduped input.
+    # Sort order (node_id, seg, pred, other) matches the prior string
+    # composite key (seg was zero-padded, i.e. numeric order).
+    df = (
+        pl.from_arrow(flat)
+        .unique(subset=["node_id", "seg", "dir", "pred", "other"])
+        .sort(["node_id", "seg", "pred", "other"])
+    )
+    if df.height == 0:
+        return ADJ_SCHEMA.empty_table()
+    # run-length key ids over the sorted (node_id, seg) pairs: kid is
+    # 0-based dense rank in sorted order — exactly the row index of the
+    # output table
+    def _arr(s: "pl.Series", typ: pa.DataType) -> pa.Array:
+        a = s.to_arrow()
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        return a.cast(typ)
+
+    nid = df["node_id"]
+    seg = df["seg"]
+    newkey = ((nid != nid.shift(1)) | (seg != seg.shift(1))).fill_null(True)
+    kid = (newkey.cum_sum() - 1).to_numpy()
+    first = np.flatnonzero(newkey.to_numpy())
+    nkeys = len(first)
+    node_ids = _arr(nid, pa.string()).take(pa.array(first))
+    segs = _arr(seg, pa.int32()).take(pa.array(first))
     cols = [node_ids, segs]
+    dirs = df["dir"].to_numpy()
     for direction, child in (("o", "obj"), ("i", "subj")):
-        d = df[df["dir"].to_numpy() == direction]
-        idx = np.searchsorted(keys, d["__key"].to_numpy())
-        counts = np.bincount(idx, minlength=len(keys))
+        m = dirs == direction
+        counts = np.bincount(kid[m], minlength=nkeys)
         offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        sub = df.filter(pl.Series(m))
         struct = pa.StructArray.from_arrays(
-            [pa.array(d["pred"].to_numpy(), pa.string()),
-             pa.array(d["other"].to_numpy(), pa.string())],
+            [_arr(sub["pred"], pa.string()), _arr(sub["other"], pa.string())],
             names=["pred", child],
         )
         cols.append(pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct))

@@ -557,63 +557,96 @@ def filter_defs_for_reex(base_set: set[str]):
     chain could touch. File defs (symbol='') emit one row per matching
     (candidate base, priority) variant — the resolution needs to know
     WHICH base matched; symbol defs emit one row when any variant of
-    their module is in the base set."""
+    their module is in the base set.
+
+    Fully vectorized in polars (ends_with / head / concat / is_in hash
+    probe): the pandas object-dtype version cost ~190 CPU-seconds on
+    the 800k-file scaling corpus for what is a metadata filter. The
+    probe Series is built ONCE per worker process (closure-level cache)
+    — passing the raw list to ``is_in`` rebuilds the hash table on
+    every call, which measured 1,130 CPU-seconds at 800k files."""
+    base_list = list(base_set)
+    _probe_cache: dict = {}
 
     def fn(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        is_file = (df["symbol"] == "").to_numpy()
+        import polars as pl
+
+        if batch.num_rows == 0:
+            return _REEX_SHUFFLE_SCHEMA.empty_table()
+        base_probe = _probe_cache.get("s")
+        if base_probe is None:
+            base_probe = pl.Series("b", base_list, dtype=pl.Utf8)
+            _probe_cache["s"] = base_probe
+        df = pl.from_arrow(batch)
+        mod = df["module"]
+        repo_sep = df["repo"] + SEP
+        is_file = df["symbol"] == ""
+        hit_any = None
         frames = []
-        fd = df[is_file]
-        p_all = df["module"].astype(object)
-        sym_mask = np.zeros(len(df), dtype=bool)
+        variants = []
         for suf, pri in [("", 0)] + _STRIP_SUFFIXES + _INDEX_SUFFIXES:
             if suf:
-                m = p_all.str.endswith(suf)
+                m = mod.str.ends_with(suf)
                 if not m.any():
                     continue
-                base = p_all[m].str[: -len(suf)]
-                sel = m.to_numpy()
+                base = mod.str.head(-len(suf))
             else:
-                base = p_all
-                sel = np.ones(len(df), dtype=bool)
-            rb = df["repo"][sel].astype(object) + SEP + base
-            hit = rb.isin(base_set).to_numpy()
-            idx = np.flatnonzero(sel)
-            sym_mask[idx[hit]] = True
-            fhit = hit & is_file[sel]
-            if fhit.any():
-                sub = df.iloc[idx[fhit]]
-                frames.append(pd.DataFrame({
-                    "side": "f", "repo": sub["repo"].to_numpy(),
-                    "path": "", "module": sub["module"].to_numpy(),
-                    "symbol": "", "name": "",
-                    "commit": sub["commit"].to_numpy(), "line": np.int32(0),
-                    "base": base[hit & is_file[sel]].to_numpy()
-                    if suf else sub["module"].to_numpy(),
-                    "pri": np.int32(pri), "obj": sub["obj"].to_numpy(),
-                    "def_kind": sub["def_kind"].to_numpy(),
+                m = None  # all rows
+                base = mod
+            variants.append((pri, m, base))
+        # ONE membership probe for all variants: is_in rebuilds the
+        # probe-side hash table per call, so batching the candidates
+        # pays it once per batch instead of once per suffix variant
+        nrows = df.height
+        hit_full = pl.concat(
+            [repo_sep + base for _, _, base in variants], rechunk=False
+        ).is_in(base_probe)
+        for vi, (pri, m, base) in enumerate(variants):
+            hit = hit_full.slice(vi * nrows, nrows)
+            if m is not None:
+                hit = hit & m
+            hit_any = hit if hit_any is None else (hit_any | hit)
+            fm = hit & is_file
+            if fm.any():
+                sub = df.filter(fm)
+                n = sub.height
+                frames.append(pl.DataFrame({
+                    "side": pl.Series(["f"] * n),
+                    "repo": sub["repo"],
+                    "path": pl.Series([""] * n),
+                    "module": sub["module"],
+                    "symbol": pl.Series([""] * n),
+                    "name": pl.Series([""] * n),
+                    "commit": sub["commit"],
+                    "line": pl.Series(np.zeros(n, np.int32)),
+                    "base": base.filter(fm),
+                    "pri": pl.Series(np.full(n, pri, np.int32)),
+                    "obj": sub["obj"],
+                    "def_kind": sub["def_kind"],
                 }))
-        shit = sym_mask & ~is_file
-        if shit.any():
-            sub = df[shit]
-            frames.append(pd.DataFrame({
-                "side": "s", "repo": sub["repo"].to_numpy(), "path": "",
-                "module": sub["module"].to_numpy(),
-                "symbol": sub["symbol"].to_numpy(), "name": "",
-                "commit": sub["commit"].to_numpy(), "line": np.int32(0),
-                "base": "", "pri": np.int32(-1),
-                "obj": sub["obj"].to_numpy(),
-                "def_kind": sub["def_kind"].to_numpy(),
-            }))
+        if hit_any is not None:
+            sm = hit_any & ~is_file
+            if sm.any():
+                sub = df.filter(sm)
+                n = sub.height
+                frames.append(pl.DataFrame({
+                    "side": pl.Series(["s"] * n),
+                    "repo": sub["repo"],
+                    "path": pl.Series([""] * n),
+                    "module": sub["module"],
+                    "symbol": sub["symbol"],
+                    "name": pl.Series([""] * n),
+                    "commit": sub["commit"],
+                    "line": pl.Series(np.zeros(n, np.int32)),
+                    "base": pl.Series([""] * n),
+                    "pri": pl.Series(np.full(n, -1, np.int32)),
+                    "obj": sub["obj"],
+                    "def_kind": sub["def_kind"],
+                }))
         if not frames:
             return _REEX_SHUFFLE_SCHEMA.empty_table()
-        out = pd.concat(frames, ignore_index=True)
-        out["line"] = out["line"].astype("int32")
-        out["pri"] = out["pri"].astype("int32")
-        return pa.Table.from_pandas(
-            out[_REEX_SHUFFLE_SCHEMA.names], schema=_REEX_SHUFFLE_SCHEMA,
-            preserve_index=False,
-        ).replace_schema_metadata(None)
+        out = pl.concat(frames).to_arrow().select(_REEX_SHUFFLE_SCHEMA.names)
+        return out.cast(_REEX_SHUFFLE_SCHEMA)
 
     return fn
 
@@ -647,6 +680,9 @@ def reex_repo_group(g: pd.DataFrame) -> pa.Table:
     edge, entity id) — exactly golden's query-driven BFS, enumerated
     over every symbol the chains can synthesize (equivalence argued in
     tests/test_reexports.py and property-tested engine≡golden)."""
+    if len(g) == 0 or "side" not in g.columns:
+        # empty reduce partition (reducers may exceed non-empty groups)
+        return DEF_SCHEMA.empty_table()
     side = g["side"].to_numpy()
     reex = g[side == "r"]
     fdef = g[side == "f"]
@@ -777,12 +813,17 @@ def synthesize_reexports(tagged_ds, base_set: set[str]):
 
     reex_ds = tagged_ds.map_batches(_reex_filter, batch_format="pyarrow")
     defs_ds = tagged_ds.map_batches(_def_filter, batch_format="pyarrow")
+    # reduce parallelism tracks the ACTUAL repo count (derivable from the
+    # base set's repo␟base keys): the per-repo BFS is the serial unit, so
+    # fewer reducers than repos throttles a CPU-heavy stage — measured
+    # 4 reducers × ~16 s on the 800k scaling corpus where 20 repos could
+    # run 20-way. Empty reduce partitions (reducers > non-empty groups)
+    # are handled by reex_repo_group's zero-row guard.
+    n_repos = len({b.split(SEP, 1)[0] for b in base_set})
+    nparts = min(64, max(4, n_repos))
     return (
         reex_ds.union(defs_ds)
-        # metadata-sized rows grouped by a low-cardinality key: a handful
-        # of reduce partitions is plenty, and keeping reducers well under
-        # the repo count avoids empty zero-schema reduce blocks
-        .repartition(4)
+        .repartition(nparts)
         .groupby("repo")
         .map_groups(reex_repo_group, batch_format="pandas")
     )
