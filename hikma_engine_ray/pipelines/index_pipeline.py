@@ -75,6 +75,10 @@ MENTION_COLS = ["repo", "path", "module", "symbol", "mkind", "src_id",
                 "src_kind", "line", "col"]
 DEF_COLS = ["repo", "module", "symbol", "obj", "def_kind", "commit"]
 
+# driver-memory guard for the def-side semi-join key set (see
+# build_graph_from_tagged); tests lower it to force the fallback path
+MENTION_FILTER_LIMIT = 20_000_000
+
 
 def default_parse_concurrency() -> tuple[int, int]:
     """Fixed-size pool (min == max): for a stage that runs tens of
@@ -317,9 +321,17 @@ def build_graph_from_tagged(
     # degree estimates ride the same pass ONLY when the streaming
     # adjacency build will need them (it cannot sample a lazy stream)
     streaming_adjacency = adjacency and not materialize_triples
-    hot, reex_bases, hot_degree = link_prescan(
+    hot, reex_bases, hot_degree, mention_keys = link_prescan(
         tagged, hot_threshold,
         degree_cap=degree_cap if streaming_adjacency else None)
+    # semi-join guard: the mention-key set rides inside every
+    # explode_definitions task — past the limit the per-task closure
+    # stops being metadata-sized, so fall back to the unfiltered def
+    # side (correct either way; the filter is a shuffle-volume cut).
+    # At 100 TB the right shape is the distributed bucketed semi-join
+    # (stages/joins.bucketed_join) — documented in SCALE.md.
+    if len(mention_keys) > MENTION_FILTER_LIMIT:
+        mention_keys = None
     _tick("link_prescan", _t)
     if reex_bases:
         # L1b: re-export chains synthesize definition rows (metadata-
@@ -334,7 +346,9 @@ def build_graph_from_tagged(
         explode_mentions(hot, nsalt, link_buckets), batch_format="pyarrow"
     )
     d_keyed = defs.map_batches(
-        explode_definitions(hot, nsalt, link_buckets), batch_format="pyarrow"
+        explode_definitions(hot, nsalt, link_buckets,
+                            mention_keys=mention_keys),
+        batch_format="pyarrow",
     )
 
     # coalesce before the sort shuffle: dozens of full blocks beat

@@ -119,34 +119,55 @@ def explode_mentions(hot_keys: set[str], nsalt: int, nbuckets: int = 64):
     one polars pass each. The per-row Python loop of rounds 1-2 is
     gone (round-2 VERDICT defect #4)."""
 
+    hot_list = list(hot_keys)
+    _hot_cache: dict = {}
+
     def fn(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        n = len(df)
-        repo = df["repo"].astype(object)
-        spec = df["module"].astype(object)
-        path = df["path"].astype(object)
-        if n:
-            rel = spec.str.startswith(".")
-            dirs = path.str.rpartition("/")[0]
+        import polars as pl
+
+        n = batch.num_rows
+        if n == 0:
+            link_key = pa.array([], pa.string())
+            bucket = pa.array([], pa.int32())
+            rb_col = pa.array([], pa.string())
+        else:
+            df = pl.from_arrow(batch.select(
+                ["repo", "module", "path", "src_id", "mkind", "symbol"]))
             # factorize key: repo ␞ dirname ␞ spec (relative) — base
-            # depends on all three; externals key on repo ␞ spec only
-            ukey = (repo + _RS + dirs + _RS + spec).where(
-                rel, repo + _RS + "\x00ext:" + spec
-            )
-            codes, uniques = pd.factorize(ukey)
-            rbs = np.empty(len(uniques), dtype=object)
-            for i, u in enumerate(uniques):
+            # depends on all three; externals key on repo ␞ spec only.
+            # normpath (no vectorized kernel) runs once per DISTINCT key
+            # and scatters back via a hash-map replace. dirname = strip
+            # the last /component; bare filenames → "".
+            ukey = df.select(
+                pl.when(pl.col("module").str.starts_with("."))
+                .then(
+                    pl.col("repo") + _RS
+                    + pl.when(pl.col("path").str.contains("/", literal=True))
+                    .then(pl.col("path").str.replace(r"/[^/]*$", ""))
+                    .otherwise(pl.lit(""))
+                    + _RS + pl.col("module")
+                )
+                .otherwise(pl.col("repo") + _RS + "\x00ext:" + pl.col("module"))
+                .alias("ukey")
+            )["ukey"]
+            uniques = ukey.unique().to_list()
+            rbs = []
+            for u in uniques:
                 parts = u.split(_RS)
                 if len(parts) == 3:
                     r, d, sp = parts
                     base = posixpath.normpath(posixpath.join(d, sp))
                 else:
                     r, base = parts  # "\x00ext:spec" form, path-independent
-                rbs[i] = f"{r}{SEP}{base}"
-            rb = pd.Series(rbs[codes], index=df.index, dtype=object)
+                rbs.append(f"{r}{SEP}{base}")
+            rb = ukey.replace_strict(uniques, rbs, return_dtype=pl.Utf8)
             salt = np.zeros(n, dtype=np.int64)
-            if nsalt > 1 and hot_keys:
-                hot = rb.isin(hot_keys).to_numpy()
+            if nsalt > 1 and hot_list:
+                hot_probe = _hot_cache.get("s")
+                if hot_probe is None:
+                    hot_probe = pl.Series("h", hot_list, dtype=pl.Utf8)
+                    _hot_cache["s"] = hot_probe
+                hot = rb.is_in(hot_probe)
                 if hot.any():
                     # salt EXCLUDES line/col: all mentions with the same
                     # (src, kind, symbol) — the only combinations that
@@ -155,93 +176,142 @@ def explode_mentions(hot_keys: set[str], nsalt: int, nbuckets: int = 64):
                     # EXTENDS/IMPLEMENTS/TESTED_BY linked triples
                     # globally unique (see link_bucket + index_pipeline
                     # dedup scope)
-                    sk = (df["src_id"].astype(object) + df["mkind"].astype(object)
-                          + df["symbol"].astype(object))[hot]
-                    salt[hot] = _hash_mod(sk, nsalt)
-            link_key = rb + SEP + pd.Series(salt, index=df.index).astype(str)
-            bucket = _hash_mod(link_key, nbuckets).astype(np.int32)
-        else:
-            link_key = pd.Series([], dtype=object)
-            bucket = np.empty(0, dtype=np.int32)
+                    sub = df.filter(hot)
+                    sk = sub["src_id"] + sub["mkind"] + sub["symbol"]
+                    salt[hot.to_numpy()] = (
+                        sk.hash(seed=0).to_numpy() % np.uint64(nsalt)
+                    ).astype(np.int64)
+            link_key_pl = rb + SEP + pl.Series(salt).cast(pl.Utf8)
+            bucket_np = (
+                link_key_pl.hash(seed=0).to_numpy() % np.uint64(nbuckets)
+            ).astype(np.int32)
+            a = link_key_pl.to_arrow()
+            link_key = (a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                        else a).cast(pa.string())
+            bucket = pa.array(bucket_np, pa.int32())
+        empty = pa.nulls(n, pa.string()).fill_null("")
         return pa.table(
             {
-                "link_bucket": pa.array(bucket, pa.int32()),
-                "link_key": pa.array(link_key, pa.string()),
-                "side": pa.array(["m"] * n, pa.string()),
+                "link_bucket": bucket,
+                "link_key": link_key,
+                "side": pa.nulls(n, pa.string()).fill_null("m"),
                 "cand_priority": pa.array(np.zeros(n, np.int32), pa.int32()),
-                "repo": pa.array(repo, pa.string()),
-                "module": pa.array(spec, pa.string()),
-                "symbol": pa.array(df["symbol"], pa.string()),
-                "mkind": pa.array(df["mkind"], pa.string()),
-                "src_id": pa.array(df["src_id"], pa.string()),
-                "src_kind": pa.array(df["src_kind"], pa.string()),
-                "def_kind": pa.array([""] * n, pa.string()),
-                "commit": pa.array([""] * n, pa.string()),
-                "obj": pa.array([""] * n, pa.string()),
-                "line": pa.array(df["line"], pa.int32()),
-                "col": pa.array(df["col"], pa.int32()),
+                "repo": batch["repo"].cast(pa.string()),
+                "module": batch["module"].cast(pa.string()),
+                "symbol": batch["symbol"].cast(pa.string()),
+                "mkind": batch["mkind"].cast(pa.string()),
+                "src_id": batch["src_id"].cast(pa.string()),
+                "src_kind": batch["src_kind"].cast(pa.string()),
+                "def_kind": empty,
+                "commit": empty,
+                "obj": empty,
+                "line": batch["line"].cast(pa.int32()),
+                "col": batch["col"].cast(pa.int32()),
             }
         )
 
     return fn
 
 
-def explode_definitions(hot_keys: set[str], nsalt: int, nbuckets: int = 64):
+def explode_definitions(hot_keys: set[str], nsalt: int, nbuckets: int = 64,
+                        mention_keys: set[str] | None = None):
     """Returns a map_batches fn: definition rows → link-keyed variant rows.
 
     Definitions are the small side; only hot bases replicate across salts.
-    """
+
+    ``mention_keys`` (the full key domain from link_prescan) semi-joins
+    the definition side down to variants that can actually match a
+    mention: a def variant whose ``repo␟base`` no mention references
+    joins nothing in link_bucket (both merges are mention-driven) and is
+    pure shuffle dead weight — measured at 800k files the unfiltered
+    def side was 29M rows (~92% of the linking exchange), most of it
+    unmentioned symbol tables. Dropping them changes no linked triple
+    and no dangling row (equivalence-tested)."""
+
+    hot_list = list(hot_keys)
+    mention_list = list(mention_keys) if mention_keys is not None else None
+    _hot_cache: dict = {}
 
     def fn(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()[["repo", "module", "symbol", "obj",
-                                "def_kind", "commit"]]
-        p = df["module"].astype(object)
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(
+            ["repo", "module", "symbol", "obj", "def_kind", "commit"]))
+        mod = df["module"]
         # variant expansion, one vectorized endswith mask per suffix
         # (same (base, priority) combos as the old per-row loop)
-        frames = [df.assign(__base=p, __pri=np.int32(0))]
+        frames = [df.with_columns(
+            mod.alias("__base"),
+            pl.lit(0, dtype=pl.Int32).alias("__pri"),
+        )]
         for suf, pri in _STRIP_SUFFIXES + _INDEX_SUFFIXES:
-            m = p.str.endswith(suf)
+            m = mod.str.ends_with(suf)
             if m.any():
-                sub = df[m]
-                frames.append(sub.assign(
-                    __base=sub["module"].astype(object).str[: -len(suf)],
-                    __pri=np.int32(pri),
+                sub = df.filter(m)
+                frames.append(sub.with_columns(
+                    sub["module"].str.head(-len(suf)).alias("__base"),
+                    pl.lit(pri, dtype=pl.Int32).alias("__pri"),
                 ))
-        v = pd.concat(frames, ignore_index=True)
-        rb = v["repo"].astype(object) + SEP + v["__base"].astype(object)
+        v = pl.concat(frames)
+        rb = (v["repo"] + SEP + v["__base"]).alias("__rb")
+        if mention_list is not None:
+            probe = _hot_cache.get("m")
+            if probe is None:
+                probe = pl.Series("m", mention_list, dtype=pl.Utf8)
+                _hot_cache["m"] = probe
+            keep = rb.is_in(probe)
+            v = v.filter(keep)
+            rb = rb.filter(keep)
         # hot bases replicate across all salts; cold pay none
-        hot = (rb.isin(hot_keys).to_numpy()
-               if (nsalt > 1 and hot_keys) else np.zeros(len(v), bool))
-        cold = v[~hot].assign(__rb=rb[~hot], __salt=np.int64(0))
+        if nsalt > 1 and hot_list:
+            hot_probe = _hot_cache.get("s")
+            if hot_probe is None:
+                hot_probe = pl.Series("h", hot_list, dtype=pl.Utf8)
+                _hot_cache["s"] = hot_probe
+            hot = rb.is_in(hot_probe)
+        else:
+            hot = pl.repeat(False, v.height, dtype=pl.Boolean, eager=True)
+        v = v.with_columns(rb)
+        cold = v.filter(~hot).with_columns(
+            pl.lit(0, dtype=pl.Int64).alias("__salt"))
         parts = [cold]
         if hot.any():
-            hv = v[hot].assign(__rb=rb[hot])
-            hv = hv.loc[hv.index.repeat(nsalt)].reset_index(drop=True)
-            hv["__salt"] = np.tile(np.arange(nsalt, dtype=np.int64),
-                                   int(hot.sum()))
+            hv = v.filter(hot)
+            # cross-join replication: each hot variant row × every salt
+            hv = hv.join(
+                pl.DataFrame({"__salt": np.arange(nsalt, dtype=np.int64)}),
+                how="cross",
+            )
             parts.append(hv)
-        w = pd.concat(parts, ignore_index=True)
-        link_key = (w["__rb"].astype(object) + SEP
-                    + w["__salt"].astype(str)) if len(w) else pd.Series([], dtype=object)
-        bucket = _hash_mod(link_key, nbuckets).astype(np.int32)
-        n = len(w)
+        w = pl.concat(parts)
+        n = w.height
+        link_key_pl = w["__rb"] + SEP + w["__salt"].cast(pl.Utf8)
+        bucket = (
+            link_key_pl.hash(seed=0).to_numpy() % np.uint64(nbuckets)
+        ).astype(np.int32)
+
+        def _arr(s, typ):
+            a = s.to_arrow()
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            return a.cast(typ)
+
+        empty = pa.nulls(n, pa.string()).fill_null("")
         return pa.table(
             {
                 "link_bucket": pa.array(bucket, pa.int32()),
-                "link_key": pa.array(link_key, pa.string()),
-                "side": pa.array(["d"] * n, pa.string()),
-                "cand_priority": pa.array(
-                    w["__pri"].to_numpy() if n else np.empty(0, np.int32), pa.int32()
-                ),
-                "repo": pa.array(w["repo"] if n else [], pa.string()),
-                "module": pa.array(w["module"] if n else [], pa.string()),
-                "symbol": pa.array(w["symbol"] if n else [], pa.string()),
-                "mkind": pa.array([""] * n, pa.string()),
-                "src_id": pa.array([""] * n, pa.string()),
-                "src_kind": pa.array([""] * n, pa.string()),
-                "def_kind": pa.array(w["def_kind"] if n else [], pa.string()),
-                "commit": pa.array(w["commit"] if n else [], pa.string()),
-                "obj": pa.array(w["obj"] if n else [], pa.string()),
+                "link_key": _arr(link_key_pl, pa.string()),
+                "side": pa.nulls(n, pa.string()).fill_null("d"),
+                "cand_priority": _arr(w["__pri"], pa.int32()),
+                "repo": _arr(w["repo"], pa.string()),
+                "module": _arr(w["module"], pa.string()),
+                "symbol": _arr(w["symbol"], pa.string()),
+                "mkind": empty,
+                "src_id": empty,
+                "src_kind": empty,
+                "def_kind": _arr(w["def_kind"], pa.string()),
+                "commit": _arr(w["commit"], pa.string()),
+                "obj": _arr(w["obj"], pa.string()),
                 "line": pa.array(np.zeros(n, np.int32), pa.int32()),
                 "col": pa.array(np.zeros(n, np.int32), pa.int32()),
             }
@@ -832,10 +902,10 @@ def synthesize_reexports(tagged_ds, base_set: set[str]):
 def link_prescan(tagged_ds, hot_threshold: int,
                  degree_cap: int | None = None,
                  degree_floor: int = 64
-                 ) -> tuple[set[str], set[str], dict[str, int]]:
+                 ) -> tuple[set[str], set[str], dict[str, int], set[str]]:
     """ONE cheap pass over the tagged parse output yielding the link
     prescan artifacts: (hot link keys, re-export base set, hot-degree
-    node estimates).
+    node estimates, full mention-key set).
 
     Hot keys: EXACT heavy-hitter detection from the parser's folded
     per-batch 'keycount' rows — no mention sampling, no extra corpus
@@ -916,7 +986,7 @@ def link_prescan(tagged_ds, hot_threshold: int,
         partials, batch_format="pyarrow", batch_size=None
     ).to_pandas()
     if "rb" not in partial_df.columns:  # empty corpus → column-less frame
-        return set(), set(), {}
+        return set(), set(), {}, set()
     kcol = partial_df["k"]
     bases = set(partial_df["rb"][kcol == "b"])
     counts = partial_df[kcol == "c"]
@@ -932,7 +1002,13 @@ def link_prescan(tagged_ds, hot_threshold: int,
             dtot = deg.groupby("rb", sort=False)["n"].sum()
             over = dtot[dtot > int(degree_cap)]
             hot_degree = {str(k): int(v) for k, v in over.items()}
-    return set(totals.index[totals > int(hot_threshold)]), bases, hot_degree
+    # the FULL mention-key domain falls out of the same pass (it is the
+    # index the hot cut is taken over) — consumers use it to semi-join
+    # the definition side of the linking shuffle down to keys that can
+    # actually match a mention (explode_definitions mention_keys)
+    all_keys = set(totals.index)
+    return (set(totals.index[totals > int(hot_threshold)]), bases,
+            hot_degree, all_keys)
 
 
 def find_hot_keys_exact(tagged_ds, hot_threshold: int) -> set[str]:

@@ -104,3 +104,39 @@ def test_no_duplicate_triples_with_salted_repeat_callsites(ray_session):
     assert len(trip) == len(set(trip)), "duplicate triple rows emitted"
     calls = [t for t in trip if t[1] == "CALLS"]
     assert len(calls) == 30  # one per caller despite 3 sites each
+
+
+def test_mention_key_semijoin_equivalence(ray_session):
+    """Filtering the def side to mention-referenced keys changes no
+    linked triple and no dangling row: unmentioned definitions join
+    nothing in link_bucket (both merges are mention-driven)."""
+    import ray.data as rd
+
+    from hikma_engine_ray.pipelines.index_pipeline import (
+        build_graph_from_tagged, parse_corpus)
+    from hikma_engine_ray.sources.corpus import generate_corpus
+
+    tagged = parse_corpus(rd.from_arrow(generate_corpus(120)))
+
+    def _sets(mention_filter: bool):
+        import hikma_engine_ray.pipelines.index_pipeline as ip
+
+        orig_limit = ip.MENTION_FILTER_LIMIT
+        if not mention_filter:
+            ip.MENTION_FILTER_LIMIT = 0  # force the count-guard fallback
+        try:
+            g = build_graph_from_tagged(
+                tagged, embed=False, adjacency=False)
+            trip = {(r["subj"], r["pred"], r["obj"])
+                    for r in g["triples"].take_all()}
+            dang = {(r["repo"], r["module"], r["symbol"], r["reason"],
+                     r["src_id"], r["line"], r["col"])
+                    for r in g["dangling"].take_all()}
+            return trip, dang
+        finally:
+            ip.MENTION_FILTER_LIMIT = orig_limit
+
+    t_filt, d_filt = _sets(True)
+    t_all, d_all = _sets(False)
+    assert t_filt == t_all
+    assert d_filt == d_all
