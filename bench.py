@@ -34,6 +34,48 @@ CORPUS_CACHE = "/tmp/hikma_bench_corpus"
 # measured on a sick host (VERDICT r3 item 3).
 CANARY_HEALTHY_MB_S = 500.0
 
+# Healthy host: >= ~1 GB/s PER WORKER of aggregate copy bandwidth under
+# parallel load. Round-5 discovery: this VM's parallel memory
+# performance detaches from its single-threaded performance — the
+# serial canary read a steady ~4 GB/s for hours while an 8-worker
+# aggregate copy probe swung 0.3 -> 1.5 -> 23.7 GB/s minute to minute.
+# Any multi-CPU wall clock taken in a degraded window measures the
+# host, not the code (the 6->24 pair read 0.40 with BOTH canaries_pre
+# healthy on the serial probe alone), so the scaling gate requires the
+# PARALLEL canary too.
+PARALLEL_CANARY_HEALTHY_GB_S = 6.0
+
+
+def parallel_canary(nworkers: int = 8, mib: int = 256,
+                    seconds: float = 4.0) -> float:
+    """Aggregate GB/s of parallel memory copies across ``nworkers``
+    processes — the dimension of host health the serial page-fault
+    canary cannot see (see PARALLEL_CANARY_HEALTHY_GB_S)."""
+    import multiprocessing as mp
+
+    def worker(q):
+        import numpy as np
+
+        a = np.ones((mib << 20) // 8)
+        b = np.empty_like(a)
+        t0 = time.monotonic()
+        n = 0
+        while time.monotonic() - t0 < seconds:
+            np.copyto(b, a)
+            n += 1
+        dt = time.monotonic() - t0
+        q.put(n * a.nbytes * 2 / dt)
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    ps = [ctx.Process(target=worker, args=(q,)) for _ in range(nworkers)]
+    for p in ps:
+        p.start()
+    tot = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return round(tot / 1e9, 2)
+
 
 def page_fault_canary(mib: int = 64) -> float:
     """MB/s of first-touch on freshly-mapped anonymous memory.
@@ -295,17 +337,24 @@ def run_scaling() -> dict:
         int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "6,24").split(",")
     )
     canary_pre = page_fault_canary(256)
-    if canary_pre < CANARY_HEALTHY_MB_S and os.environ.get(
+    par_pre = parallel_canary()
+    if (canary_pre < CANARY_HEALTHY_MB_S
+            or par_pre < PARALLEL_CANARY_HEALTHY_GB_S) and os.environ.get(
         "GRAFT_SCALING_FORCE"
     ) != "1":
         # a sick host pays a serialized page-fault floor at BOTH CPU
         # levels, so the computed efficiency measures the host, not the
-        # pipeline (round-3 decomposition in BASELINE.md). Refuse to
+        # pipeline (round-3 decomposition in BASELINE.md). The parallel
+        # canary catches the round-5 failure mode: serial memory healthy
+        # while aggregate parallel bandwidth collapses 10-50x. Refuse to
         # certify; GRAFT_SCALING_FORCE=1 overrides for diagnostics.
         return {
             "metric": "scaling_efficiency", "levels": list(levels),
             "skipped": "host_sick", "canary_mb_s_pre": canary_pre,
-            "canary_healthy_mb_s": CANARY_HEALTHY_MB_S, "sf": SF_DIR,
+            "parallel_canary_gb_s_pre": par_pre,
+            "canary_healthy_mb_s": CANARY_HEALTHY_MB_S,
+            "parallel_canary_healthy_gb_s": PARALLEL_CANARY_HEALTHY_GB_S,
+            "sf": SF_DIR,
         }
     _corpus_path(n_files)  # generate once, untimed, shared by both runs
     # best-of-N: this VM shows bursty CPU steal; min wall time is the
@@ -341,7 +390,8 @@ def run_scaling() -> dict:
             r = json.loads(out.strip().splitlines()[-1])
             leg_canaries.append(
                 {"level": ncpu, "rep": rep, "sec": r["value"],
-                 "canary_mb_s": r.get("canary_mb_s")})
+                 "canary_mb_s": r.get("canary_mb_s"),
+                 "parallel_canary_gb_s": parallel_canary()})
             best = times.get(ncpu)
             if best is None or r["value"] < best["value"]:
                 times[ncpu] = r
@@ -359,8 +409,10 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
         "canary_mb_s_pre": canary_pre,
+        "parallel_canary_gb_s_pre": par_pre,
         "legs": leg_canaries,
         "canary_mb_s_post": page_fault_canary(256),
+        "parallel_canary_gb_s_post": parallel_canary(),
     }
 
 
