@@ -2750,6 +2750,37 @@ def _q_fingerprint_stable(sf_dir: str):
     return ds.map_batches(check, batch_format="pyarrow")
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup (stages/semdedup.py — Abbas et al. 2023):
+    k-means buckets bound the quadratic pair test; within each cluster
+    an item is dropped when a LOWER-ID item sits at cosine ≥ τ. The
+    engine exports its (vec_id, cluster) assignment (clustering itself
+    is invariant-gated by kmeans_check); the DuckDB oracle replays the
+    within-cluster keep rule EXACTLY via list_cosine_similarity over
+    the raw embeddings — a hash mismatch means the engine's Gram-matrix
+    dedup disagrees with brute-force cosine on any single row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hikma_engine_ray.stages.semdedup import semdedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semdedup(emb, k=8, tau=0.85, iters=10)
+    res = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    res = res.sort_by("vec_id")
+    # export the assignment for the oracle (kg-export pattern: the
+    # embeddings table is scale-invariant at the check tiers, and the
+    # row count discriminates if that ever changes)
+    os.makedirs(_KG_ORACLE_DIR, exist_ok=True)
+    path = os.path.join(_KG_ORACLE_DIR, f"semdedup_{res.num_rows}.parquet")
+    tmp = path + ".tmp"
+    exp = res.select(["vec_id", "cluster"]).append_column(
+        "n_total", pa.array([res.num_rows] * res.num_rows, pa.int64()))
+    pq.write_table(exp, tmp)
+    os.replace(tmp, path)
+    return res
+
+
 def _q_curate_audit(sf_dir: str):
     """Driver-checkable audit of the COMPOSED curation pipeline: the
     DuckDB oracle replays the full chain — quality funnel (length /
@@ -3237,6 +3268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_check": _q_pca_check,
         "kmeans_check": _q_kmeans_check,
         "fingerprint_stable": _q_fingerprint_stable,
+        "semdedup": _q_semdedup,
         # --- oracle-backed, driver-verified in round 4 ---
         # relational conformance (shuffle/join/sort/window primitives)
         "q1_pricing": _q1_pricing,
@@ -5096,6 +5128,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 AS BIGINT) AS k,
                    round((SELECT sum(vs) FROM pv), 6) AS total_var,
                    CAST(1 AS BIGINT) AS inertia_bounded
+        """,
+        "semdedup": """
+            WITH a AS (
+              -- n_total discriminates exports if several scale tiers
+              -- sit side by side (kg-export pattern)
+              SELECT vec_id, cluster FROM read_parquet(
+                '/tmp/hikma_kg_oracle/semdedup_*.parquet')
+              WHERE n_total = (SELECT count(*) FROM embeddings)
+            ), dup AS (
+              SELECT DISTINCT x.vec_id
+              FROM a x
+              JOIN a y ON y.cluster = x.cluster AND y.vec_id < x.vec_id
+              JOIN embeddings ex ON ex.vec_id = x.vec_id
+              JOIN embeddings ey ON ey.vec_id = y.vec_id
+              WHERE list_cosine_similarity(ex.embedding, ey.embedding)
+                    >= 0.85
+            )
+            SELECT a.vec_id,
+                   a.cluster,
+                   CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END::BIGINT
+                       AS kept
+            FROM a LEFT JOIN dup d ON a.vec_id = d.vec_id
+            ORDER BY a.vec_id
         """,
         "fingerprint_stable": """
             SELECT doc_id,

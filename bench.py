@@ -288,6 +288,8 @@ def run_bench() -> dict:
         # round-5 session-2 additions (new oracle-backed queries)
         "orders_pctrank", "bpe_roundtrip", "minhash_recall",
         "embed_recall", "curate_audit", "kg_ppr", "kg_communities",
+        # round-5 session-3 additions
+        "kmeans_check", "fingerprint_stable", "semdedup",
     ):
         tq = time.monotonic()
         res = qs[name](SF_DIR)
