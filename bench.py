@@ -66,7 +66,11 @@ def parallel_canary(nworkers: int = 8, mib: int = 256,
         dt = time.monotonic() - t0
         q.put(n * a.nbytes * 2 / dt)
 
-    ctx = mp.get_context("spawn")
+    # fork, not spawn: spawn re-imports __main__, which breaks under
+    # `python -c` (the watcher probes this via -c) and would re-run
+    # bench when invoked as a script. No Ray session exists at any
+    # parallel_canary call site, so fork is safe.
+    ctx = mp.get_context("fork")
     q = ctx.Queue()
     ps = [ctx.Process(target=worker, args=(q,)) for _ in range(nworkers)]
     for p in ps:
