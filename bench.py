@@ -155,6 +155,11 @@ def run_bench() -> dict:
     import ray
 
     canary = page_fault_canary()
+    # recorded (untimed) so every wall clock in this JSON carries its
+    # host context: the round-5 discovery is that parallel memory
+    # health detaches from the serial canary (see BASELINE.md) —
+    # measured BEFORE ray.init (fork context; no Ray session may exist)
+    par_canary = parallel_canary()
 
     from hikma_engine_ray.tuning import apply_malloc_env
 
@@ -250,6 +255,7 @@ def run_bench() -> dict:
             "n_triples": n_triples, "n_nodes": n_nodes, "n_adjacency": n_adj,
             "triples_per_sec": round(n_triples / headline, 1),
             "canary_mb_s": canary,
+            "parallel_canary_gb_s": par_canary,
         }
         ray.shutdown()
         return result
@@ -314,6 +320,7 @@ def run_bench() -> dict:
         "n_adjacency": n_adj,
         "triples_per_sec": round(n_triples / headline, 1),
         "canary_mb_s": canary,
+        "parallel_canary_gb_s": par_canary,
     }
     ray.shutdown()
     return result
