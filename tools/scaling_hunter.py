@@ -1,0 +1,137 @@
+"""Opportunistic per-leg scaling measurement for a host whose health
+flips on sub-minute timescales (BASELINE.md round-5 session 3: serial
+canary and PARALLEL canary detach and each swings 10-50x within
+minutes; a full interleaved 6->24 pair needs ~20 sustained minutes the
+host never offers).
+
+Protocol: poll both canaries; when BOTH are healthy, run ONE leg
+(fresh process, `bench.py` with GRAFT_SKIP_QUERIES=1 on the 800k
+corpus), then re-check both canaries. A leg counts only when all four
+readings (serial+parallel, pre+post) pass the same bars the official
+`bench.py --scaling` gate uses — a mid-leg host flip shows up in the
+post reading and disqualifies the leg. Levels alternate, preferring
+whichever level has fewer certified legs. Efficiency is computed from
+the FASTEST certified leg per level (same min-estimator as the
+official pair); every attempted leg is logged verbatim to the results
+file, certified or not, so the evidence trail is complete.
+
+This measures the same quantity as `bench.py --scaling` (same job,
+same corpus, same fresh-process isolation); the only difference is
+that the two legs may be minutes apart, each inside its own certified
+window — on THIS host that is strictly more faithful to "identical
+machines at N and 4N" than a pair straddling a health flip.
+
+Usage: python tools/scaling_hunter.py [deadline_seconds]
+Writes: /tmp/scaling_hunt_r5.jsonl (one JSON per attempted leg +
+        a final summary line), honoring /tmp/graft_busy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RESULTS = "/tmp/scaling_hunt_r5.jsonl"
+LEVELS = (6, 24)
+N_FILES = int(os.environ.get("GRAFT_SCALING_FILES", "800000"))
+WANT_PER_LEVEL = 2
+
+
+def canaries() -> tuple[float, float]:
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from bench import page_fault_canary, parallel_canary; "
+         "print(page_fault_canary(256)); print(parallel_canary())"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    try:
+        lines = out.stdout.strip().splitlines()
+        return float(lines[-2]), float(lines[-1])
+    except Exception:
+        return -1.0, -1.0
+
+
+def healthy(c: float, p: float) -> bool:
+    from bench import CANARY_HEALTHY_MB_S, PARALLEL_CANARY_HEALTHY_GB_S
+
+    return c >= CANARY_HEALTHY_MB_S and p >= PARALLEL_CANARY_HEALTHY_GB_S
+
+
+def log(rec: dict) -> None:
+    rec["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(rec, flush=True)
+
+
+def run_leg(level: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(level),
+               GRAFT_BENCH_FILES=str(N_FILES), GRAFT_SKIP_QUERIES="1")
+    t0 = time.monotonic()
+    out = subprocess.run([sys.executable, "bench.py"], env=env,
+                         capture_output=True, text=True, cwd=REPO)
+    wall = time.monotonic() - t0
+    try:
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        return {"level": level, "sec": r["value"],
+                "triples_per_sec": r["triples_per_sec"],
+                "leg_wall": round(wall, 1)}
+    except Exception:
+        return {"level": level, "sec": None, "error": out.stderr[-300:]}
+
+
+def main() -> None:
+    deadline = time.time() + (float(sys.argv[1]) if len(sys.argv) > 1
+                              else 4 * 3600)
+    certified: dict[int, list[float]] = {lv: [] for lv in LEVELS}
+    while time.time() < deadline:
+        if os.path.exists("/tmp/graft_busy"):
+            time.sleep(60)
+            continue
+        c, p = canaries()
+        ok = healthy(c, p)
+        log({"kind": "poll", "canary_mb_s": c, "parallel_gb_s": p,
+             "healthy": ok})
+        if not ok:
+            time.sleep(40)
+            continue
+        # fewest certified legs first; ties -> slower (low) level first
+        level = min(LEVELS, key=lambda lv: (len(certified[lv]), lv))
+        leg = run_leg(level)
+        c2, p2 = canaries()
+        leg.update({"kind": "leg", "canary_pre": c, "parallel_pre": p,
+                    "canary_post": c2, "parallel_post": p2,
+                    "certified": bool(leg.get("sec")
+                                      and healthy(c2, p2))})
+        log(leg)
+        if leg["certified"]:
+            certified[level].append(leg["sec"])
+        done = all(len(v) >= WANT_PER_LEVEL for v in certified.values())
+        if done:
+            break
+    if all(certified[lv] for lv in LEVELS):
+        lo, hi = LEVELS
+        t_lo, t_hi = min(certified[lo]), min(certified[hi])
+        eff = (t_lo / t_hi) / (hi / lo)
+        log({"kind": "summary", "metric": "scaling_efficiency",
+             "levels": list(LEVELS), f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+             "speedup": round(t_lo / t_hi, 3),
+             "scaling_efficiency": round(eff, 3),
+             "legs_certified": {str(k): v for k, v in certified.items()},
+             "n_files": N_FILES, "protocol": "per-leg certified windows "
+             "(tools/scaling_hunter.py; same job/corpus as bench.py "
+             "--scaling, each leg gated on serial+parallel canaries "
+             "pre AND post)"})
+    else:
+        log({"kind": "summary", "skipped": "no certified pair",
+             "legs_certified": {str(k): v for k, v in certified.items()}})
+
+
+if __name__ == "__main__":
+    main()
