@@ -57,6 +57,29 @@ def canaries() -> tuple[float, float]:
         return -1.0, -1.0
 
 
+def canaries_settled(tries: int = 3, gap: float = 8.0) -> tuple[float, float, list]:
+    """Element-wise MAX over several spaced readings. The probe reads
+    floored for ~10 s immediately after a Ray session tears down (the
+    OS reclaims the 60 GB object store; two observed post-leg pairs:
+    0.36 GB/s then 96.4 GB/s nine seconds later, 0.25 then 35.8 six
+    seconds later), so a single post-leg reading rejects healthy legs.
+    A genuinely sick episode (round-3/4: minutes-to-hours) floors ALL
+    readings, so the max-estimator still catches what the gate is for
+    — the same reasoning as page_fault_canary's best-of-3."""
+    trail = []
+    best_c = best_p = -1.0
+    for i in range(tries):
+        c, p = canaries()
+        trail.append({"canary_mb_s": c, "parallel_gb_s": p})
+        best_c = max(best_c, c)
+        best_p = max(best_p, p)
+        if healthy(best_c, best_p):
+            break  # already certifies; no need to keep probing
+        if i < tries - 1:
+            time.sleep(gap)
+    return best_c, best_p, trail
+
+
 def healthy(c: float, p: float) -> bool:
     from bench import CANARY_HEALTHY_MB_S, PARALLEL_CANARY_HEALTHY_GB_S
 
@@ -90,6 +113,7 @@ def main() -> None:
     deadline = time.time() + (float(sys.argv[1]) if len(sys.argv) > 1
                               else 4 * 3600)
     certified: dict[int, list[float]] = {lv: [] for lv in LEVELS}
+    attempts: dict[int, int] = {lv: 0 for lv in LEVELS}
     while time.time() < deadline:
         if os.path.exists("/tmp/graft_busy"):
             time.sleep(60)
@@ -101,12 +125,17 @@ def main() -> None:
         if not ok:
             time.sleep(40)
             continue
-        # fewest certified legs first; ties -> slower (low) level first
-        level = min(LEVELS, key=lambda lv: (len(certified[lv]), lv))
+        # fewest certified legs first, then fewest attempts (so the
+        # levels alternate while nothing certifies), then low level
+        level = min(LEVELS, key=lambda lv: (len(certified[lv]),
+                                            attempts[lv], lv))
+        attempts[level] += 1
         leg = run_leg(level)
-        c2, p2 = canaries()
+        time.sleep(12)  # let the dead Ray session's reclaim settle
+        c2, p2, trail = canaries_settled()
         leg.update({"kind": "leg", "canary_pre": c, "parallel_pre": p,
                     "canary_post": c2, "parallel_post": p2,
+                    "post_trail": trail,
                     "certified": bool(leg.get("sec")
                                       and healthy(c2, p2))})
         log(leg)
