@@ -37,7 +37,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-RESULTS = "/tmp/scaling_hunt_r5.jsonl"
+RESULTS = os.environ.get("GRAFT_HUNT_RESULTS", "/tmp/scaling_hunt_r5.jsonl")
 LEVELS = tuple(int(x) for x in os.environ.get(
     "GRAFT_HUNT_LEVELS", "6,24").split(","))
 N_FILES = int(os.environ.get("GRAFT_SCALING_FILES", "800000"))
