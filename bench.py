@@ -171,8 +171,12 @@ def run_bench() -> dict:
         ignore_reinit_error=True,
         logging_level="ERROR",
         # default (~43% of RAM) spills under the large scaling corpus's
-        # transient embeddings + shuffles; /dev/shm is 126 GiB here
-        object_store_memory=int(60e9),
+        # transient embeddings + shuffles; /dev/shm is 126 GiB here.
+        # GRAFT_OBJ_STORE overrides for the >=3.2M-file tiers whose
+        # pinned parse output alone exceeds 60 GB (identical value at
+        # both levels of any scaling pair — it's part of the job spec)
+        object_store_memory=int(float(os.environ.get(
+            "GRAFT_OBJ_STORE", "60e9"))),
     )
     import ray.data as rd
     from ray.data import DataContext

@@ -41,7 +41,7 @@ RESULTS = os.environ.get("GRAFT_HUNT_RESULTS", "/tmp/scaling_hunt_r5.jsonl")
 LEVELS = tuple(int(x) for x in os.environ.get(
     "GRAFT_HUNT_LEVELS", "6,24").split(","))
 N_FILES = int(os.environ.get("GRAFT_SCALING_FILES", "800000"))
-WANT_PER_LEVEL = 2
+WANT_PER_LEVEL = int(os.environ.get("GRAFT_HUNT_WANT", "2"))
 
 
 def canaries() -> tuple[float, float]:
